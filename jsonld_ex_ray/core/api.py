@@ -1,0 +1,137 @@
+"""Top-level JSON-LD processor API.
+
+Mirrors the reference ``JsonLdProcessor`` surface (lib/json_ld.ex:98-320):
+``expand``, ``compact``, ``flatten``, ``to_rdf``, ``from_rdf``. These are
+pure per-document functions; the Ray pipeline calls them inside
+``map_batches`` kernels (SURVEY.md §3.1 "engine shape").
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from .context import NOT_PRESENT, Context
+from .errors import JsonLdError
+from .expand import expand_element
+from .loader import RemoteDocument
+from .options import JsonLdOptions, to_options
+
+
+def _load_input(input_: Any, options: JsonLdOptions) -> tuple[Any, str | None]:
+    """Resolve input to (document, document_url). Strings are URLs
+    (reference lib/json_ld.ex:103-111)."""
+    if isinstance(input_, RemoteDocument):
+        doc = input_.document
+        if isinstance(doc, str):
+            doc = json.loads(doc)
+        return doc, input_.document_url
+    if isinstance(input_, str):
+        loader = options.document_loader
+        if loader is None:
+            raise JsonLdError("loading document failed", f"no loader for {input_}")
+        remote = loader.load(input_, options)
+        doc = remote.document
+        if isinstance(doc, str):
+            try:
+                doc = json.loads(doc)
+            except ValueError as e:
+                raise JsonLdError("loading document failed", str(e))
+        return doc, remote.document_url
+    return input_, None
+
+
+def _initial_context(options: JsonLdOptions, doc_url: str | None) -> Context:
+    ctx = Context(options)
+    ctx.original_base_url = doc_url
+    if options.base is not None:
+        ctx.base_iri = options.base
+    elif doc_url is not None:
+        ctx.base_iri = doc_url
+    else:
+        ctx.base_iri = NOT_PRESENT
+    return ctx
+
+
+def expand(input_: Any, options: JsonLdOptions | dict | None = None) -> list:
+    """JSON-LD Expansion (reference lib/json_ld.ex:98-169)."""
+    options = to_options(options)
+    doc, doc_url = _load_input(input_, options)
+    active = _initial_context(options, doc_url)
+
+    if options.expand_context is not None:
+        ec = options.expand_context
+        if isinstance(ec, dict) and "@context" in ec:
+            ec = ec["@context"]
+        active = active.process(ec, None)
+
+    expanded = expand_element(
+        active, None, doc, doc_url, ordered=options.ordered
+    )
+    if isinstance(expanded, dict) and set(expanded) == {"@graph"}:
+        expanded = expanded["@graph"]
+    if expanded is None:
+        return []
+    return expanded if isinstance(expanded, list) else [expanded]
+
+
+def flatten(
+    input_: Any,
+    context: Any = None,
+    options: JsonLdOptions | dict | None = None,
+) -> Any:
+    """JSON-LD Flattening (reference lib/json_ld.ex:264-299)."""
+    from .flatten import flatten_expanded
+
+    options = to_options(options)
+    doc, doc_url = _load_input(input_, options)
+    expanded = expand(
+        RemoteDocument(document=doc, document_url=doc_url) if doc_url else doc,
+        options.with_(ordered=False),
+    )
+    flattened = flatten_expanded(expanded, ordered=options.ordered)
+    if context is not None:
+        return compact(flattened, context, options)
+    return flattened
+
+
+def compact(
+    input_: Any,
+    context: Any,
+    options: JsonLdOptions | dict | None = None,
+) -> dict:
+    """JSON-LD Compaction (reference lib/json_ld.ex:189-245)."""
+    from .compact import compact_top_level
+
+    options = to_options(options)
+    doc, doc_url = _load_input(input_, options)
+    expanded = expand(
+        RemoteDocument(document=doc, document_url=doc_url) if doc_url else doc,
+        options,
+    )
+    return compact_top_level(expanded, context, options, doc_url)
+
+
+def to_rdf(input_: Any, options: JsonLdOptions | dict | None = None) -> list:
+    """Deserialize JSON-LD to RDF → list of quad tuples
+    (subj, pred, obj_term, graph) — see to_rdf.py for term encoding.
+    Reference lib/json_ld.ex:320 → lib/json/ld/decoder.ex."""
+    from .flatten import node_map_generation
+    from .to_rdf import node_map_to_rdf
+
+    options = to_options(options)
+    doc, doc_url = _load_input(input_, options)
+    expanded = expand(
+        RemoteDocument(document=doc, document_url=doc_url) if doc_url else doc,
+        options.with_(ordered=False),
+    )
+    node_map, issuer = node_map_generation(expanded)
+    return node_map_to_rdf(node_map, issuer, options)
+
+
+def from_rdf(quads: list, options: JsonLdOptions | dict | None = None) -> list:
+    """Serialize RDF as JSON-LD (reference lib/json_ld.ex:310 → encoder.ex)."""
+    from .from_rdf import serialize_rdf
+
+    options = to_options(options)
+    return serialize_rdf(quads, options)

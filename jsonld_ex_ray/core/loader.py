@@ -1,0 +1,112 @@
+"""Document loaders.
+
+The reference's loader is an HTTP behaviour (`JSON.LD.DocumentLoader`,
+reference lib/json/ld/document_loader.ex:11-14) with a pluggable client.
+This sandbox has no network, so the engine ships:
+
+- ``StaticLoader`` — an in-memory URL→document map (tests, offline registries);
+- ``FileLoader`` — maps a URL prefix onto a local directory (used by the W3C
+  manifest harness to serve ``https://w3c.github.io/json-ld-api/tests/...``
+  from the vendored suite);
+- ``CachingLoader`` — LRU wrapper; in the Ray pipeline one lives per resolver
+  actor (the reference re-fetches every time — its biggest scalability gap,
+  cf. SURVEY.md §2.3).
+
+All loaders return ``RemoteDocument`` (reference
+lib/json/ld/document_loader/remote_document.ex:36-44).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import OrderedDict
+from dataclasses import dataclass
+from typing import Any, Protocol
+
+from .errors import JsonLdError
+
+
+@dataclass
+class RemoteDocument:
+    document: Any
+    document_url: str
+    content_type: str = "application/ld+json"
+    context_url: str | None = None
+    profile: str | None = None
+
+
+class DocumentLoader(Protocol):
+    def load(self, url: str, options: Any = None) -> RemoteDocument: ...
+
+
+class StaticLoader:
+    """URL → already-parsed JSON document. Deterministic, no I/O."""
+
+    def __init__(self, documents: dict[str, Any] | None = None):
+        self.documents = dict(documents or {})
+
+    def add(self, url: str, document: Any) -> None:
+        self.documents[url] = document
+
+    def load(self, url: str, options: Any = None) -> RemoteDocument:
+        if url not in self.documents:
+            raise JsonLdError("loading document failed", f"not in static registry: {url}")
+        return RemoteDocument(document=self.documents[url], document_url=url)
+
+
+class FileLoader:
+    """Serve ``url_prefix + rel`` from ``root + rel`` (read-only)."""
+
+    def __init__(self, url_prefix: str, root: str):
+        self.url_prefix = url_prefix.rstrip("/") + "/"
+        self.root = root
+
+    def load(self, url: str, options: Any = None) -> RemoteDocument:
+        base = url.split("#", 1)[0]
+        if not base.startswith(self.url_prefix):
+            raise JsonLdError("loading document failed", f"outside prefix: {url}")
+        rel = base[len(self.url_prefix) :]
+        path = os.path.join(self.root, rel)
+        if not os.path.isfile(path):
+            raise JsonLdError("loading document failed", f"no such file: {url}")
+        with open(path, "rb") as f:
+            try:
+                doc = json.load(f)
+            except ValueError as e:
+                raise JsonLdError("loading document failed", f"bad JSON at {url}: {e}")
+        return RemoteDocument(document=doc, document_url=base)
+
+
+class CachingLoader:
+    """Bounded LRU over any loader. Caches successes AND failures (as the
+    error code) so hot bad URLs don't hammer the backend."""
+
+    def __init__(self, inner: DocumentLoader, maxsize: int = 1024):
+        self.inner = inner
+        self.maxsize = maxsize
+        self._cache: OrderedDict[str, tuple[bool, Any]] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def load(self, url: str, options: Any = None) -> RemoteDocument:
+        if url in self._cache:
+            self.hits += 1
+            self._cache.move_to_end(url)
+            ok, value = self._cache[url]
+            if ok:
+                return value
+            raise JsonLdError(value[0], value[1])
+        self.misses += 1
+        try:
+            doc = self.inner.load(url, options)
+        except JsonLdError as e:
+            self._store(url, (False, (e.code, e.message)))
+            raise
+        self._store(url, (True, doc))
+        return doc
+
+    def _store(self, url: str, entry: tuple[bool, Any]) -> None:
+        self._cache[url] = entry
+        if len(self._cache) > self.maxsize:
+            self._cache.popitem(last=False)

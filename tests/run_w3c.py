@@ -1,0 +1,123 @@
+"""Standalone W3C suite runner for fast iteration (not pytest).
+
+Usage: python tests/run_w3c.py [expand|flatten|toRdf|compact|fromRdf] [-v]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jsonld_ex_ray.core import api
+from jsonld_ex_ray.core.errors import JsonLdError
+from jsonld_ex_ray.core.isomorphism import isomorphic
+from jsonld_ex_ray.core.nquads import parse_nquads
+from tests.w3c_support import (
+    SUITE_BASE,
+    SUITE_DIR,
+    case_options,
+    json_equal_unordered,
+    load_manifest,
+    make_loader,
+    should_skip,
+)
+
+
+def run_suite(name: str, verbose: bool = False, only: str | None = None):
+    cases = load_manifest(name)
+    loader = make_loader()
+    passed = failed = skipped = 0
+    failures = []
+    for case in cases:
+        cid = case["@id"]
+        if only and cid != only:
+            continue
+        if should_skip(case):
+            skipped += 1
+            continue
+        options = case_options(case, loader)
+        input_url = SUITE_BASE + case["input"]
+        negative = "jld:NegativeEvaluationTest" in case["@type"]
+        syntax = "jld:PositiveSyntaxTest" in case["@type"]
+        try:
+            if name == "expand":
+                result = api.expand(input_url, options.with_(ordered=True))
+            elif name == "flatten":
+                context = None
+                if "context" in case:
+                    with open(os.path.join(SUITE_DIR, case["context"])) as f:
+                        context = json.load(f)
+                result = api.flatten(input_url, context, options.with_(ordered=True))
+            elif name == "toRdf":
+                result = api.to_rdf(input_url, options)
+            elif name == "compact":
+                with open(os.path.join(SUITE_DIR, case["context"])) as f:
+                    context = json.load(f)
+                result = api.compact(input_url, context, options.with_(ordered=True))
+            elif name == "fromRdf":
+                with open(os.path.join(SUITE_DIR, case["input"])) as f:
+                    quads = parse_nquads(f.read())
+                result = api.from_rdf(quads, options.with_(ordered=True))
+            else:
+                raise SystemExit(f"unknown suite {name}")
+            if negative:
+                failed += 1
+                failures.append((cid, case["name"], f"expected error {case['expectErrorCode']!r}, got result"))
+                continue
+            if syntax:
+                passed += 1
+                continue
+            with open(os.path.join(SUITE_DIR, case["expect"])) as f:
+                if name == "toRdf":
+                    expected = parse_nquads(f.read())
+                    ok = isomorphic(result, expected)
+                else:
+                    expected = json.load(f)
+                    ok = json_equal_unordered(result, expected)
+            if ok:
+                passed += 1
+            else:
+                failed += 1
+                failures.append((cid, case["name"], _diff(result, expected, name)))
+        except JsonLdError as e:
+            if negative:
+                if e.code == case["expectErrorCode"]:
+                    passed += 1
+                else:
+                    failed += 1
+                    failures.append((cid, case["name"], f"expected {case['expectErrorCode']!r} got {e.code!r}"))
+            else:
+                failed += 1
+                failures.append((cid, case["name"], f"raised {e.code}: {e.message}"))
+        except Exception as e:
+            failed += 1
+            failures.append((cid, case["name"], f"CRASH {type(e).__name__}: {e}\n{traceback.format_exc() if verbose else ''}"))
+    print(f"{name}: {passed} passed, {failed} failed, {skipped} skipped / {len(cases)}")
+    for cid, nm, msg in failures[: (1000 if verbose else 40)]:
+        print(f"  FAIL {cid} [{nm}]: {msg[:600]}")
+    return passed, failed, skipped
+
+
+def _diff(result, expected, name):
+    if name == "toRdf":
+        from jsonld_ex_ray.core.nquads import serialize_nquads
+
+        return "\n--- got ---\n" + serialize_nquads(result) + "--- want ---\n" + serialize_nquads(expected)
+    return "\n--- got ---\n" + json.dumps(result, indent=1, sort_keys=True)[:800] + "\n--- want ---\n" + json.dumps(expected, indent=1, sort_keys=True)[:800]
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    verbose = "-v" in sys.argv
+    only = None
+    for a in list(args):
+        if a.startswith("#"):
+            only = a
+            args.remove(a)
+    suites = args or ["expand", "flatten", "toRdf"]
+    for s in suites:
+        run_suite(s, verbose, only)
