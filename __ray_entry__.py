@@ -1,44 +1,370 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline over a deterministic
+synthetic source-repo corpus (BASELINE.json ``input_hint`` shape) sized for
+sf0.001. ``queries()`` exposes each implemented operator from SURVEY.md §2
+plus the training-data ops; SQL-expressible ones have a DuckDB oracle in
+``oracle_sql()`` with IDENTICAL column names; KG ops that SQL can't express
+are rows-only checks per the driver contract.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import: nothing here calls
+``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_CORPUS_CACHE: dict[tuple, str] = {}
+
+
+def _corpus_for(sf_dir: str) -> str:
+    """Deterministic synthetic source-repo corpus sized by the sf of the
+    driver dir (sf0.001→400 files, sf0.01→4000, sf0.1→40000). Cached in
+    /tmp keyed by size; regenerating is seed-stable either way."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    sf = float(m.group(1)) if m else 0.001
+    n = max(200, int(400_000 * sf))
+    key = (n, 42)
+    if key not in _CORPUS_CACHE:
+        path = f"/tmp/jsonld_ex_ray_corpus_{n}_42.parquet"
+        if not os.path.exists(path):
+            from jsonld_ex_ray.gen import write_corpus
+
+            write_corpus(path, n, seed=42)
+        _CORPUS_CACHE[key] = path
+    return _CORPUS_CACHE[key]
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: source repos → extract → expand → triples (sf0.001 scale)."""
+    from jsonld_ex_ray.pipeline import build_triples, triples_only
+
+    corpus = _corpus_for("sf0.001")
+    return triples_only(build_triples(corpus, concurrency=2))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_lineitem_agg(sf_dir: str):
+    """Partial-aggregation pattern: wide groupby with map-side combine
+    (Ray Data aggregate does this internally)."""
+    import ray.data
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+    return out
+
+
+def _q_top_orders(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def _q_orders_by_segment(sf_dir: str):
+    """Broadcast join: small customer side shipped once via ray.put and
+    looked up inside map_batches — no shuffle join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    mapping_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())))
+
+    class AttachSegment:
+        def __init__(self, ref):
+            self.mapping = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [self.mapping.get(k) for k in batch.column("o_custkey").to_pylist()]
+            return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    ds = ds.map_batches(
+        AttachSegment,
+        fn_constructor_kwargs={"ref": mapping_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    return (
+        ds.groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="sum_price"),
+        )
+        .sort("c_mktsegment")
+    )
+
+
+def _q_events_window(sf_dir: str):
+    """Daily per-event-type aggregate (event-stream rollup)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+
+    def day_col(batch: pa.Table) -> pa.Table:
+        days = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        return batch.append_column("day", days)
+
+    return (
+        ds.map_batches(day_col, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .sort(["day", "event_type"])
+    )
+
+
+def _q_doc_dedup_exact(sf_dir: str):
+    from jsonld_ex_ray.ops.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents")
+    return exact_dedup(ds).sort("doc_id")
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    import pyarrow as pa
+    from jsonld_ex_ray.ops.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents")
+
+    def md5_only(batch: pa.Table) -> pa.Table:
+        out = fingerprint_batch(batch)
+        return out.select(["doc_id", "fp_md5"])
+
+    return ds.map_batches(md5_only, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+def _q_token_counts(sf_dir: str):
+    import pyarrow as pa
+    from jsonld_ex_ray.ops.text import token_count_batch
+
+    ds = _read(sf_dir, "documents")
+
+    def ws_only(batch: pa.Table) -> pa.Table:
+        return token_count_batch(batch).select(["doc_id", "n_tokens_ws"])
+
+    return ds.map_batches(ws_only, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+def _q_text_quality(sf_dir: str):
+    from jsonld_ex_ray.ops.text import quality_score_batch
+
+    ds = _read(sf_dir, "documents")
+    return ds.map_batches(
+        quality_score_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
+def _q_lang_id(sf_dir: str):
+    from jsonld_ex_ray.ops.text import lang_id_batch
+
+    ds = _read(sf_dir, "documents")
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from jsonld_ex_ray.ops.dedup import minhash_lsh_duplicates
+
+    return minhash_lsh_duplicates(_read(sf_dir, "documents")).sort("doc_id")
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from jsonld_ex_ray.ops.dedup import simhash_duplicates
+
+    return simhash_duplicates(_read(sf_dir, "documents")).sort("doc_id")
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    from jsonld_ex_ray.ops.similarity import brute_force_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    first = emb.slice(0, 1).to_pylist()[0]
+    return brute_force_topk(_read(sf_dir, "embeddings"), first["embedding"], k=10)
+
+
+def _q_ann_ivf(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from jsonld_ex_ray.ops.similarity import fit_centroids, ivf_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = emb.to_pylist()
+    cents = fit_centroids(np.asarray([r["embedding"] for r in rows[:2000]]))
+    return ivf_topk(_read(sf_dir, "embeddings"), rows[0]["embedding"], cents, k=10, nprobe=8)
+
+
+def _q_emb_dups(sf_dir: str):
+    from jsonld_ex_ray.ops.similarity import embedding_cosine_duplicates
+
+    return embedding_cosine_duplicates(_read(sf_dir, "embeddings"), threshold=0.99)
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data
+    from jsonld_ex_ray.ops.multimodal import decode_media, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(200))
+    return decode_media(ds).sort("media_id")
+
+
+def _q_kg_triples(sf_dir: str):
+    from jsonld_ex_ray.pipeline import build_triples, triples_only
+
+    return triples_only(build_triples(_corpus_for(sf_dir), concurrency=2))
+
+
+def _q_kg_errors(sf_dir: str):
+    from jsonld_ex_ray.pipeline import build_triples, errors_only
+
+    return errors_only(build_triples(_corpus_for(sf_dir), concurrency=2))
+
+
+def _q_kg_dedup(sf_dir: str):
+    from jsonld_ex_ray.pipeline import build_triples, dedup_triples
+
+    return dedup_triples(build_triples(_corpus_for(sf_dir), concurrency=2))
+
+
+def _q_kg_canonicalize(sf_dir: str):
+    from jsonld_ex_ray.pipeline import build_triples, canonicalize_bnodes
+
+    return canonicalize_bnodes(build_triples(_corpus_for(sf_dir), concurrency=2))
+
+
+def _q_kg_materialize(sf_dir: str):
+    from jsonld_ex_ray.pipeline import build_triples, materialize_graph
+
+    return materialize_graph(build_triples(_corpus_for(sf_dir), concurrency=2))
+
+
+def _q_kg_entity_link(sf_dir: str):
+    from jsonld_ex_ray.pipeline import build_triples, triples_only
+    from jsonld_ex_ray.stages.linker import build_canonical_dictionary
+
+    mapping = {f"https://kg.example/hot/{i}": f"https://kg.example/canonical/hot-{i}" for i in range(4)}
+    ref = build_canonical_dictionary(mapping)
+    return triples_only(
+        build_triples(_corpus_for(sf_dir), concurrency=2, linker_dict_ref=ref)
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "lineitem_agg": _q_lineitem_agg,
+        "top_orders": _q_top_orders,
+        "orders_by_segment": _q_orders_by_segment,
+        "events_window": _q_events_window,
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "token_counts": _q_token_counts,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "emb_dups": _q_emb_dups,
+        "media_features": _q_media_features,
+        "kg_triples": _q_kg_triples,
+        "kg_errors": _q_kg_errors,
+        "kg_dedup": _q_kg_dedup,
+        "kg_canonicalize": _q_kg_canonicalize,
+        "kg_materialize": _q_kg_materialize,
+        "kg_entity_link": _q_kg_entity_link,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   sum(o_totalprice) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "events_window": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   count(*) AS n, sum(value) AS sum_value
+            FROM events
+            GROUP BY day, event_type
+            ORDER BY day, event_type
+        """,
+        "doc_dedup_exact": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+              SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+            ORDER BY doc_id
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id
+        """,
+        "token_counts": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens_ws
+            FROM documents ORDER BY doc_id
+        """,
+    }

@@ -1,0 +1,170 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, ...}
+
+--scaling: run the flagship KG pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and report both
+throughputs + scaling efficiency (sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _corpus_path(sf: float, seed: int = 42) -> str:
+    n = max(200, int(400_000 * sf))
+    path = f"/tmp/jsonld_ex_ray_corpus_{n}_{seed}.parquet"
+    if not os.path.exists(path):
+        from jsonld_ex_ray.gen import write_corpus
+
+        write_corpus(path, n, seed=seed)
+    return path
+
+
+def run_queries(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            log_to_driver=False,
+        )
+    sf = _sf_from_dir(sf_dir)
+    corpus = _corpus_path(sf)
+    import pyarrow.parquet as pq
+
+    n_files = pq.read_metadata(corpus).num_rows
+
+    results: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # flagship: KG triple extraction (files → triples), consumed by count()
+    from jsonld_ex_ray.pipeline import build_triples, triples_only
+
+    t0 = time.monotonic()
+    n_triples = triples_only(
+        build_triples(corpus, concurrency=(2, max(2, num_cpus // 2)), batch_size=512)
+    ).count()
+    dt = time.monotonic() - t0
+    results["kg_triples"] = round(dt, 3)
+    extras["files_per_sec"] = round(n_files / dt, 1)
+    extras["triples_per_sec"] = round(n_triples / dt, 1)
+    extras["n_files"] = n_files
+    extras["n_triples"] = n_triples
+
+    # secondary pipelines over the driver tables
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()
+    for name in ("lineitem_agg", "doc_dedup_exact", "dedup_minhash", "ann_topk", "text_quality"):
+        t0 = time.monotonic()
+        res = q[name](sf_dir)
+        # consume lazily-built datasets without materializing to the driver
+        if hasattr(res, "count"):
+            res.count()
+        results[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    return {
+        "metric": "kg_construct_pipeline_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        **extras,
+    }
+
+
+def run_single(sf_dir: str, num_cpus: int) -> dict:
+    """Flagship pipeline only (used by --scaling child processes)."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False, log_to_driver=False
+    )
+    sf = _sf_from_dir(sf_dir)
+    corpus = _corpus_path(sf)
+    import pyarrow.parquet as pq
+
+    n_files = pq.read_metadata(corpus).num_rows
+    from jsonld_ex_ray.pipeline import build_triples, triples_only
+
+    t0 = time.monotonic()
+    n_triples = triples_only(
+        build_triples(corpus, concurrency=(2, max(2, num_cpus // 2)), batch_size=512)
+    ).count()
+    dt = time.monotonic() - t0
+    ray.shutdown()
+    return {
+        "num_cpus": num_cpus,
+        "sec": round(dt, 3),
+        "files_per_sec": round(n_files / dt, 1),
+        "triples_per_sec": round(n_triples / dt, 1),
+        "n_files": n_files,
+        "n_triples": n_triples,
+    }
+
+
+def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+    runs = {}
+    for cpus in (low, high):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-run", "--cpus", str(cpus), "--sf-dir", sf_dir],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    t_low = runs[low]["files_per_sec"]
+    t_high = runs[high]["files_per_sec"]
+    efficiency = round(t_high / (t_low * (high / low)), 3)
+    return {
+        "metric": "scaling_efficiency",
+        "value": efficiency,
+        "unit": "ratio",
+        "low": runs[low],
+        "high": runs[high],
+        "speedup": round(t_high / t_low, 2),
+        "cpu_ratio": high / low,
+        "sf": _sf_from_dir(sf_dir),
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    args = sys.argv[1:]
+    if "--sf-dir" in args:
+        sf_dir = args[args.index("--sf-dir") + 1]
+    if "--cpus" in args:
+        num_cpus = int(args[args.index("--cpus") + 1])
+    if "--single-run" in args:
+        print(json.dumps(run_single(sf_dir, num_cpus)))
+    elif "--scaling" in args:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        result = run_queries(sf_dir, num_cpus)
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

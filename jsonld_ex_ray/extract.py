@@ -1,0 +1,142 @@
+"""JSON-LD payload extraction from source-repo file content.
+
+The reference scopes HTML/script extraction out (README.md:29-32); the north
+rule makes it ours: scan each file's ``content`` for embedded JSON-LD —
+
+- whole-file ``.jsonld`` / ``.json`` payloads,
+- HTML ``<script type="application/ld+json">`` blocks,
+- fenced code blocks in markdown,
+- ``@context``-bearing JSON objects embedded in source text.
+
+Pure per-row function; the pipeline vectorizes it via ``map_batches``.
+Extraction failures yield error records, never exceptions (per-row errors
+must not kill a 10^12-file job).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any
+
+# case-insensitive; tolerates attribute order/whitespace; non-greedy body
+_SCRIPT_RE = re.compile(
+    r"<script[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>(.*?)</script\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_FENCE_RE = re.compile(r"```(?:json(?:ld)?|json-ld)\s*\n(.*?)```", re.DOTALL)
+_CONTEXT_TOKEN = '"@context"'
+
+# scan caps — bound worst-case cost per row at corpus scale
+MAX_CONTENT_BYTES = 8 * 1024 * 1024  # beyond this: truncation error record
+MAX_EMBEDDED_CANDIDATES = 64  # "@context" occurrences scanned per file
+MAX_BACKTRACK = 16384  # chars walked back to find the enclosing "{"
+
+_WHOLE_FILE_LANGS = frozenset({"jsonld", "json", "json-ld"})
+_HTML_LANGS = frozenset({"html", "htm", "xhtml"})
+_FENCE_LANGS = frozenset({"markdown", "md", "rst", "text"})
+
+_decoder = json.JSONDecoder()
+
+
+def _jsonld_like(doc: Any) -> bool:
+    """Does a parsed JSON value look like JSON-LD? (precision filter for
+    noise rows — FIXTURES.md archetype A10)."""
+    if isinstance(doc, dict):
+        return any(k in doc for k in ("@context", "@id", "@type", "@graph"))
+    if isinstance(doc, list):
+        return len(doc) > 0 and all(isinstance(d, dict) for d in doc) and any(
+            _jsonld_like(d) for d in doc
+        )
+    return False
+
+
+def extract_payloads(content: str, lang: str, path: str) -> tuple[list[str], list[str]]:
+    """→ (payload_json_strings, errors). Deterministic, bounded."""
+    errors: list[str] = []
+    if content is None:
+        return [], errors
+    if len(content) > MAX_CONTENT_BYTES:
+        return [], [f"content exceeds {MAX_CONTENT_BYTES} bytes; skipped"]
+
+    lang = (lang or "").lower()
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+
+    # 1. whole-file JSON / JSON-LD
+    if lang in _WHOLE_FILE_LANGS or ext in ("jsonld", "json"):
+        try:
+            doc = json.loads(content)
+        except ValueError as e:
+            return [], [f"invalid JSON: {e}"]
+        if _jsonld_like(doc):
+            return [json.dumps(doc, separators=(",", ":"))], errors
+        return [], errors  # plain JSON without JSON-LD markers: noise
+
+    payloads: list[str] = []
+
+    # 2. HTML script blocks
+    if lang in _HTML_LANGS or ext in ("html", "htm", "xhtml") or "<script" in content[:4096].lower() or "</script>" in content.lower():
+        for m in _SCRIPT_RE.finditer(content):
+            block = m.group(1).strip()
+            if not block:
+                continue
+            try:
+                doc = json.loads(block)
+            except ValueError as e:
+                errors.append(f"invalid script JSON at {m.start()}: {e}")
+                continue
+            payloads.append(json.dumps(doc, separators=(",", ":")))
+        if payloads or errors:
+            return payloads, errors
+
+    # 3. fenced code blocks (markdown-ish)
+    if lang in _FENCE_LANGS or ext in ("md", "markdown", "rst"):
+        for m in _FENCE_RE.finditer(content):
+            block = m.group(1).strip()
+            try:
+                doc = json.loads(block)
+            except ValueError:
+                continue  # fences legitimately hold non-JSON; not an error
+            if _jsonld_like(doc):
+                payloads.append(json.dumps(doc, separators=(",", ":")))
+        if payloads:
+            return payloads, errors
+
+    # 4. @context-bearing objects embedded in source text
+    spans: list[tuple[int, int]] = []
+    idx = 0
+    candidates = 0
+    while candidates < MAX_EMBEDDED_CANDIDATES:
+        pos = content.find(_CONTEXT_TOKEN, idx)
+        if pos == -1:
+            break
+        candidates += 1
+        idx = pos + len(_CONTEXT_TOKEN)
+        if any(s <= pos < e for s, e in spans):
+            continue  # already captured by an earlier object
+        span = _enclosing_json_object(content, pos)
+        if span is None:
+            continue
+        start, end, doc = span
+        if _jsonld_like(doc):
+            spans.append((start, end))
+            payloads.append(json.dumps(doc, separators=(",", ":")))
+    return payloads, errors
+
+
+def _enclosing_json_object(content: str, pos: int) -> tuple[int, int, Any] | None:
+    """Find the outermost valid JSON object enclosing the token at ``pos``:
+    walk back over candidate "{" positions (bounded) and keep the earliest
+    one that parses past ``pos``."""
+    lo = max(0, pos - MAX_BACKTRACK)
+    starts = [i for i in range(lo, pos + 1) if content[i] == "{"]
+    starts = starts[-512:]  # bound parse attempts; nearest 512 braces
+    # earliest start = outermost object; try from the outside in
+    for start in starts:
+        try:
+            doc, end = _decoder.raw_decode(content, start)  # end is absolute
+        except ValueError:
+            continue
+        if end > pos and isinstance(doc, dict):
+            return (start, end, doc)
+    return None

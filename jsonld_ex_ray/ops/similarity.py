@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- Brute-force cosine top-k: the query matrix is broadcast ONCE (``ray.put``)
+  and each batch does one numpy matmul; per-batch local top-k rows flow to a
+  tiny global sort+limit. O(N·d) scan, zero shuffle of the corpus.
+- IVF variant (the scale path): deterministic k-means-lite centroids fitted
+  on a driver-side sample, then batches are pruned to the ``nprobe``
+  nearest centroid buckets before scoring — same output schema, large
+  corpora only score a fraction of rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    lists = col.to_pylist()
+    return np.asarray(lists, dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(
+    ds,
+    query_vec,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 4,
+):
+    """→ Dataset(vec_id, sim) of the global top-k by cosine similarity."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        sims = m @ qn
+        idx = np.argsort(-sims)[:k]
+        ids = np.asarray(batch.column(id_col).to_pylist())[idx]
+        return pa.table(
+            {
+                id_col: pa.array(ids.tolist()),
+                "sim": pa.array(np.round(sims[idx], round_to).tolist(), pa.float64()),
+            }
+        )
+
+    # per-batch top-k (bounded rows) → global sort + limit over tiny data
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["sim", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
+def fit_centroids(sample: np.ndarray, n_clusters: int = 16, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Deterministic k-means-lite on a sample (runs on the driver over a
+    few thousand rows; centroids are then broadcast)."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def ivf_topk(
+    ds,
+    query_vec,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 4,
+):
+    """IVF-pruned cosine top-k: only rows whose nearest centroid is among
+    the query's ``nprobe`` closest centroids are scored."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = set(np.argsort(-(centroids @ qn))[:nprobe].tolist())
+
+    def local(batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        assign = np.argmax(m @ centroids.T, axis=1)
+        mask = np.isin(assign, list(probe))
+        if not mask.any():
+            return pa.table({id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+        sims = m[mask] @ qn
+        ids = np.asarray(batch.column(id_col).to_pylist())[mask]
+        idx = np.argsort(-sims)[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[idx].tolist()),
+                "sim": pa.array(np.round(sims[idx], round_to).tolist(), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["sim", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
+def embedding_cosine_duplicates(
+    ds,
+    threshold: float = 0.995,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_clusters: int = 16,
+    sample_size: int = 2000,
+):
+    """Embedding-cosine near-dup detection: bucket by nearest centroid
+    (one groupby shuffle), then exact pairwise cosine inside each bucket.
+    → Dataset(vec_id, dup_of, sim)."""
+    sample = ds.limit(sample_size).to_pandas()[emb_col].tolist()
+    cents = fit_centroids(np.asarray(sample), n_clusters=n_clusters)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        a = np.argmax(m @ cents.T, axis=1)
+        return batch.append_column("bucket", pa.array(a.tolist(), pa.int32()))
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col).to_pylist())
+        m = _normalize(_to_matrix(group.column(emb_col)))
+        order = np.argsort(ids)
+        did, dof, sims = [], [], []
+        gram = m @ m.T
+        for i in range(1, len(order)):
+            for j in range(i):
+                a, b = order[j], order[i]
+                if gram[a, b] >= threshold:
+                    did.append(int(ids[b]))
+                    dof.append(int(ids[a]))
+                    sims.append(round(float(gram[a, b]), 6))
+                    break
+        return pa.table(
+            {
+                id_col: pa.array(did, pa.int64()),
+                "dup_of": pa.array(dof, pa.int64()),
+                "sim": pa.array(sims, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )

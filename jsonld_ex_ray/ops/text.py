@@ -1,0 +1,145 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All are stateless vectorized ``map_batches`` kernels over the ``documents``
+table (``doc_id:int64, text:string, ...``). Regexes/tables are compiled at
+module import — once per worker process, zero per-batch setup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish tokenizer: word pieces, numbers, punctuation runs (GPT-2-style
+# coarse approximation, public pattern family)
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+
+# tiny trigram tables for the n-gram language heuristic (top trigrams of
+# common words per language; deterministic, self-contained)
+_LANG_TRIGRAMS = {
+    "en": {"the", "and", "ing", "ion", "tio", "ent", "for", "her", "ter", "hat"},
+    "de": {"der", "die", "und", "ein", "ich", "den", "sch", "che", "gen", "ung"},
+    "fr": {"les", "des", "ent", "que", "ons", "ait", "eur", "our", "ion", "ais"},
+    "es": {"que", "los", "ent", "ión", "ado", "con", "por", "una", "las", "del"},
+}
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens_ws (single-space split — matches the SQL oracle's
+    string_split semantics), n_tokens_bpe (regex word pieces)."""
+    texts = batch.column("text").to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens_ws": pa.array(
+                [len(t.split(" ")) if t else 0 for t in texts], pa.int64()
+            ),
+            "n_tokens_bpe": pa.array(
+                [len(_BPE_RE.findall(t)) if t else 0 for t in texts], pa.int64()
+            ),
+        }
+    )
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Length / punctuation / stopword-ratio heuristics (doc_id + features +
+    a composite score in [0,1])."""
+    texts = batch.column("text").to_pylist()
+    n_chars, punct_ratio, stop_ratio, mean_word_len, score = [], [], [], [], []
+    for t in texts:
+        t = t or ""
+        words = t.split()
+        nw = len(words)
+        nc = len(t)
+        punct = sum(1 for c in t if not c.isalnum() and not c.isspace())
+        stops = sum(1 for w in words if w.lower() in _STOPWORDS)
+        pr = punct / nc if nc else 0.0
+        sr = stops / nw if nw else 0.0
+        mwl = (sum(len(w) for w in words) / nw) if nw else 0.0
+        # composite: in-range length, some stopwords, low punct, sane words
+        s = 1.0
+        if nc < 32 or nc > 100_000:
+            s *= 0.3
+        if pr > 0.3:
+            s *= 0.4
+        if mwl < 2 or mwl > 14:
+            s *= 0.5
+        s *= min(1.0, 0.5 + sr)
+        n_chars.append(nc)
+        punct_ratio.append(round(pr, 6))
+        stop_ratio.append(round(sr, 6))
+        mean_word_len.append(round(mwl, 6))
+        score.append(round(s, 6))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "punct_ratio": pa.array(punct_ratio, pa.float64()),
+            "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+            "mean_word_len": pa.array(mean_word_len, pa.float64()),
+            "quality": pa.array(score, pa.float64()),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Trigram-overlap language heuristic → doc_id, lang_pred, lang_conf."""
+    texts = batch.column("text").to_pylist()
+    preds, confs = [], []
+    for t in texts:
+        t = (t or "").lower()
+        grams = {t[i : i + 3] for i in range(len(t) - 2)} if len(t) >= 3 else set()
+        best, best_hits = "und", 0
+        for lang, table in _LANG_TRIGRAMS.items():
+            hits = len(grams & table)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        preds.append(best)
+        confs.append(round(best_hits / 10.0, 6))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(preds, pa.string()),
+            "lang_conf": pa.array(confs, pa.float64()),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, fp_md5 (content hash — matches SQL md5()), fp_rolling
+    (64-bit polynomial rolling hash over words, order-sensitive)."""
+    texts = batch.column("text").to_pylist()
+    md5s, rolls = [], []
+    for t in texts:
+        data = (t or "").encode("utf-8")
+        md5s.append(hashlib.md5(data).hexdigest())
+        h = 0
+        for w in (t or "").split():
+            wh = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            h = ((h * 1099511628211) ^ wh) & 0xFFFFFFFFFFFFFFFF
+        rolls.append(h)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fp_md5": pa.array(md5s, pa.string()),
+            "fp_rolling": pa.array(rolls, pa.uint64()),
+        }
+    )
+
+
+def filter_quality(ds, min_quality: float = 0.5):
+    """Quality-gate a documents Dataset (keeps original columns)."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        q = quality_score_batch(batch)
+        return batch.filter(pc.greater_equal(q.column("quality"), pa.scalar(min_quality)))
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)

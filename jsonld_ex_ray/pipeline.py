@@ -1,0 +1,317 @@
+"""The flagship KG-construction pipeline, Ray-Data-first.
+
+    read_parquet(source_repos)                     # column-pruned scan
+      → map_batches(extract_batch)                 # file → payload rows
+      → map_batches(JsonLdToTriples, concurrency)  # actor pool: resolve+
+                                                   # expand+node-map+toRdf
+      → [map_batches(EntityLinker, concurrency)]   # broadcast dictionary
+      → [dedup / canonicalize / materialize]       # explicit shuffles
+      → write_parquet(out, partitioned)            # resumable shards
+
+Design notes (SURVEY.md §4): zero shuffles until the optional wide stages;
+the only cross-row state is the per-actor context cache; shards (= input
+file groups) are the checkpoint/resume unit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .stages.extract import extract_batch
+from .stages.linker import EntityLinker
+from .stages.triples import TRIPLE_SCHEMA, JsonLdToTriples
+
+
+def build_triples(
+    source: "Any",
+    *,
+    context_registry: dict | None = None,
+    options=None,
+    concurrency: int | tuple[int, int] = (2, 8),
+    batch_size: int = 256,
+    linker_dict_ref=None,
+):
+    """source: path(s) to the source-repo Parquet table, or a Dataset.
+
+    Returns a lazy Dataset of TRIPLE_SCHEMA rows (triples + error records,
+    distinguished by ``pred IS NULL``).
+    """
+    import ray.data
+
+    if isinstance(source, (str, list)):
+        ds = ray.data.read_parquet(
+            source, columns=["repo", "path", "commit", "lang", "content"]
+        )
+    else:
+        ds = source
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        JsonLdToTriples,
+        fn_constructor_kwargs={
+            "context_registry": context_registry,
+            "options": options,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if linker_dict_ref is not None:
+        ds = ds.map_batches(
+            EntityLinker,
+            fn_constructor_kwargs={"dict_ref": linker_dict_ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4096,
+            concurrency=concurrency,
+        )
+    return ds
+
+
+def triples_only(ds):
+    """Drop error records (pred IS NULL) — vectorized filter, no shuffle."""
+    return ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("pred"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def errors_only(ds):
+    return ds.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("pred"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# wide stages (explicit shuffles — SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+def _triple_key(batch: pa.Table) -> pa.Table:
+    """Derive a compact 64-bit-ish dedup key so the shuffle moves a short
+    key instead of six wide string columns' worth of group-by state."""
+    cols = ["graph", "subj", "pred", "obj", "obj_datatype", "obj_lang"]
+    arrs = [batch.column(c).to_pylist() for c in cols]
+    keys = [
+        hashlib.blake2b(
+            "\x1f".join("" if v is None else v for v in row).encode("utf-8"),
+            digest_size=16,
+        ).hexdigest()
+        for row in zip(*arrs)
+    ]
+    return batch.append_column("triple_key", pa.array(keys, pa.string()))
+
+
+def dedup_triples(ds):
+    """Exact global triple dedup (set semantics of RDF.Graph.add,
+    reference decoder.ex:98-99, lifted cross-document): hash-key the triple,
+    map-side pre-dedup within each block (combiner), then ONE shuffle
+    keyed on the compact hash."""
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        batch = _triple_key(batch)
+        # map-side combine: first occurrence per key within the block
+        mask = []
+        seen = set()
+        for k in batch.column("triple_key").to_pylist():
+            mask.append(k not in seen)
+            seen.add(k)
+        return batch.filter(pa.array(mask))
+
+    ds = triples_only(ds).map_batches(
+        local_dedup, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def first_per_key(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return (
+        ds.groupby("triple_key")
+        .map_groups(first_per_key, batch_format="pyarrow")
+        .drop_columns(["triple_key"])
+    )
+
+
+def canonicalize_bnodes(ds):
+    """URDNA2015-style deterministic per-document relabel executed as a
+    groupby(document) shuffle (north rule). The in-kernel relabel in
+    JsonLdToTriples already guarantees this when one payload == one bnode
+    namespace; this stage re-establishes it for merged namespaces: labels
+    become ``_:c{n}`` in first-occurrence order over the document's sorted
+    triples, prefixed with the doc hash."""
+
+    def relabel(group: pa.Table) -> pa.Table:
+        doc_id = group.column("doc_id")[0].as_py()
+        dh = hashlib.sha1(doc_id.encode()).hexdigest()[:16]
+        rows = group.sort_by(
+            [("graph", "ascending"), ("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+        )
+        mapping: dict[str, str] = {}
+
+        def canon(v: str | None) -> str | None:
+            if v is None or not v.startswith("_:"):
+                return v
+            if v not in mapping:
+                mapping[v] = f"_:{dh}-c{len(mapping)}"
+            return mapping[v]
+
+        for col in ("subj", "obj", "graph"):
+            vals = rows.column(col).to_pylist()
+            kinds = rows.column("obj_kind").to_pylist() if col == "obj" else None
+            new = [
+                canon(v) if (kinds is None or kinds[i] == "bnode" or col != "obj") else v
+                for i, v in enumerate(vals)
+            ]
+            rows = rows.set_column(
+                rows.schema.get_field_index(col), col, pa.array(new, pa.string())
+            )
+        return rows
+
+    return triples_only(ds).groupby("doc_id").map_groups(relabel, batch_format="pyarrow")
+
+
+def materialize_graph(ds, hot_threshold: int = 10_000, salt_buckets: int = 16):
+    """Graph materialize: adjacency per subject via groupby("subj") with
+    salt-based skew splitting (SURVEY.md §2.5). Two phases:
+
+    1. partial adjacency per (subj, salt) — hot subjects split into
+       ``salt_buckets`` groups so no single reducer gets a mega-subject;
+    2. merge partials per subj (tiny second shuffle over partial rows).
+    """
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        subjs = batch.column("subj").to_pylist()
+        preds = batch.column("pred").to_pylist()
+        objs = batch.column("obj").to_pylist()
+        # deterministic across processes/retries (hash() is seeded per
+        # interpreter — kernels must be retry-idempotent, SURVEY.md §4)
+        salts = [
+            int.from_bytes(
+                hashlib.blake2b(f"{p}\x1f{o}".encode(), digest_size=4).digest(), "big"
+            )
+            % salt_buckets
+            if s is not None
+            else 0
+            for s, p, o in zip(subjs, preds, objs)
+        ]
+        return batch.append_column("salt", pa.array(salts, pa.int32()))
+
+    def partial_adj(group: pa.Table) -> pa.Table:
+        subj = group.column("subj")[0].as_py()
+        pairs = sorted(
+            zip(group.column("pred").to_pylist(), group.column("obj").to_pylist())
+        )
+        return pa.table(
+            {
+                "subj": [subj],
+                "degree": [group.num_rows],
+                "adjacency": [json.dumps(pairs, separators=(",", ":"))],
+            }
+        )
+
+    def merge_adj(group: pa.Table) -> pa.Table:
+        subj = group.column("subj")[0].as_py()
+        merged: list = []
+        for blob in group.column("adjacency").to_pylist():
+            merged.extend(json.loads(blob))
+        merged.sort()
+        return pa.table(
+            {
+                "subj": [subj],
+                "degree": [len(merged)],
+                "adjacency": [json.dumps(merged, separators=(",", ":"))],
+            }
+        )
+
+    ds = triples_only(ds).map_batches(
+        add_salt, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = ds.groupby(["subj", "salt"]).map_groups(
+        partial_adj, batch_format="pyarrow"
+    )
+    return partials.groupby("subj").map_groups(merge_adj, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# checkpointed, resumable runs (SURVEY.md §4)
+# ---------------------------------------------------------------------------
+
+
+def run_checkpointed(
+    input_files: list[str],
+    out_dir: str,
+    *,
+    shard_size: int = 1,
+    context_registry: dict | None = None,
+    concurrency: int | tuple[int, int] = (2, 8),
+) -> dict:
+    """Process input files in shards of ``shard_size`` files; each shard
+    writes ``out/triples/shard={i}/`` + a manifest line. A killed run
+    resumes by skipping shards already marked done. Returns run metrics."""
+    state_dir = os.path.join(out_dir, "_state")
+    os.makedirs(state_dir, exist_ok=True)
+    manifest_path = os.path.join(state_dir, "manifest.jsonl")
+    done: set[int] = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("status") == "done":
+                    done.add(rec["shard"])
+
+    shards = [
+        input_files[i : i + shard_size] for i in range(0, len(input_files), shard_size)
+    ]
+    metrics = {"shards_total": len(shards), "shards_skipped": len(done), "triples": 0, "errors": 0}
+    for i, files in enumerate(shards):
+        if i in done:
+            continue
+        t0 = time.monotonic()
+        ds = build_triples(
+            files, context_registry=context_registry, concurrency=concurrency
+        )
+        shard_dir = os.path.join(out_dir, "triples", f"shard={i}")
+        ds.write_parquet(shard_dir)
+        # cheap driver-side stats from the written shard footers
+        import pyarrow.dataset as pads
+
+        written = pads.dataset(shard_dir)
+        n = written.count_rows()
+        n_err = written.count_rows(filter=pads.field("pred").is_null())
+        metrics["triples"] += n - n_err
+        metrics["errors"] += n_err
+        with open(manifest_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "shard": i,
+                        "status": "done",
+                        "files": files,
+                        "rows": n,
+                        "triples": n - n_err,
+                        "errors": n_err,
+                        "wall_ms": int((time.monotonic() - t0) * 1000),
+                    }
+                )
+                + "\n"
+            )
+    return metrics
+
+
+def read_triples(out_dir: str):
+    """Read back a checkpointed run's triples (error rows filtered at scan
+    time via parquet predicate pushdown)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(out_dir, "triples"))
+    return triples_only(ds)

@@ -1,0 +1,141 @@
+"""End-to-end Ray Data pipeline tests: lineage invariant, error isolation,
+dedup idempotence, bnode canonicalization, skew-safe materialize,
+checkpoint/resume (SURVEY.md §7 steps 3-6)."""
+
+import hashlib
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from jsonld_ex_ray.gen import generate_rows, write_corpus
+from jsonld_ex_ray.pipeline import (
+    build_triples,
+    canonicalize_bnodes,
+    dedup_triples,
+    errors_only,
+    materialize_graph,
+    read_triples,
+    run_checkpointed,
+    triples_only,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("corpus") / "repos.parquet")
+    write_corpus(path, 200, seed=7)
+    return path
+
+
+def test_generator_deterministic():
+    a = generate_rows(50, seed=3)
+    b = generate_rows(50, seed=3)
+    assert a == b
+    c = generate_rows(50, seed=4)
+    assert a != c
+
+
+def test_pipeline_triples_and_lineage(ray_session, corpus):
+    df = triples_only(build_triples(corpus, concurrency=1)).to_pandas()
+    assert len(df) > 100
+    # lineage invariant: content_sha256 equals sha256 of the input row's content
+    src = pq.read_table(corpus).to_pandas()
+    expected = {
+        (r.repo, r.path, r.commit): hashlib.sha256(r.content.encode()).hexdigest()
+        for r in src.itertuples()
+    }
+    for r in df.itertuples():
+        assert r.content_sha256 == expected[(r.repo, r.path, r.commit)]
+    # triple rows have no error payload, all kinds valid
+    assert df.error_code.isna().all()
+    assert set(df.obj_kind.unique()) <= {"iri", "bnode", "literal"}
+    # bnodes carry the per-document namespace prefix
+    bnodes = [s for s in df.subj if s.startswith("_:")]
+    assert bnodes and all("-b" in b for b in bnodes)
+
+
+def test_pipeline_errors_have_spec_codes(ray_session, corpus):
+    errs = errors_only(build_triples(corpus, concurrency=1)).to_pandas()
+    assert len(errs) > 0
+    assert {"invalid @id value", "context overflow"} <= set(errs.error_code)
+    assert errs.subj.isna().all()
+
+
+def test_dedup_idempotent(ray_session, corpus):
+    once = dedup_triples(build_triples(corpus, concurrency=1)).to_pandas()
+    twice_input = build_triples(corpus, concurrency=1)
+    doubled = twice_input.union(build_triples(corpus, concurrency=1))
+    deduped = dedup_triples(doubled).to_pandas()
+    key_cols = ["graph", "subj", "pred", "obj", "obj_datatype", "obj_lang"]
+    k1 = set(map(tuple, once[key_cols].fillna("").values.tolist()))
+    k2 = set(map(tuple, deduped[key_cols].fillna("").values.tolist()))
+    assert k1 == k2
+
+
+def test_canonicalize_bnodes_deterministic(ray_session, corpus):
+    a = canonicalize_bnodes(build_triples(corpus, concurrency=1)).to_pandas()
+    b = canonicalize_bnodes(build_triples(corpus, concurrency=1)).to_pandas()
+    cols = ["doc_id", "graph", "subj", "pred", "obj"]
+    sa = sorted(map(tuple, a[cols].fillna("").values.tolist()))
+    sb = sorted(map(tuple, b[cols].fillna("").values.tolist()))
+    assert sa == sb
+    # every relabeled bnode is namespaced by the doc hash
+    assert all(s.startswith("_:") is False or "-c" in s for s in a.subj)
+
+
+def test_materialize_graph_merges_hot_subjects(ray_session, corpus):
+    adj = materialize_graph(build_triples(corpus, concurrency=1), salt_buckets=4).to_pandas()
+    # one row per subject even for salted hot subjects
+    assert adj.subj.is_unique
+    flat = triples_only(build_triples(corpus, concurrency=1)).to_pandas()
+    degrees = flat.groupby("subj").size()
+    for r in adj.itertuples():
+        assert r.degree == degrees[r.subj]
+        assert len(json.loads(r.adjacency)) == r.degree
+
+
+def test_entity_linker_broadcast(ray_session, corpus):
+    from jsonld_ex_ray.stages.linker import build_canonical_dictionary
+
+    mapping = {"https://kg.example/hot/0": "https://kg.example/canonical/hot-0"}
+    ref = build_canonical_dictionary(mapping)
+    df = triples_only(
+        build_triples(corpus, concurrency=1, linker_dict_ref=ref)
+    ).to_pandas()
+    assert "subj_canon" in df.columns
+    hot = df[df.subj == "https://kg.example/hot/0"]
+    assert len(hot) > 0
+    assert (hot.subj_canon == "https://kg.example/canonical/hot-0").all()
+    # everything else passes through unchanged
+    cold = df[df.subj != "https://kg.example/hot/0"]
+    assert (cold.subj_canon == cold.subj).all()
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    files = []
+    for i in range(3):
+        f = str(tmp_path / f"shard_{i}.parquet")
+        write_corpus(f, 60, seed=20 + i)
+        files.append(f)
+    out = str(tmp_path / "out")
+    m1 = run_checkpointed(files, out, shard_size=1, concurrency=1)
+    assert m1["shards_skipped"] == 0 and m1["triples"] > 0
+    total = read_triples(out).count()
+    assert total == m1["triples"]
+
+    # simulate a mid-run kill: drop one shard's outputs + manifest line
+    manifest = os.path.join(out, "_state", "manifest.jsonl")
+    lines = [json.loads(line) for line in open(manifest)]
+    victim = lines[-1]["shard"]
+    shutil.rmtree(os.path.join(out, "triples", f"shard={victim}"))
+    with open(manifest, "w") as f:
+        for rec in lines:
+            if rec["shard"] != victim:
+                f.write(json.dumps(rec) + "\n")
+
+    m2 = run_checkpointed(files, out, shard_size=1, concurrency=1)
+    assert m2["shards_skipped"] == 2  # only the victim re-ran
+    assert read_triples(out).count() == total
