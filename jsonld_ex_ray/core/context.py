@@ -191,7 +191,7 @@ class Context:
         for context in contexts:
             # 5.1 null context: reset
             if context is None:
-                if not override_protected and self.has_protected_terms():
+                if not override_protected and result.has_protected_terms():
                     raise JsonLdError(
                         "invalid context nullification",
                         "attempt to clear a context with protected terms",

@@ -215,12 +215,16 @@ def relativize(base: str | None, iri: str) -> str:
     i_scheme, i_auth, i_path, i_query, i_frag = parse(iri)
     if b_scheme != i_scheme or b_auth != i_auth:
         return iri
-    if b_query == i_query and b_path == i_path:
-        # same document: fragment-only (or empty) reference
-        if i_frag is not None:
-            return i_frag
-        if b_query is not None:
-            # query must be repeated to avoid inheriting base's query
+    if b_path == i_path:
+        if b_query == i_query:
+            # same document: fragment-only (or empty) reference
+            if i_frag is not None:
+                return i_frag
+            if b_query is not None:
+                # query must be repeated to avoid inheriting base's query
+                return (i_query or "") + (i_frag or "")
+        else:
+            # same path, new query: "?query" form keeps the base path
             return (i_query or "") + (i_frag or "")
     # split paths into segments
     b_segs = b_path.split("/")
@@ -241,8 +245,9 @@ def relativize(base: str | None, iri: str) -> str:
         rel = "./"
     tail = (i_query or "") + (i_frag or "")
     candidate = rel + tail
-    # never emit something that parses as absolute (scheme-looking first seg)
+    # never emit something that parses as absolute (scheme-looking first
+    # segment) or keyword-like ("@special" → "./@special", compact #t0111)
     first = candidate.split("/", 1)[0]
-    if ":" in first:
+    if ":" in first or candidate.startswith("@"):
         candidate = "./" + candidate
     return candidate if len(candidate) < len(iri) else iri

@@ -118,6 +118,6 @@ if __name__ == "__main__":
         if a.startswith("#"):
             only = a
             args.remove(a)
-    suites = args or ["expand", "flatten", "toRdf"]
+    suites = args or ["expand", "flatten", "toRdf", "compact", "fromRdf"]
     for s in suites:
         run_suite(s, verbose, only)

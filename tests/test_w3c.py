@@ -20,11 +20,25 @@ def test_w3c_expand():
 
 def test_w3c_flatten():
     passed, failed, skipped = run_suite("flatten")
-    assert passed >= 54
-    assert failed <= 1  # #t0044 requires compaction (pending module)
+    assert failed == 0
+    assert passed >= 55
 
 
 def test_w3c_tordf():
     passed, failed, skipped = run_suite("toRdf")
     assert failed == 0
     assert passed >= 455
+
+
+def test_w3c_compact():
+    passed, failed, skipped = run_suite("compact")
+    assert failed == 0
+    assert passed >= 243
+
+
+def test_w3c_fromrdf():
+    passed, failed, skipped = run_suite("fromRdf")
+    # #t0027 contradicts #t0018 (no impl passes both); the reference fails
+    # it too (earl_reports/json-ld-api.ttl: fromRdf-manifest#t0027 failed)
+    assert failed <= 1
+    assert passed >= 51
