@@ -60,36 +60,36 @@ def entry() -> Any:
 
 
 def _q_lineitem_agg(sf_dir: str):
-    """Partial-aggregation pattern: wide groupby with map-side combine
-    (Ray Data aggregate does this internally)."""
+    """Low-cardinality groupby: map-side partial aggregation (combiner)
+    inside map_batches + tiny final combine — no sort-based shuffle."""
     import ray.data
-    from ray.data.aggregate import Count, Mean, Sum
+    from jsonld_ex_ray.ops.agg import groupby_agg_lowcard
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
-    out = (
-        ds.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
-        )
-        .sort(["l_returnflag", "l_linestatus"])
+    return groupby_agg_lowcard(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "sum", "sum_base_price"),
+            ("l_discount", "mean", "avg_disc"),
+            ("l_quantity", "count", "count_order"),
+        ],
     )
-    return out
 
 
 def _q_top_orders(sf_dir: str):
     import ray.data
+    from jsonld_ex_ray.ops.agg import topk
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return topk(ds, ["o_totalprice", "o_orderkey"], [True, False], 10)
 
 
 def _q_orders_by_segment(sf_dir: str):
@@ -99,7 +99,6 @@ def _q_orders_by_segment(sf_dir: str):
     import pyarrow.parquet as pq
     import ray
     import ray.data
-    from ray.data.aggregate import Count, Sum
 
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
@@ -124,13 +123,15 @@ def _q_orders_by_segment(sf_dir: str):
         zero_copy_batch=True,
         concurrency=2,
     )
-    return (
-        ds.groupby("c_mktsegment")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("o_totalprice", alias_name="sum_price"),
-        )
-        .sort("c_mktsegment")
+    from jsonld_ex_ray.ops.agg import groupby_agg_lowcard
+
+    return groupby_agg_lowcard(
+        ds,
+        ["c_mktsegment"],
+        [
+            ("o_totalprice", "count", "n_orders"),
+            ("o_totalprice", "sum", "sum_price"),
+        ],
     )
 
 
@@ -139,7 +140,6 @@ def _q_events_window(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
-    from ray.data.aggregate import Count, Sum
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
@@ -149,11 +149,12 @@ def _q_events_window(sf_dir: str):
         days = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
         return batch.append_column("day", days)
 
-    return (
-        ds.map_batches(day_col, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["day", "event_type"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
-        .sort(["day", "event_type"])
+    from jsonld_ex_ray.ops.agg import groupby_agg_lowcard
+
+    return groupby_agg_lowcard(
+        ds.map_batches(day_col, batch_format="pyarrow", zero_copy_batch=True),
+        ["day", "event_type"],
+        [("value", "count", "n"), ("value", "sum", "sum_value")],
     )
 
 

@@ -173,6 +173,34 @@ def _doc_a12(rng, hot):
     }
 
 
+def _doc_heavy(rng, hot):
+    """Large multi-entity document (~50 nested nodes): weights the corpus
+    toward realistic per-file compute for scaling measurements."""
+    return {
+        "@context": {
+            "@vocab": "https://schema.example/",
+            "related": {"@id": "https://schema.example/related", "@type": "@id"},
+            "items": {"@id": "https://schema.example/items", "@container": "@list"},
+            "title": {"@container": "@language"},
+        },
+        "@id": _entity(rng, hot),
+        "@type": "Catalog",
+        "title": {lang: f"cat-{lang}-{rng.randrange(100)}" for lang in _LANGS},
+        "items": [
+            {
+                "@id": _entity(rng, hot),
+                "@type": "Product",
+                "name": f"item {i}-{rng.randrange(10_000)}",
+                "sku": f"sku-{rng.randrange(100_000)}",
+                "price": rng.randrange(1, 10_000) / 4.0,
+                "related": _entity(rng, hot),
+                "maker": {"name": f"maker {rng.randrange(500)}", "country": rng.choice(_LANGS)},
+            }
+            for i in range(40)
+        ],
+    }
+
+
 def _html_page(rng, hot):
     n = 1 + (rng.random() < 0.3)
     blocks = "\n".join(
@@ -209,11 +237,15 @@ def _noise(rng, hot):
     )
 
 
-def generate_rows(num_files: int, seed: int = 42) -> dict[str, list]:
+def generate_rows(
+    num_files: int, seed: int = 42, heavy_fraction: float = 0.0
+) -> dict[str, list]:
     """Generate ``num_files`` rows as a dict of columns (Arrow-friendly).
 
-    Deterministic in (num_files, seed). ~20% of rows live in 2 mega-repos
-    (skew); ~15% are noise rows with no JSON-LD.
+    Deterministic in (num_files, seed, heavy_fraction). ~20% of rows live
+    in 2 mega-repos (skew); ~15% are noise rows with no JSON-LD.
+    ``heavy_fraction`` replaces that share of rows with large multi-entity
+    documents (scaling benchmarks need compute-dominated runs).
     """
     rng = random.Random(seed)
     hot = [f"https://kg.example/hot/{i}" for i in range(4)]
@@ -228,7 +260,10 @@ def generate_rows(num_files: int, seed: int = 42) -> dict[str, list]:
             repo = f"org-{rng.randrange(200):03d}/proj-{rng.randrange(50)}"
         commit = _commit(rng)
         kind = rng.random()
-        if kind < 0.35:
+        if kind < heavy_fraction:
+            lang, path = "jsonld", f"data/catalog_{i}.jsonld"
+            content = json.dumps(_doc_heavy(rng, hot))
+        elif kind < 0.35:
             maker = rng.choice([_doc_a1, _doc_a2, _doc_a3, _doc_a4, _doc_a5, _doc_a6, _doc_a7, _doc_a12])
             lang, path = "jsonld", f"data/doc_{i}.jsonld"
             content = json.dumps(maker(rng, hot), indent=rng.choice([None, 1]))
@@ -264,12 +299,21 @@ def generate_rows(num_files: int, seed: int = 42) -> dict[str, list]:
     }
 
 
-def write_corpus(out_path: str, num_files: int, seed: int = 42) -> str:
+def write_corpus(
+    out_path: str,
+    num_files: int,
+    seed: int = 42,
+    row_group_size: int = 2048,
+    heavy_fraction: float = 0.0,
+) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    table = pa.table(generate_rows(num_files, seed))
-    pq.write_table(table, out_path)
+    table = pa.table(generate_rows(num_files, seed, heavy_fraction))
+    # small row groups so ray.data.read_parquet can split one file into
+    # many parallel read tasks (a single mega row group serializes the
+    # whole pipeline behind one reader)
+    pq.write_table(table, out_path, row_group_size=row_group_size)
     return out_path
 
 

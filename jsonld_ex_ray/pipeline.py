@@ -37,6 +37,7 @@ def build_triples(
     concurrency: int | tuple[int, int] = (2, 8),
     batch_size: int = 256,
     linker_dict_ref=None,
+    override_num_blocks: int | None = None,
 ):
     """source: path(s) to the source-repo Parquet table, or a Dataset.
 
@@ -47,22 +48,36 @@ def build_triples(
 
     if isinstance(source, (str, list)):
         ds = ray.data.read_parquet(
-            source, columns=["repo", "path", "commit", "lang", "content"]
+            source,
+            columns=["repo", "path", "commit", "lang", "content"],
+            override_num_blocks=override_num_blocks,
         )
     else:
         ds = source
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(
-        JsonLdToTriples,
-        fn_constructor_kwargs={
-            "context_registry": context_registry,
-            "options": options,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if context_registry is None and options is None:
+        # static registry → task-based kernel with per-worker cached state
+        # (no actor-pool startup, elastic scheduling; see stages/triples.py)
+        from .stages.triples import triples_batch
+
+        ds = ds.map_batches(
+            triples_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+    else:
+        ds = ds.map_batches(
+            JsonLdToTriples,
+            fn_constructor_kwargs={
+                "context_registry": context_registry,
+                "options": options,
+            },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     if linker_dict_ref is not None:
         ds = ds.map_batches(
             EntityLinker,

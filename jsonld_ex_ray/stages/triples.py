@@ -81,16 +81,27 @@ class JsonLdToTriples:
         self.options = base.with_(document_loader=self.loader)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out: dict[str, list] = {name: [] for name in TRIPLE_SCHEMA.names}
-        metas = {c: batch.column(c).to_pylist() for c in _META_COLS}
+        # triple-level columns built as Python lists (values originate in
+        # the kernel); the 5 lineage columns are materialized via Arrow
+        # `take` over doc-level arrays — per-row Python strings for them
+        # would dominate allocator traffic at 20M+ triples/run
+        tcols: dict[str, list] = {
+            name: []
+            for name in (
+                "subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang",
+                "graph", "error_code", "error_message",
+            )
+        }
+        doc_idx: list[int] = []  # row → input-payload index
+
         payloads = batch.column("payload").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
         in_err_code = batch.column("error_code").to_pylist()
         in_err_msg = batch.column("error_message").to_pylist()
 
         for i, payload in enumerate(payloads):
-            meta = {c: metas[c][i] for c in _META_COLS}
             if payload is None:  # pass extraction error rows through
-                self._emit_error(out, meta, in_err_code[i], in_err_msg[i])
+                self._emit_error(tcols, doc_idx, i, in_err_code[i], in_err_msg[i])
                 continue
             try:
                 doc = json.loads(payload)
@@ -98,37 +109,61 @@ class JsonLdToTriples:
                 node_map, issuer = node_map_generation(expanded)
                 quads = node_map_to_rdf(node_map, issuer, self.options)
             except JsonLdError as e:
-                self._emit_error(out, meta, e.code, e.message[:500])
+                self._emit_error(tcols, doc_idx, i, e.code, e.message[:500])
                 continue
             except (ValueError, RecursionError) as e:
-                self._emit_error(out, meta, "processing failed", str(e)[:500])
+                self._emit_error(tcols, doc_idx, i, "processing failed", str(e)[:500])
                 continue
-            dh = _doc_hash(meta["doc_id"])
+            dh = _doc_hash(doc_ids[i])
             for s, p, o, g in quads:
-                out["subj"].append(_term_str(s, dh))
-                out["pred"].append(_term_str(p, dh))
+                tcols["subj"].append(_term_str(s, dh))
+                tcols["pred"].append(_term_str(p, dh))
                 if o[0] == "lit":
-                    out["obj"].append(o[1])
-                    out["obj_kind"].append("literal")
-                    out["obj_datatype"].append(o[2])
-                    out["obj_lang"].append(o[3])
+                    tcols["obj"].append(o[1])
+                    tcols["obj_kind"].append("literal")
+                    tcols["obj_datatype"].append(o[2])
+                    tcols["obj_lang"].append(o[3])
                 else:
-                    out["obj"].append(_term_str(o, dh))
-                    out["obj_kind"].append(o[0])
-                    out["obj_datatype"].append(None)
-                    out["obj_lang"].append(None)
-                out["graph"].append(_term_str(g, dh) if g is not None else None)
-                for c in _META_COLS:
-                    out[c].append(meta[c])
-                out["error_code"].append(None)
-                out["error_message"].append(None)
-        return pa.Table.from_pydict(out, schema=TRIPLE_SCHEMA)
+                    tcols["obj"].append(_term_str(o, dh))
+                    tcols["obj_kind"].append(o[0])
+                    tcols["obj_datatype"].append(None)
+                    tcols["obj_lang"].append(None)
+                tcols["graph"].append(_term_str(g, dh) if g is not None else None)
+                tcols["error_code"].append(None)
+                tcols["error_message"].append(None)
+                doc_idx.append(i)
+
+        indices = pa.array(doc_idx, pa.int32())
+        arrays = []
+        for name in TRIPLE_SCHEMA.names:
+            if name in _META_COLS:
+                arrays.append(batch.column(name).take(indices))
+            else:
+                arrays.append(pa.array(tcols[name], pa.string()))
+        return pa.Table.from_arrays(arrays, schema=TRIPLE_SCHEMA)
 
     @staticmethod
-    def _emit_error(out: dict, meta: dict, code: str | None, msg: str | None) -> None:
+    def _emit_error(
+        tcols: dict, doc_idx: list[int], i: int, code: str | None, msg: str | None
+    ) -> None:
         for name in ("subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang", "graph"):
-            out[name].append(None)
-        for c in _META_COLS:
-            out[c].append(meta[c])
-        out["error_code"].append(code or "unknown")
-        out["error_message"].append(msg or "")
+            tcols[name].append(None)
+        tcols["error_code"].append(code or "unknown")
+        tcols["error_message"].append(msg or "")
+        doc_idx.append(i)
+
+
+# Task-based variant: when the context registry is a static in-process dict
+# (no network/auth state), a plain function with a PER-WORKER-PROCESS cached
+# kernel gives identical semantics to the actor pool with zero pool-startup
+# cost and elastic scheduling. Ray worker processes are long-lived, so the
+# loader cache persists across tasks exactly like an actor's would. Use the
+# actor-pool class when the loader holds real connection state.
+_KERNEL_CACHE: dict[int, JsonLdToTriples] = {}
+
+
+def triples_batch(batch: pa.Table) -> pa.Table:
+    kernel = _KERNEL_CACHE.get(0)
+    if kernel is None:
+        kernel = _KERNEL_CACHE[0] = JsonLdToTriples()
+    return kernel(batch)
