@@ -18,27 +18,43 @@ from .loader import RemoteDocument
 from .options import JsonLdOptions, to_options
 
 
-def _load_input(input_: Any, options: JsonLdOptions) -> tuple[Any, str | None]:
-    """Resolve input to (document, document_url). Strings are URLs
-    (reference lib/json_ld.ex:103-111)."""
+def _load_input(
+    input_: Any, options: JsonLdOptions
+) -> tuple[Any, str | None, str | None, str | None]:
+    """Resolve input to (document, document_url, context_url,
+    base_override). Strings are URLs (reference lib/json_ld.ex:103-111);
+    base_override comes from an HTML ``<base href>`` and takes precedence
+    over ``options.base`` (html suite #te020-#te022)."""
     if isinstance(input_, RemoteDocument):
         doc = input_.document
         if isinstance(doc, str):
             doc = json.loads(doc)
-        return doc, input_.document_url
+        return doc, input_.document_url, input_.context_url, None
     if isinstance(input_, str):
         loader = options.document_loader
         if loader is None:
             raise JsonLdError("loading document failed", f"no loader for {input_}")
         remote = loader.load(input_, options)
         doc = remote.document
+        if remote.content_type in ("text/html", "application/xhtml+xml") and isinstance(doc, str):
+            from .iri import resolve
+            from .remote import extract_html_document, html_base_href
+
+            fragment = input_.split("#", 1)[1] if "#" in input_ else None
+            base_href = html_base_href(doc)
+            doc = extract_html_document(doc, fragment, options.extract_all_scripts)
+            base_override = None
+            if base_href:
+                effective = options.base or remote.document_url
+                base_override = resolve(effective, base_href)
+            return doc, remote.document_url, remote.context_url, base_override
         if isinstance(doc, str):
             try:
                 doc = json.loads(doc)
             except ValueError as e:
                 raise JsonLdError("loading document failed", str(e))
-        return doc, remote.document_url
-    return input_, None
+        return doc, remote.document_url, remote.context_url, None
+    return input_, None, None, None
 
 
 def _initial_context(options: JsonLdOptions, doc_url: str | None) -> Context:
@@ -56,14 +72,21 @@ def _initial_context(options: JsonLdOptions, doc_url: str | None) -> Context:
 def expand(input_: Any, options: JsonLdOptions | dict | None = None) -> list:
     """JSON-LD Expansion (reference lib/json_ld.ex:98-169)."""
     options = to_options(options)
-    doc, doc_url = _load_input(input_, options)
+    doc, doc_url, context_url, base_override = _load_input(input_, options)
     active = _initial_context(options, doc_url)
+    if base_override is not None:
+        active.base_iri = base_override
 
     if options.expand_context is not None:
         ec = options.expand_context
         if isinstance(ec, dict) and "@context" in ec:
             ec = ec["@context"]
         active = active.process(ec, None)
+
+    # Link-header context (reference lib/json_ld.ex:151-162): applied
+    # after expandContext, before the document's own contexts
+    if context_url is not None:
+        active = active.process(context_url, doc_url)
 
     expanded = expand_element(
         active, None, doc, doc_url, ordered=options.ordered
@@ -84,14 +107,22 @@ def flatten(
     from .flatten import flatten_expanded
 
     options = to_options(options)
-    doc, doc_url = _load_input(input_, options)
+    doc, doc_url, context_url, base_override = _load_input(input_, options)
+    if base_override is not None:
+        options = options.with_(base=base_override)
     expanded = expand(
-        RemoteDocument(document=doc, document_url=doc_url) if doc_url else doc,
+        RemoteDocument(document=doc, document_url=doc_url, context_url=context_url)
+        if doc_url
+        else doc,
         options.with_(ordered=False),
     )
     flattened = flatten_expanded(expanded, ordered=options.ordered)
     if context is not None:
-        return compact(flattened, context, options)
+        from .compact import compact_top_level
+
+        return compact_top_level(
+            expand(flattened, options), context, options, doc_url, force_graph=True
+        )
     return flattened
 
 
@@ -104,9 +135,13 @@ def compact(
     from .compact import compact_top_level
 
     options = to_options(options)
-    doc, doc_url = _load_input(input_, options)
+    doc, doc_url, context_url, base_override = _load_input(input_, options)
+    if base_override is not None:
+        options = options.with_(base=base_override)
     expanded = expand(
-        RemoteDocument(document=doc, document_url=doc_url) if doc_url else doc,
+        RemoteDocument(document=doc, document_url=doc_url, context_url=context_url)
+        if doc_url
+        else doc,
         options,
     )
     return compact_top_level(expanded, context, options, doc_url)
@@ -120,9 +155,20 @@ def to_rdf(input_: Any, options: JsonLdOptions | dict | None = None) -> list:
     from .to_rdf import node_map_to_rdf
 
     options = to_options(options)
-    doc, doc_url = _load_input(input_, options)
+    try:
+        doc, doc_url, context_url, base_override = _load_input(input_, options)
+    except JsonLdError as e:
+        # HTML with no ld+json scripts: expand errors (html #te006) but
+        # toRdf yields an empty dataset (html #tr006)
+        if e.code == "loading document failed" and "no ld+json script" in e.message:
+            return []
+        raise
+    if base_override is not None:
+        options = options.with_(base=base_override)
     expanded = expand(
-        RemoteDocument(document=doc, document_url=doc_url) if doc_url else doc,
+        RemoteDocument(document=doc, document_url=doc_url, context_url=context_url)
+        if doc_url
+        else doc,
         options.with_(ordered=False),
     )
     node_map, issuer = node_map_generation(expanded)

@@ -722,7 +722,11 @@ def compact_top_level(
     context: Any,
     options: JsonLdOptions,
     doc_url: str | None = None,
+    force_graph: bool = False,
 ) -> dict:
+    """``force_graph`` (used by flatten-with-context): the result keeps a
+    top-level @graph entry even for a single node, per the deterministic-
+    structure requirement of JsonLdProcessor.flatten (html suite #tf001)."""
     ctx_value = context
     if isinstance(ctx_value, dict) and "@context" in ctx_value:
         ctx_value = ctx_value["@context"]
@@ -742,6 +746,8 @@ def compact_top_level(
         result: dict = {}
     elif isinstance(compacted, list):
         result = {compact_iri(active, "@graph", vocab=True): compacted}
+    elif force_graph:
+        result = {compact_iri(active, "@graph", vocab=True): [compacted]}
     else:
         result = compacted
 

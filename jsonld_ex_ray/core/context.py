@@ -387,12 +387,22 @@ def _load_context(options: JsonLdOptions, url: str) -> dict:
         raise JsonLdError("loading remote context failed", f"{url}: {e.message}")
     doc = remote.document
     if isinstance(doc, str):
-        import json as _json
+        if remote.content_type in ("text/html", "application/xhtml+xml"):
+            # HTML-served context: extract the ld+json script (ours —
+            # the reference fails this case, remote-doc #t0013)
+            from .remote import extract_html_document
 
-        try:
-            doc = _json.loads(doc)
-        except ValueError as e:
-            raise JsonLdError("loading remote context failed", f"{url}: {e}")
+            try:
+                doc = extract_html_document(doc)
+            except JsonLdError as e:
+                raise JsonLdError("loading remote context failed", f"{url}: {e.message}")
+        else:
+            import json as _json
+
+            try:
+                doc = _json.loads(doc)
+            except ValueError as e:
+                raise JsonLdError("loading remote context failed", f"{url}: {e}")
     if not isinstance(doc, dict) or "@context" not in doc:
         raise JsonLdError("invalid remote context", f"no @context in {url}")
     return {"context": doc["@context"], "base_url": remote.document_url}

@@ -56,7 +56,17 @@ class StaticLoader:
 
 
 class FileLoader:
-    """Serve ``url_prefix + rel`` from ``root + rel`` (read-only)."""
+    """Serve ``url_prefix + rel`` from ``root + rel`` (read-only).
+    Content type follows the file extension; HTML bodies are returned raw
+    (script extraction happens at the API layer, where the URL fragment
+    and ``extractAllScripts`` are known)."""
+
+    _CONTENT_TYPES = {
+        "jsonld": "application/ld+json",
+        "json": "application/json",
+        "html": "text/html",
+        "xhtml": "application/xhtml+xml",
+    }
 
     def __init__(self, url_prefix: str, root: str):
         self.url_prefix = url_prefix.rstrip("/") + "/"
@@ -70,12 +80,17 @@ class FileLoader:
         path = os.path.join(self.root, rel)
         if not os.path.isfile(path):
             raise JsonLdError("loading document failed", f"no such file: {url}")
-        with open(path, "rb") as f:
-            try:
-                doc = json.load(f)
-            except ValueError as e:
-                raise JsonLdError("loading document failed", f"bad JSON at {url}: {e}")
-        return RemoteDocument(document=doc, document_url=base)
+        ext = rel.rsplit(".", 1)[-1].lower() if "." in rel else ""
+        content_type = self._CONTENT_TYPES.get(ext, "application/ld+json")
+        with open(path, "r", encoding="utf-8") as f:
+            text = f.read()
+        if content_type in ("text/html", "application/xhtml+xml"):
+            return RemoteDocument(document=text, document_url=base, content_type=content_type)
+        try:
+            doc = json.loads(text)
+        except ValueError as e:
+            raise JsonLdError("loading document failed", f"bad JSON at {url}: {e}")
+        return RemoteDocument(document=doc, document_url=base, content_type=content_type)
 
 
 class CachingLoader:

@@ -19,9 +19,10 @@ import json
 import re
 from typing import Any
 
-# case-insensitive; tolerates attribute order/whitespace; non-greedy body
+# case-insensitive; tolerates attribute order/whitespace and media-type
+# parameters (e.g. ";profile=...#context", remote-doc #t0013); non-greedy body
 _SCRIPT_RE = re.compile(
-    r"<script[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>(.*?)</script\s*>",
+    r"<script[^>]*type\s*=\s*[\"']application/ld\+json[^\"']*[\"'][^>]*>(.*?)</script\s*>",
     re.IGNORECASE | re.DOTALL,
 )
 _FENCE_RE = re.compile(r"```(?:json(?:ld)?|json-ld)\s*\n(.*?)```", re.DOTALL)

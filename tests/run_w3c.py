@@ -23,12 +23,14 @@ from tests.w3c_support import (
     json_equal_unordered,
     load_manifest,
     make_loader,
+    make_remote_doc_loader,
     should_skip,
 )
 
 
 def run_suite(name: str, verbose: bool = False, only: str | None = None):
-    cases = load_manifest(name)
+    manifest_name = "remote-doc" if name == "remote-doc" else name
+    cases = load_manifest(manifest_name)
     loader = make_loader()
     passed = failed = skipped = 0
     failures = []
@@ -44,7 +46,19 @@ def run_suite(name: str, verbose: bool = False, only: str | None = None):
         negative = "jld:NegativeEvaluationTest" in case["@type"]
         syntax = "jld:PositiveSyntaxTest" in case["@type"]
         try:
-            if name == "expand":
+            if name == "remote-doc":
+                sim = make_remote_doc_loader(case)
+                opt = case.get("option", {})
+                result = api.expand(
+                    input_url,
+                    options.with_(
+                        document_loader=sim,
+                        base=None,
+                        ordered=True,
+                        extract_all_scripts=opt.get("extractAllScripts", False),
+                    ),
+                )
+            elif name == "expand":
                 result = api.expand(input_url, options.with_(ordered=True))
             elif name == "flatten":
                 context = None
@@ -62,6 +76,26 @@ def run_suite(name: str, verbose: bool = False, only: str | None = None):
                 with open(os.path.join(SUITE_DIR, case["input"])) as f:
                     quads = parse_nquads(f.read())
                 result = api.from_rdf(quads, options.with_(ordered=True))
+            elif name == "html":
+                opt = case.get("option", {})
+                options = options.with_(
+                    extract_all_scripts=opt.get("extractAllScripts", False),
+                    ordered=True,
+                )
+                if "jld:ToRDFTest" in case["@type"]:
+                    result = api.to_rdf(input_url, options)
+                elif "jld:CompactTest" in case["@type"]:
+                    with open(os.path.join(SUITE_DIR, case["context"])) as f:
+                        context = json.load(f)
+                    result = api.compact(input_url, context, options)
+                elif "jld:FlattenTest" in case["@type"]:
+                    context = None
+                    if "context" in case:
+                        with open(os.path.join(SUITE_DIR, case["context"])) as f:
+                            context = json.load(f)
+                    result = api.flatten(input_url, context, options)
+                else:
+                    result = api.expand(input_url, options)
             else:
                 raise SystemExit(f"unknown suite {name}")
             if negative:
@@ -72,7 +106,7 @@ def run_suite(name: str, verbose: bool = False, only: str | None = None):
                 passed += 1
                 continue
             with open(os.path.join(SUITE_DIR, case["expect"])) as f:
-                if name == "toRdf":
+                if case["expect"].endswith(".nq"):
                     expected = parse_nquads(f.read())
                     ok = isomorphic(result, expected)
                 else:

@@ -42,3 +42,19 @@ def test_w3c_fromrdf():
     # it too (earl_reports/json-ld-api.ttl: fromRdf-manifest#t0027 failed)
     assert failed <= 1
     assert passed >= 51
+
+
+def test_w3c_remote_doc():
+    """Remote-document semantics over the simulated HTTP transport —
+    18/18 incl. #t0013 which the reference fails."""
+    passed, failed, skipped = run_suite("remote-doc")
+    assert failed == 0
+    assert passed >= 18
+
+
+def test_w3c_html():
+    """HTML script extraction — 50/50; the reference leaves this suite
+    entirely untested (README.md:31)."""
+    passed, failed, skipped = run_suite("html")
+    assert failed == 0
+    assert passed >= 50

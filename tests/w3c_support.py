@@ -33,6 +33,67 @@ def make_loader() -> CachingLoader:
     return CachingLoader(FileLoader(SUITE_BASE, SUITE_DIR))
 
 
+_EXT_CONTENT_TYPES = {
+    "jsonld": "application/ld+json",
+    "json": "application/json",
+    "html": "text/html",
+}
+
+
+def make_remote_doc_loader(case: dict):
+    """Build a SimulatedHTTPLoader from a remote-doc case's declarative
+    HTTP options (contentType / httpStatus / redirectTo / httpLink),
+    serving every other suite file from disk by extension."""
+    from jsonld_ex_ray.core.errors import JsonLdError
+    from jsonld_ex_ray.core.remote import SimResponse, SimulatedHTTPLoader
+
+    opt = case.get("option", {})
+    input_url = SUITE_BASE + case["input"]
+    ext = case["input"].rsplit(".", 1)[-1]
+    links = opt.get("httpLink", [])
+    if isinstance(links, str):
+        links = [links]
+    responses = {}
+    if opt.get("redirectTo"):
+        responses[input_url] = SimResponse(
+            status=opt.get("httpStatus", 301),
+            location=SUITE_BASE + opt["redirectTo"],
+        )
+    else:
+        path = os.path.join(SUITE_DIR, case["input"])
+        body = open(path).read() if os.path.isfile(path) else None
+        if body is None:
+            # missing file → the loader's 404 path (#t0008)
+            responses[input_url] = None
+        else:
+            responses[input_url] = SimResponse(
+                content_type=opt.get("contentType", _EXT_CONTENT_TYPES.get(ext, "text/plain")),
+                body=body,
+                link_headers=links,
+            )
+
+    class Loader(SimulatedHTTPLoader):
+        def _get(self, url):
+            base = url.split("#", 1)[0]
+            if base in self.responses:
+                resp = self.responses[base]
+                if resp is None:
+                    raise JsonLdError("loading document failed", f"404: {url}")
+                return resp
+            if base.startswith(SUITE_BASE):
+                rel = base[len(SUITE_BASE):]
+                p = os.path.join(SUITE_DIR, rel)
+                if os.path.isfile(p):
+                    e = rel.rsplit(".", 1)[-1]
+                    return SimResponse(
+                        content_type=_EXT_CONTENT_TYPES.get(e, "text/plain"),
+                        body=open(p).read(),
+                    )
+            raise JsonLdError("loading document failed", f"404: {url}")
+
+    return Loader(responses)
+
+
 def case_options(case: dict, loader) -> JsonLdOptions:
     opt = case.get("option", {})
     kwargs = {
