@@ -158,6 +158,111 @@ def _q_events_window(sf_dir: str):
     )
 
 
+def _q_revenue_by_priority(sf_dir: str):
+    """Two-table pattern at scale: broadcast the small side (orders'
+    priority map via ray.put), pre-aggregate map-side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from jsonld_ex_ray.ops.agg import groupby_agg_lowcard
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    pri_ref = ray.put(
+        dict(zip(orders.column("o_orderkey").to_pylist(), orders.column("o_orderpriority").to_pylist()))
+    )
+
+    class AttachPriority:
+        def __init__(self, ref):
+            self.pri = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pri = [self.pri.get(k) for k in batch.column("l_orderkey").to_pylist()]
+            revenue = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array(pri, pa.string()),
+                    "revenue": revenue,
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    ds = ds.map_batches(
+        AttachPriority,
+        fn_constructor_kwargs={"ref": pri_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    return groupby_agg_lowcard(
+        ds,
+        ["o_orderpriority"],
+        [("revenue", "sum", "sum_revenue"), ("revenue", "count", "n_items")],
+    )
+
+
+def _q_doc_stats_by_lang(sf_dir: str):
+    from jsonld_ex_ray.ops.agg import groupby_agg_lowcard
+
+    ds = _read(sf_dir, "documents")
+    return groupby_agg_lowcard(
+        ds,
+        ["lang"],
+        [
+            ("n_chars", "mean", "avg_chars"),
+            ("n_chars", "max", "max_chars"),
+            ("n_chars", "count", "n_docs"),
+        ],
+    )
+
+
+def _q_events_top_users(sf_dir: str):
+    """High-cardinality partial agg + top-k composition."""
+    import ray.data
+    from jsonld_ex_ray.ops.agg import groupby_agg_lowcard, topk
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    )
+    per_user = groupby_agg_lowcard(ds, ["user_id"], [("value", "sum", "total_value")])
+    out = per_user.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+def _q_events_props_extract(sf_dir: str):
+    """JSON payload column parsing (vectorized per batch)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events")
+
+    def extract_k(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch.column("props").to_pylist():
+            try:
+                v = _json.loads(p).get("k")
+            except Exception:
+                v = None
+            ks.append(None if v is None else int(v))
+        return pa.table(
+            {"event_id": batch.column("event_id"), "k": pa.array(ks, pa.int64())}
+        )
+
+    return ds.map_batches(extract_k, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "event_id"
+    )
+
+
 def _q_doc_dedup_exact(sf_dir: str):
     from jsonld_ex_ray.ops.dedup import exact_dedup
 
@@ -218,6 +323,14 @@ def _q_dedup_simhash(sf_dir: str):
     from jsonld_ex_ray.ops.dedup import simhash_duplicates
 
     return simhash_duplicates(_read(sf_dir, "documents")).sort("doc_id")
+
+
+def _q_jaccard_pairs(sf_dir: str):
+    from jsonld_ex_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5).sort(
+        ["doc_a", "doc_b"]
+    )
 
 
 def _q_ann_topk(sf_dir: str):
@@ -301,6 +414,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "orders_by_segment": _q_orders_by_segment,
         "events_window": _q_events_window,
+        "revenue_by_priority": _q_revenue_by_priority,
+        "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "events_top_users": _q_events_top_users,
+        "events_props_extract": _q_events_props_extract,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_fingerprint": _q_doc_fingerprint,
         "token_counts": _q_token_counts,
@@ -308,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "jaccard_pairs": _q_jaccard_pairs,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "emb_dups": _q_emb_dups,
@@ -353,6 +471,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY day, event_type
             ORDER BY day, event_type
+        """,
+        "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "doc_stats_by_lang": """
+            SELECT lang,
+                   avg(n_chars) AS avg_chars,
+                   max(n_chars) AS max_chars,
+                   count(*) AS n_docs
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
+        """,
+        "events_top_users": """
+            SELECT user_id, sum(value) AS total_value
+            FROM events
+            GROUP BY user_id
+            ORDER BY total_value DESC, user_id ASC
+            LIMIT 10
+        """,
+        "events_props_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+            ORDER BY event_id
         """,
         "doc_dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM (

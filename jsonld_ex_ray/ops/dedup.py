@@ -179,6 +179,82 @@ def minhash_lsh_duplicates(
     return pairs.groupby(id_col).map_groups(min_per_doc, batch_format="pyarrow")
 
 
+def ngram_jaccard_pairs(
+    ds,
+    *,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """All near-duplicate PAIRS with their true n-gram Jaccard scores.
+
+    Candidate generation via MinHash banding (more bands than the dedup
+    path → recall at lower thresholds), exact shingle-Jaccard verification
+    inside each bucket. → Dataset(doc_a, doc_b, jaccard), doc_a < doc_b,
+    deduplicated across buckets by keeping each pair's first bucket."""
+    rows_per_band = num_perm // bands
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        out = {"band": [], "band_hash": [], id_col: [], text_col: []}
+        for d, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            sig = minhash_signature(t, num_perm, shingle_k)
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                out["band"].append(b)
+                out["band_hash"].append(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                )
+                out[id_col].append(d)
+                out[text_col].append(t)
+        return pa.table(
+            {
+                "band": pa.array(out["band"], pa.int32()),
+                "band_hash": pa.array(out["band_hash"], pa.string()),
+                id_col: pa.array(out[id_col]),
+                text_col: pa.array(out[text_col], pa.string()),
+            }
+        )
+
+    def verify_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        texts = group.column(text_col).to_pylist()
+        a_out, b_out, j_out = [], [], []
+        order = np.argsort(ids)
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                score = jaccard(texts[i], texts[j], shingle_k)
+                if score >= threshold:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    j_out.append(round(score, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "band_hash"])
+        .map_groups(verify_pairs, batch_format="pyarrow")
+    )
+
+    def first_per_pair(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        first_per_pair, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dedup
 # ---------------------------------------------------------------------------

@@ -305,22 +305,42 @@ def run_checkpointed(
         n_err = written.count_rows(filter=pads.field("pred").is_null())
         metrics["triples"] += n - n_err
         metrics["errors"] += n_err
+        rec = {
+            "shard": i,
+            "status": "done",
+            "files": files,
+            "rows": n,
+            "triples": n - n_err,
+            "errors": n_err,
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+        }
         with open(manifest_path, "a") as f:
-            f.write(
-                json.dumps(
-                    {
-                        "shard": i,
-                        "status": "done",
-                        "files": files,
-                        "rows": n,
-                        "triples": n - n_err,
-                        "errors": n_err,
-                        "wall_ms": int((time.monotonic() - t0) * 1000),
-                    }
-                )
-                + "\n"
-            )
+            f.write(json.dumps(rec) + "\n")
+    _write_metrics_parquet(manifest_path, state_dir)
     return metrics
+
+
+def _write_metrics_parquet(manifest_path: str, state_dir: str) -> None:
+    """Materialize the manifest as a metrics parquet (SURVEY.md §4:
+    per-partition metrics alongside checkpoints, queryable by any engine)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    recs = [json.loads(line) for line in open(manifest_path)]
+    if not recs:
+        return
+    table = pa.table(
+        {
+            "shard": pa.array([r["shard"] for r in recs], pa.int32()),
+            "status": pa.array([r["status"] for r in recs], pa.string()),
+            "n_files": pa.array([len(r["files"]) for r in recs], pa.int32()),
+            "rows": pa.array([r["rows"] for r in recs], pa.int64()),
+            "triples": pa.array([r["triples"] for r in recs], pa.int64()),
+            "errors": pa.array([r["errors"] for r in recs], pa.int64()),
+            "wall_ms": pa.array([r["wall_ms"] for r in recs], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(state_dir, "metrics.parquet"))
 
 
 def read_triples(out_dir: str):

@@ -144,7 +144,51 @@ def _diff(result, expected, name):
     return "\n--- got ---\n" + json.dumps(result, indent=1, sort_keys=True)[:800] + "\n--- want ---\n" + json.dumps(expected, indent=1, sort_keys=True)[:800]
 
 
+def triple_precision_recall() -> dict:
+    """Micro-averaged triple-level precision/recall of this engine's toRdf
+    output vs the W3C expected N-Quads (the north rule's P/R ≥ 0.95 gate).
+    Blank nodes are aligned per case via the isomorphism mapping when the
+    graphs match; on mismatch, ground (bnode-erased) triples are compared."""
+    from jsonld_ex_ray.core.isomorphism import _apply, _bnodes, _refine, _signature
+
+    cases = load_manifest("toRdf")
+    loader = make_loader()
+    tp = fp = fn = 0
+    for case in cases:
+        if should_skip(case) or "jld:PositiveEvaluationTest" not in case["@type"]:
+            continue
+        options = case_options(case, loader)
+        try:
+            got = set(api.to_rdf(SUITE_BASE + case["input"], options))
+        except Exception:
+            got = set()
+        with open(os.path.join(SUITE_DIR, case["expect"])) as f:
+            want = set(parse_nquads(f.read()))
+        if isomorphic(list(got), list(want)):
+            tp += len(want)
+            continue
+        # fall back to bnode-erased comparison for partial credit
+        g = _signature(list(got))
+        w = _signature(list(want))
+        tp += len(g & w)
+        fp += len(g - w)
+        fn += len(w - g)
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    return {
+        "metric": "toRdf_triple_pr",
+        "precision": round(precision, 5),
+        "recall": round(recall, 5),
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+    }
+
+
 if __name__ == "__main__":
+    if "--pr" in sys.argv:
+        print(json.dumps(triple_precision_recall()))
+        raise SystemExit(0)
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     verbose = "-v" in sys.argv
     only = None

@@ -114,6 +114,21 @@ def test_entity_linker_broadcast(ray_session, corpus):
     assert (cold.subj_canon == cold.subj).all()
 
 
+def test_actor_pool_path_matches_task_path(ray_session, corpus):
+    """Explicit context_registry → actor-pool kernel; results identical to
+    the default task-based kernel."""
+    from jsonld_ex_ray.gen import CONTEXT_REGISTRY
+
+    task_df = triples_only(build_triples(corpus, concurrency=1)).to_pandas()
+    actor_df = triples_only(
+        build_triples(corpus, context_registry=dict(CONTEXT_REGISTRY), concurrency=1)
+    ).to_pandas()
+    cols = ["doc_id", "graph", "subj", "pred", "obj"]
+    a = sorted(map(tuple, task_df[cols].fillna("").values.tolist()))
+    b = sorted(map(tuple, actor_df[cols].fillna("").values.tolist()))
+    assert a == b
+
+
 def test_checkpoint_resume(ray_session, tmp_path):
     files = []
     for i in range(3):
@@ -125,6 +140,10 @@ def test_checkpoint_resume(ray_session, tmp_path):
     assert m1["shards_skipped"] == 0 and m1["triples"] > 0
     total = read_triples(out).count()
     assert total == m1["triples"]
+    # metrics side output (SURVEY.md §4)
+    metrics = pq.read_table(os.path.join(out, "_state", "metrics.parquet"))
+    assert metrics.num_rows == 3
+    assert sum(metrics.column("triples").to_pylist()) == total
 
     # simulate a mid-run kill: drop one shard's outputs + manifest line
     manifest = os.path.join(out, "_state", "manifest.jsonl")
