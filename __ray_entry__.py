@@ -397,6 +397,13 @@ def _q_kg_materialize(sf_dir: str):
     return materialize_graph(build_triples(_corpus_for(sf_dir), concurrency=2))
 
 
+def _q_kg_from_rdf(sf_dir: str):
+    """Inverse direction: triples → expanded JSON-LD docs per graph."""
+    from jsonld_ex_ray.pipeline import build_triples, triples_to_jsonld
+
+    return triples_to_jsonld(build_triples(_corpus_for(sf_dir), concurrency=2))
+
+
 def _q_kg_entity_link(sf_dir: str):
     from jsonld_ex_ray.pipeline import build_triples, triples_only
     from jsonld_ex_ray.stages.linker import build_canonical_dictionary
@@ -436,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonicalize": _q_kg_canonicalize,
         "kg_materialize": _q_kg_materialize,
         "kg_entity_link": _q_kg_entity_link,
+        "kg_from_rdf": _q_kg_from_rdf,
     }
 
 

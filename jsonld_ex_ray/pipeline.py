@@ -257,6 +257,46 @@ def materialize_graph(ds, hot_threshold: int = 10_000, salt_buckets: int = 16):
     return partials.groupby("subj").map_groups(merge_adj, batch_format="pyarrow")
 
 
+def triples_to_jsonld(ds):
+    """Inverse direction (SURVEY.md §2.5 fromRdf grouping): triple rows →
+    expanded JSON-LD node documents, one per graph, via
+    ``groupby("graph").map_groups`` (list reconstruction needs the whole
+    graph in view). → Dataset(graph, doc[json string], n_nodes)."""
+    from .core.from_rdf import serialize_rdf
+    from .core.options import JsonLdOptions
+    from .core.to_rdf import RDF_LANGSTRING, XSD_STRING
+
+    def build(group: pa.Table) -> pa.Table:
+        graph_name = group.column("graph")[0].as_py()
+        quads = []
+        for s, p, o, k, dt, lg in zip(
+            group.column("subj").to_pylist(),
+            group.column("pred").to_pylist(),
+            group.column("obj").to_pylist(),
+            group.column("obj_kind").to_pylist(),
+            group.column("obj_datatype").to_pylist(),
+            group.column("obj_lang").to_pylist(),
+        ):
+            def term(v, kind=None, dtype=None, lang=None):
+                if kind == "literal":
+                    return ("lit", v, dtype or (RDF_LANGSTRING if lang else XSD_STRING), lang)
+                if v.startswith("_:"):
+                    return ("bnode", v[2:])
+                return ("iri", v)
+
+            quads.append((term(s), term(p), term(o, k, dt, lg), None))
+        docs = serialize_rdf(quads, JsonLdOptions(ordered=True))
+        return pa.table(
+            {
+                "graph": pa.array([graph_name or ""], pa.string()),
+                "doc": pa.array([json.dumps(docs, sort_keys=True)], pa.string()),
+                "n_nodes": pa.array([len(docs)], pa.int64()),
+            }
+        )
+
+    return triples_only(ds).groupby("graph").map_groups(build, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # checkpointed, resumable runs (SURVEY.md §4)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,105 @@
+"""Targeted unit tests for pieces the W3C suite doesn't exercise:
+loader caching, warn routing, RFC3986 edge cases, JCS numbers."""
+
+import pytest
+
+from jsonld_ex_ray.core.errors import JsonLdError
+from jsonld_ex_ray.core.iri import relativize, resolve
+from jsonld_ex_ray.core.loader import CachingLoader, StaticLoader
+from jsonld_ex_ray.core.options import JsonLdOptions, JsonLdWarningError
+from jsonld_ex_ray.core.to_rdf import canonical_double, jcs_canonicalize
+
+
+def test_caching_loader_caches_hits_and_failures():
+    inner = StaticLoader({"https://a/ctx": {"@context": {}}})
+    calls = {"n": 0}
+    orig = inner.load
+
+    def counting(url, options=None):
+        calls["n"] += 1
+        return orig(url, options)
+
+    inner.load = counting
+    c = CachingLoader(inner, maxsize=2)
+    c.load("https://a/ctx")
+    c.load("https://a/ctx")
+    assert calls["n"] == 1 and c.hits == 1
+    with pytest.raises(JsonLdError):
+        c.load("https://missing/x")
+    with pytest.raises(JsonLdError):
+        c.load("https://missing/x")
+    assert calls["n"] == 2  # failure cached too: second bad load hits cache
+    assert c.hits == 2
+
+
+def test_caching_loader_lru_eviction():
+    inner = StaticLoader({f"https://u/{i}": {"@context": {}} for i in range(4)})
+    c = CachingLoader(inner, maxsize=2)
+    for i in range(4):
+        c.load(f"https://u/{i}")
+    assert c.misses == 4
+    c.load("https://u/3")  # still cached
+    assert c.hits == 1
+    c.load("https://u/0")  # evicted → miss again
+    assert c.misses == 5
+
+
+def test_warn_routing():
+    seen = []
+    opts = JsonLdOptions(warn=lambda m: seen.append(m))
+    opts.emit_warning("hello")
+    assert seen == ["hello"]
+    with pytest.raises(JsonLdWarningError):
+        JsonLdOptions(warn="raise").emit_warning("boom")
+    JsonLdOptions(warn="ignore").emit_warning("silent")  # no effect
+
+
+@pytest.mark.parametrize(
+    "base,ref,expected",
+    [
+        # RFC 3986 §5.4 normal examples
+        ("http://a/b/c/d;p?q", "g", "http://a/b/c/g"),
+        ("http://a/b/c/d;p?q", "./g", "http://a/b/c/g"),
+        ("http://a/b/c/d;p?q", "g/", "http://a/b/c/g/"),
+        ("http://a/b/c/d;p?q", "/g", "http://a/g"),
+        ("http://a/b/c/d;p?q", "//g", "http://g"),
+        ("http://a/b/c/d;p?q", "?y", "http://a/b/c/d;p?y"),
+        ("http://a/b/c/d;p?q", "#s", "http://a/b/c/d;p?q#s"),
+        ("http://a/b/c/d;p?q", "../../g", "http://a/g"),
+        # abnormal
+        ("http://a/b/c/d;p?q", "../../../g", "http://a/g"),
+        ("http://a/b/c/d;p?q", "g;x=1/../y", "http://a/b/c/y"),
+        # the URI.merge divergences listed at reference to_rdf_test.exs:38-57
+        ("http://example/", "../../x", "http://example/x"),
+        ("http://example/base/", ".", "http://example/base/"),
+        ("urn:ex:s001", "#foo", "urn:ex:s001#foo"),
+    ],
+)
+def test_rfc3986_resolution(base, ref, expected):
+    assert resolve(base, ref) == expected
+
+
+def test_relativize_inverse_of_resolve():
+    base = "https://h/a/b/doc.json?x=1"
+    for iri in [
+        "https://h/a/b/doc.json?x=1#frag",
+        "https://h/a/b/other",
+        "https://h/a/",
+        "https://h/zzz",
+        "https://other/abs",
+    ]:
+        rel = relativize(base, iri)
+        assert resolve(base, rel) == iri
+
+
+def test_canonical_double():
+    assert canonical_double(1.0e21) == "1.0E21"
+    assert canonical_double(5.3) == "5.3E0"
+    assert canonical_double(-0.25) == "-2.5E-1"
+    assert canonical_double(float("inf")) == "INF"
+
+
+def test_jcs_numbers_and_key_order():
+    assert jcs_canonicalize({"b": 1, "a": [True, None, 2.5]}) == '{"a":[true,null,2.5],"b":1}'
+    assert jcs_canonicalize({"x": 1e21}) == '{"x":1e+21}'
+    assert jcs_canonicalize({"x": 56.0}) == '{"x":56}'
