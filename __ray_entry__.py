@@ -397,6 +397,20 @@ def _q_kg_materialize(sf_dir: str):
     return materialize_graph(build_triples(_corpus_for(sf_dir), concurrency=2))
 
 
+def _q_kg_mentions(sf_dir: str):
+    """Mention-detect + scored entity linking over name-like literals."""
+    import ray
+    from jsonld_ex_ray.pipeline import build_triples, triples_only
+    from jsonld_ex_ray.stages.linker import detect_and_link_mentions
+
+    # canonical-name dictionary (deterministic; in production built from a
+    # curated KB or distinct_subject_iris + labels)
+    names = {f"Widget {i}": f"https://kg.example/canonical/widget-{i}" for i in range(10_000)}
+    ref = ray.put(names)
+    triples = triples_only(build_triples(_corpus_for(sf_dir), concurrency=2))
+    return detect_and_link_mentions(triples, ref, concurrency=2).sort(["doc_id", "subj"])
+
+
 def _q_kg_from_rdf(sf_dir: str):
     """Inverse direction: triples → expanded JSON-LD docs per graph."""
     from jsonld_ex_ray.pipeline import build_triples, triples_to_jsonld
@@ -444,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_materialize": _q_kg_materialize,
         "kg_entity_link": _q_kg_entity_link,
         "kg_from_rdf": _q_kg_from_rdf,
+        "kg_mentions": _q_kg_mentions,
     }
 
 

@@ -129,6 +129,25 @@ def test_actor_pool_path_matches_task_path(ray_session, corpus):
     assert a == b
 
 
+def test_mention_linker_scoring():
+    from jsonld_ex_ray.stages.linker import MentionLinker
+
+    linker = MentionLinker(
+        name_to_iri={
+            "Acme Rocket Skates": "https://kb/acme-skates",
+            "Acme Giant Magnet": "https://kb/acme-magnet",
+        },
+        min_score=0.4,
+    )
+    assert linker._score("acme rocket skates") == ("https://kb/acme-skates", 1.0)
+    iri, score = linker._score("rocket skates by acme")
+    assert iri == "https://kb/acme-skates" and 0.4 <= score < 1.0
+    assert linker._score("totally unrelated words") == (None, 0.0)
+    # the higher-overlap candidate wins
+    iri, _ = linker._score("acme giant magnet deluxe")
+    assert iri == "https://kb/acme-magnet"
+
+
 def test_checkpoint_resume(ray_session, tmp_path):
     files = []
     for i in range(3):
