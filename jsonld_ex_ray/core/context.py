@@ -120,6 +120,7 @@ class Context:
         "inverse_context",
         "previous_context",
         "options",
+        "_iri_cache",  # expand_iri memo (local-context-free calls only)
     )
 
     def __init__(self, options: JsonLdOptions | None = None, base_iri: Any = NOT_PRESENT):
@@ -133,6 +134,7 @@ class Context:
         self.base_direction: str | None = None
         self.inverse_context: dict | None = None
         self.previous_context: "Context | None" = None
+        self._iri_cache: dict = {}
 
     # -- base IRI used for document-relative expansion -------------------
     @property
@@ -153,6 +155,7 @@ class Context:
         c.base_direction = self.base_direction
         c.inverse_context = None
         c.previous_context = self.previous_context
+        c._iri_cache = {}
         return c
 
     def has_protected_terms(self) -> bool:
@@ -276,6 +279,7 @@ class Context:
                     result.base_iri = resolve(result.effective_base, value)
                 else:
                     raise JsonLdError("invalid base IRI", repr(value))
+                result._iri_cache.clear()
 
             # 5.8 @vocab
             if "@vocab" in context:
@@ -307,6 +311,7 @@ class Context:
                         result.vocabulary_mapping = expanded
                 else:
                     raise JsonLdError("invalid vocab mapping", repr(value))
+                result._iri_cache.clear()
 
             # 5.9 @language
             if "@language" in context:
@@ -321,6 +326,7 @@ class Context:
                     )
                 else:
                     raise JsonLdError("invalid default language", repr(value))
+                result._iri_cache.clear()
 
             # 5.10 @direction
             if "@direction" in context:
@@ -333,6 +339,7 @@ class Context:
                     result.base_direction = value
                 else:
                     raise JsonLdError("invalid base direction", repr(value))
+                result._iri_cache.clear()
 
             # 5.11 @propagate validation
             if "@propagate" in context:
@@ -477,6 +484,7 @@ def create_term_definition(
 
     # 6.
     previous_definition = active.term_definitions.pop(term, None)
+    active._iri_cache.clear()
 
     simple_term = False
     if value is None:
@@ -723,6 +731,7 @@ def _finalize(
             raise JsonLdError("protected term redefinition", term)
         definition = previous
     active.term_definitions[term] = definition
+    active._iri_cache.clear()
     defined[term] = True
 
 
@@ -768,6 +777,38 @@ def expand_iri(
 ) -> str | None:
     if value is None or is_keyword(value):
         return value
+    # memoize local-context-free expansions per (frozen) active context —
+    # keys/types repeat across a document's nodes; term definitions only
+    # mutate while a local_context is being processed, which bypasses this
+    if local_context is None:
+        key = (value, vocab, document_relative)
+        cached = active._iri_cache.get(key)
+        if cached is not None:
+            return cached if cached is not False else None
+        result = _expand_iri_uncached(
+            active, value, document_relative=document_relative, vocab=vocab
+        )
+        active._iri_cache[key] = result if result is not None else False
+        return result
+    return _expand_iri_uncached(
+        active,
+        value,
+        document_relative=document_relative,
+        vocab=vocab,
+        local_context=local_context,
+        defined=defined,
+    )
+
+
+def _expand_iri_uncached(
+    active: Context,
+    value: str,
+    *,
+    document_relative: bool = False,
+    vocab: bool = False,
+    local_context: dict | None = None,
+    defined: dict[str, bool] | None = None,
+) -> str | None:
     if has_keyword_form(value):
         active.options.emit_warning(f"value {value!r} looks like a keyword; ignored")
         return None
