@@ -13,7 +13,7 @@ from typing import Any
 
 from .context import NOT_PRESENT, Context
 from .errors import JsonLdError
-from .expand import expand_element
+from .expansion import expand_element
 from .loader import RemoteDocument
 from .options import JsonLdOptions, to_options
 
@@ -104,7 +104,7 @@ def flatten(
     options: JsonLdOptions | dict | None = None,
 ) -> Any:
     """JSON-LD Flattening (reference lib/json_ld.ex:264-299)."""
-    from .flatten import flatten_expanded
+    from .flattening import flatten_expanded
 
     options = to_options(options)
     doc, doc_url, context_url, base_override = _load_input(input_, options)
@@ -118,7 +118,7 @@ def flatten(
     )
     flattened = flatten_expanded(expanded, ordered=options.ordered)
     if context is not None:
-        from .compact import compact_top_level
+        from .compaction import compact_top_level
 
         return compact_top_level(
             expand(flattened, options), context, options, doc_url, force_graph=True
@@ -132,7 +132,7 @@ def compact(
     options: JsonLdOptions | dict | None = None,
 ) -> dict:
     """JSON-LD Compaction (reference lib/json_ld.ex:189-245)."""
-    from .compact import compact_top_level
+    from .compaction import compact_top_level
 
     options = to_options(options)
     doc, doc_url, context_url, base_override = _load_input(input_, options)
@@ -151,8 +151,8 @@ def to_rdf(input_: Any, options: JsonLdOptions | dict | None = None) -> list:
     """Deserialize JSON-LD to RDF → list of quad tuples
     (subj, pred, obj_term, graph) — see to_rdf.py for term encoding.
     Reference lib/json_ld.ex:320 → lib/json/ld/decoder.ex."""
-    from .flatten import node_map_generation
-    from .to_rdf import node_map_to_rdf
+    from .flattening import node_map_generation
+    from .rdf_generation import node_map_to_rdf
 
     options = to_options(options)
     try:
@@ -177,7 +177,7 @@ def to_rdf(input_: Any, options: JsonLdOptions | dict | None = None) -> list:
 
 def from_rdf(quads: list, options: JsonLdOptions | dict | None = None) -> list:
     """Serialize RDF as JSON-LD (reference lib/json_ld.ex:310 → encoder.ex)."""
-    from .from_rdf import serialize_rdf
+    from .rdf_serialization import serialize_rdf
 
     options = to_options(options)
     return serialize_rdf(quads, options)

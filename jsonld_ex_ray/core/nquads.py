@@ -74,7 +74,7 @@ def _escape(s: str) -> str:
 
 def parse_nquads(text: str) -> list[tuple]:
     """Parse N-Quads text → list of (subj, pred, obj, graph|None) term tuples."""
-    from .to_rdf import XSD_STRING
+    from .rdf_generation import XSD_STRING
 
     quads = []
     for line in text.splitlines():
@@ -99,7 +99,7 @@ def parse_nquads(text: str) -> list[tuple]:
                 dt = m.group("dt")
                 lang = m.group("lang")
                 if lang:
-                    from .to_rdf import RDF_LANGSTRING
+                    from .rdf_generation import RDF_LANGSTRING
 
                     terms.append(("lit", lex, RDF_LANGSTRING, lang))
                 else:
@@ -112,7 +112,7 @@ def parse_nquads(text: str) -> list[tuple]:
 
 
 def term_to_nquads(term: tuple) -> str:
-    from .to_rdf import RDF_LANGSTRING, XSD_STRING
+    from .rdf_generation import RDF_LANGSTRING, XSD_STRING
 
     kind = term[0]
     if kind == "iri":

@@ -21,7 +21,7 @@ import math
 from typing import Any
 
 from .errors import JsonLdError
-from .flatten import BlankNodeIssuer
+from .flattening import BlankNodeIssuer
 from .iri import is_absolute_iri, is_blank_node_id, is_keyword
 from .options import JsonLdOptions
 

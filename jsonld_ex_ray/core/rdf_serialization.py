@@ -17,9 +17,9 @@ import math
 from typing import Any
 
 from .errors import JsonLdError
-from .flatten import strict_equal
+from .flattening import strict_equal
 from .options import JsonLdOptions
-from .to_rdf import (
+from .rdf_generation import (
     I18N,
     RDF,
     RDF_DIRECTION,

@@ -158,39 +158,56 @@ def dedup_triples(ds):
 
 
 def canonicalize_bnodes(ds):
-    """URDNA2015-style deterministic per-document relabel executed as a
-    groupby(document) shuffle (north rule). The in-kernel relabel in
-    JsonLdToTriples already guarantees this when one payload == one bnode
-    namespace; this stage re-establishes it for merged namespaces: labels
-    become ``_:c{n}`` in first-occurrence order over the document's sorted
-    triples, prefixed with the doc hash."""
+    """URDNA2015 blank-node canonicalization executed as a
+    groupby(document) shuffle (north rule): per document, the real
+    RDFC-1.0 algorithm (core/urdna2015.py) assigns ``c14n<n>`` labels that
+    are invariant under any input relabeling; the doc hash prefixes them
+    for global uniqueness before cross-document union."""
+    from .core.rdf_generation import RDF_LANGSTRING, XSD_STRING
+    from .core.urdna2015 import canonicalize
 
     def relabel(group: pa.Table) -> pa.Table:
         doc_id = group.column("doc_id")[0].as_py()
         dh = hashlib.sha1(doc_id.encode()).hexdigest()[:16]
-        rows = group.sort_by(
+        subs = group.column("subj").to_pylist()
+        preds = group.column("pred").to_pylist()
+        objs = group.column("obj").to_pylist()
+        kinds = group.column("obj_kind").to_pylist()
+        dts = group.column("obj_datatype").to_pylist()
+        lgs = group.column("obj_lang").to_pylist()
+        graphs = group.column("graph").to_pylist()
+
+        def term(v, kind=None, dt=None, lang=None):
+            if v is None:
+                return None
+            if kind == "literal":
+                return ("lit", v, dt or (RDF_LANGSTRING if lang else XSD_STRING), lang)
+            if v.startswith("_:"):
+                return ("bnode", v[2:])
+            return ("iri", v)
+
+        quads = [
+            (term(s), term(p), term(o, k, dt, lg), term(g))
+            for s, p, o, k, dt, lg, g in zip(subs, preds, objs, kinds, dts, lgs, graphs)
+        ]
+        mapping = canonicalize(quads)
+
+        def canon(v: str | None, is_bnode: bool) -> str | None:
+            if v is None or not is_bnode or not v.startswith("_:"):
+                return v
+            return f"_:{dh}-{mapping.get(v[2:], v[2:])}"
+
+        new_sub = [canon(v, True) for v in subs]
+        new_obj = [canon(v, k == "bnode") for v, k in zip(objs, kinds)]
+        new_graph = [canon(v, True) for v in graphs]
+        rows = group
+        for col, vals in (("subj", new_sub), ("obj", new_obj), ("graph", new_graph)):
+            rows = rows.set_column(
+                rows.schema.get_field_index(col), col, pa.array(vals, pa.string())
+            )
+        return rows.sort_by(
             [("graph", "ascending"), ("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
         )
-        mapping: dict[str, str] = {}
-
-        def canon(v: str | None) -> str | None:
-            if v is None or not v.startswith("_:"):
-                return v
-            if v not in mapping:
-                mapping[v] = f"_:{dh}-c{len(mapping)}"
-            return mapping[v]
-
-        for col in ("subj", "obj", "graph"):
-            vals = rows.column(col).to_pylist()
-            kinds = rows.column("obj_kind").to_pylist() if col == "obj" else None
-            new = [
-                canon(v) if (kinds is None or kinds[i] == "bnode" or col != "obj") else v
-                for i, v in enumerate(vals)
-            ]
-            rows = rows.set_column(
-                rows.schema.get_field_index(col), col, pa.array(new, pa.string())
-            )
-        return rows
 
     return triples_only(ds).groupby("doc_id").map_groups(relabel, batch_format="pyarrow")
 
@@ -262,9 +279,9 @@ def triples_to_jsonld(ds):
     expanded JSON-LD node documents, one per graph, via
     ``groupby("graph").map_groups`` (list reconstruction needs the whole
     graph in view). → Dataset(graph, doc[json string], n_nodes)."""
-    from .core.from_rdf import serialize_rdf
+    from .core.rdf_serialization import serialize_rdf
     from .core.options import JsonLdOptions
-    from .core.to_rdf import RDF_LANGSTRING, XSD_STRING
+    from .core.rdf_generation import RDF_LANGSTRING, XSD_STRING
 
     def build(group: pa.Table) -> pa.Table:
         graph_name = group.column("graph")[0].as_py()

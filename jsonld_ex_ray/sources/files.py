@@ -55,12 +55,12 @@ def read_jsonld_files(paths, **build_kwargs):
 
 def _term_to_nq(value: str | None, kind: str | None, datatype: str | None, lang: str | None) -> str:
     from ..core.nquads import term_to_nquads
-    from ..core.to_rdf import XSD_STRING
+    from ..core.rdf_generation import XSD_STRING
 
     if value is None:
         return ""
     if kind == "literal":
-        from ..core.to_rdf import RDF_LANGSTRING
+        from ..core.rdf_generation import RDF_LANGSTRING
 
         return term_to_nquads(("lit", value, datatype or XSD_STRING, lang))
     if value.startswith("_:"):

@@ -23,10 +23,10 @@ import pyarrow as pa
 from ..core.context import is_well_formed_language  # noqa: F401 (re-export for kernels)
 from ..core.api import expand
 from ..core.errors import JsonLdError
-from ..core.flatten import node_map_generation
+from ..core.flattening import node_map_generation
 from ..core.loader import CachingLoader, StaticLoader
 from ..core.options import JsonLdOptions
-from ..core.to_rdf import node_map_to_rdf
+from ..core.rdf_generation import node_map_to_rdf
 from ..gen import CONTEXT_REGISTRY
 
 TRIPLE_SCHEMA = pa.schema(

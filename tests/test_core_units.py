@@ -7,7 +7,7 @@ from jsonld_ex_ray.core.errors import JsonLdError
 from jsonld_ex_ray.core.iri import relativize, resolve
 from jsonld_ex_ray.core.loader import CachingLoader, StaticLoader
 from jsonld_ex_ray.core.options import JsonLdOptions, JsonLdWarningError
-from jsonld_ex_ray.core.to_rdf import canonical_double, jcs_canonicalize
+from jsonld_ex_ray.core.rdf_generation import canonical_double, jcs_canonicalize
 
 
 def test_caching_loader_caches_hits_and_failures():
@@ -97,6 +97,37 @@ def test_canonical_double():
     assert canonical_double(5.3) == "5.3E0"
     assert canonical_double(-0.25) == "-2.5E-1"
     assert canonical_double(float("inf")) == "INF"
+
+
+def test_urdna2015_relabel_invariance():
+    import random
+
+    from jsonld_ex_ray.core import to_rdf
+    from jsonld_ex_ray.core.urdna2015 import canonical_quads
+
+    doc = {
+        "@context": {"@vocab": "https://x/", "knows": {"@type": "@id"}},
+        "@graph": [
+            {"@id": "_:a", "knows": [{"@id": "_:b"}], "name": "n1"},
+            {"@id": "_:b", "knows": [{"@id": "_:a"}], "name": "n1"},  # automorphic pair
+            {"@id": "_:c", "knows": [{"@id": "_:c"}]},
+            {"name": "anon leaf"},
+        ],
+    }
+    quads = to_rdf(doc, JsonLdOptions())
+    canon = canonical_quads(quads)
+
+    def relabel(qs, seed):
+        rng = random.Random(seed)
+        labels = sorted({t[1] for q in qs for t in q if t and t[0] == "bnode"})
+        new = {l: f"x{rng.randrange(10**9)}" for l in labels}
+        m = lambda t: ("bnode", new[t[1]]) if (t and t[0] == "bnode") else t
+        return [(m(s), m(p), m(o), m(g)) for s, p, o, g in qs]
+
+    for seed in (1, 2, 3, 4):
+        assert canonical_quads(relabel(quads, seed)) == canon
+    labels = {t[1] for q in canon for t in q if t and t[0] == "bnode"}
+    assert all(l.startswith("c14n") for l in labels)
 
 
 def test_jcs_numbers_and_key_order():

@@ -46,7 +46,7 @@ def test_file_source_and_nquads_roundtrip(ray_session, tmp_path):
     for r in df.itertuples():
         def term(v, kind=None, dt=None, lang=None):
             if kind == "literal":
-                from jsonld_ex_ray.core.to_rdf import RDF_LANGSTRING, XSD_STRING
+                from jsonld_ex_ray.core.rdf_generation import RDF_LANGSTRING, XSD_STRING
 
                 return ("lit", v, dt or XSD_STRING, lang)
             if v.startswith("_:"):
