@@ -80,6 +80,21 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     extras["n_files"] = n_files
     extras["n_triples"] = n_triples
 
+    # shuffle-stage visibility: exact dedup + salted graph materialize over
+    # the same corpus (wide ops at sf scale)
+    from jsonld_ex_ray.pipeline import dedup_triples, materialize_graph
+
+    t0 = time.monotonic()
+    extras["n_dedup"] = dedup_triples(
+        build_triples(corpus, batch_size=512, override_num_blocks=num_cpus * 2)
+    ).count()
+    results["kg_dedup"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    extras["n_subjects"] = materialize_graph(
+        build_triples(corpus, batch_size=512, override_num_blocks=num_cpus * 2)
+    ).count()
+    results["kg_materialize"] = round(time.monotonic() - t0, 3)
+
     # secondary pipelines over the driver tables
     import __ray_entry__ as entrymod
 

@@ -127,34 +127,40 @@ def _triple_key(batch: pa.Table) -> pa.Table:
     return batch.append_column("triple_key", pa.array(keys, pa.string()))
 
 
-def dedup_triples(ds):
+def dedup_triples(ds, num_buckets: int = 64):
     """Exact global triple dedup (set semantics of RDF.Graph.add,
-    reference decoder.ex:98-99, lifted cross-document): hash-key the triple,
-    map-side pre-dedup within each block (combiner), then ONE shuffle
-    keyed on the compact hash."""
+    reference decoder.ex:98-99, lifted cross-document): hash-key the
+    triple, map-side pre-dedup within each block (combiner), then ONE
+    shuffle keyed on ``hash(key) % num_buckets`` — a bounded number of
+    groups, each deduped VECTORIZED inside its map_groups call.
+    (groupby on the raw key spawns one Python call per distinct triple —
+    the wrong shape at any scale.)"""
 
     def local_dedup(batch: pa.Table) -> pa.Table:
         batch = _triple_key(batch)
         # map-side combine: first occurrence per key within the block
         mask = []
         seen = set()
+        buckets = []
         for k in batch.column("triple_key").to_pylist():
             mask.append(k not in seen)
             seen.add(k)
+            buckets.append(int(k[:8], 16) % num_buckets)
+        batch = batch.append_column("bucket", pa.array(buckets, pa.int32()))
         return batch.filter(pa.array(mask))
 
     ds = triples_only(ds).map_batches(
         local_dedup, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def first_per_key(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    def bucket_dedup(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        out = df.drop_duplicates(subset="triple_key", keep="first")
+        return pa.Table.from_pandas(
+            out.drop(columns=["triple_key", "bucket"]), preserve_index=False
+        )
 
-    return (
-        ds.groupby("triple_key")
-        .map_groups(first_per_key, batch_format="pyarrow")
-        .drop_columns(["triple_key"])
-    )
+    return ds.groupby("bucket").map_groups(bucket_dedup, batch_format="pyarrow")
 
 
 def canonicalize_bnodes(ds):
@@ -212,66 +218,101 @@ def canonicalize_bnodes(ds):
     return triples_only(ds).groupby("doc_id").map_groups(relabel, batch_format="pyarrow")
 
 
-def materialize_graph(ds, hot_threshold: int = 10_000, salt_buckets: int = 16):
-    """Graph materialize: adjacency per subject via groupby("subj") with
-    salt-based skew splitting (SURVEY.md §2.5). Two phases:
+def materialize_graph(ds, salt_buckets: int = 16, num_buckets: int = 64):
+    """Graph materialize: adjacency per subject with salt-based skew
+    splitting (SURVEY.md §2.5), shuffled on ``hash(subj, salt) % B`` so the
+    group count is bounded and in-group work is batched. Two phases:
 
-    1. partial adjacency per (subj, salt) — hot subjects split into
-       ``salt_buckets`` groups so no single reducer gets a mega-subject;
-    2. merge partials per subj (tiny second shuffle over partial rows).
+    1. partial adjacency per (subj, salt) computed inside each bucket —
+       hot subjects split across ``salt_buckets`` salts land in different
+       buckets, so no single reducer gets a mega-subject;
+    2. merge partials per subj (second bucketed shuffle over the far
+       smaller partial rows).
     """
 
-    def add_salt(batch: pa.Table) -> pa.Table:
+    def add_keys(batch: pa.Table) -> pa.Table:
         subjs = batch.column("subj").to_pylist()
         preds = batch.column("pred").to_pylist()
         objs = batch.column("obj").to_pylist()
         # deterministic across processes/retries (hash() is seeded per
         # interpreter — kernels must be retry-idempotent, SURVEY.md §4)
-        salts = [
-            int.from_bytes(
-                hashlib.blake2b(f"{p}\x1f{o}".encode(), digest_size=4).digest(), "big"
+        buckets = []
+        for s, p, o in zip(subjs, preds, objs):
+            salt = (
+                int.from_bytes(
+                    hashlib.blake2b(f"{p}\x1f{o}".encode(), digest_size=4).digest(), "big"
+                )
+                % salt_buckets
             )
-            % salt_buckets
-            if s is not None
-            else 0
-            for s, p, o in zip(subjs, preds, objs)
-        ]
-        return batch.append_column("salt", pa.array(salts, pa.int32()))
+            h = int.from_bytes(
+                hashlib.blake2b(f"{s}\x1f{salt}".encode(), digest_size=4).digest(), "big"
+            )
+            buckets.append(h % num_buckets)
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
-    def partial_adj(group: pa.Table) -> pa.Table:
-        subj = group.column("subj")[0].as_py()
-        pairs = sorted(
-            zip(group.column("pred").to_pylist(), group.column("obj").to_pylist())
+    def bucket_partials(group: pa.Table) -> pa.Table:
+        import itertools
+
+        rows = sorted(
+            zip(
+                group.column("subj").to_pylist(),
+                group.column("pred").to_pylist(),
+                group.column("obj").to_pylist(),
+            )
         )
+        subjs, degrees, adjs = [], [], []
+        for subj, grp in itertools.groupby(rows, key=lambda r: r[0]):
+            pairs = [(p, o) for _, p, o in grp]
+            subjs.append(subj)
+            degrees.append(len(pairs))
+            adjs.append(json.dumps(pairs, separators=(",", ":")))
         return pa.table(
             {
-                "subj": [subj],
-                "degree": [group.num_rows],
-                "adjacency": [json.dumps(pairs, separators=(",", ":"))],
+                "subj": pa.array(subjs, pa.string()),
+                "degree": pa.array(degrees, pa.int64()),
+                "adjacency": pa.array(adjs, pa.string()),
             }
         )
 
-    def merge_adj(group: pa.Table) -> pa.Table:
-        subj = group.column("subj")[0].as_py()
-        merged: list = []
-        for blob in group.column("adjacency").to_pylist():
-            merged.extend(json.loads(blob))
-        merged.sort()
+    def add_merge_bucket(batch: pa.Table) -> pa.Table:
+        buckets = [
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(), "big")
+            % num_buckets
+            for s in batch.column("subj").to_pylist()
+        ]
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    def bucket_merge(group: pa.Table) -> pa.Table:
+        import itertools
+
+        rows = sorted(
+            zip(group.column("subj").to_pylist(), group.column("adjacency").to_pylist())
+        )
+        subjs, degrees, adjs = [], [], []
+        for subj, grp in itertools.groupby(rows, key=lambda r: r[0]):
+            merged: list = []
+            for _, blob in grp:
+                merged.extend(json.loads(blob))
+            merged.sort()
+            subjs.append(subj)
+            degrees.append(len(merged))
+            adjs.append(json.dumps(merged, separators=(",", ":")))
         return pa.table(
             {
-                "subj": [subj],
-                "degree": [len(merged)],
-                "adjacency": [json.dumps(merged, separators=(",", ":"))],
+                "subj": pa.array(subjs, pa.string()),
+                "degree": pa.array(degrees, pa.int64()),
+                "adjacency": pa.array(adjs, pa.string()),
             }
         )
 
     ds = triples_only(ds).map_batches(
-        add_salt, batch_format="pyarrow", zero_copy_batch=True
+        add_keys, batch_format="pyarrow", zero_copy_batch=True
     )
-    partials = ds.groupby(["subj", "salt"]).map_groups(
-        partial_adj, batch_format="pyarrow"
+    partials = ds.groupby("bucket").map_groups(bucket_partials, batch_format="pyarrow")
+    partials = partials.map_batches(
+        add_merge_bucket, batch_format="pyarrow", zero_copy_batch=True
     )
-    return partials.groupby("subj").map_groups(merge_adj, batch_format="pyarrow")
+    return partials.groupby("bucket").map_groups(bucket_merge, batch_format="pyarrow")
 
 
 def triples_to_jsonld(ds):
