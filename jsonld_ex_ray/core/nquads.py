@@ -67,6 +67,12 @@ def _escape(s: str) -> str:
             out.append("\\n")
         elif c == "\r":
             out.append("\\r")
+        elif c == "\t":
+            out.append("\\t")
+        elif ord(c) < 0x20:
+            # other control chars are legal raw in N-Quads but break
+            # line-oriented tooling (\f is a str.splitlines boundary!)
+            out.append(f"\\u{ord(c):04X}")
         else:
             out.append(c)
     return "".join(out)
@@ -77,7 +83,9 @@ def parse_nquads(text: str) -> list[tuple]:
     from .rdf_generation import XSD_STRING
 
     quads = []
-    for line in text.splitlines():
+    # split on real newlines only — str.splitlines also breaks on \f/\v/
+    #   etc., which are legal raw inside literals
+    for line in text.split("\n"):
         line = line.strip()
         if not line or line.startswith("#"):
             continue

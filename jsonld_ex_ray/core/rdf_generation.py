@@ -163,10 +163,12 @@ def object_to_rdf(
             datatype = XSD_BOOLEAN
         else:
             value = str(value)  # unreachable normalization
-    elif isinstance(value, float) or datatype == XSD_DOUBLE:
-        if isinstance(value, (int, float)) and (
+    elif isinstance(value, (int, float)) and (
+        isinstance(value, float) or datatype == XSD_DOUBLE
+    ):
+        if (
             (isinstance(value, float) and (value != math.trunc(value) or math.isinf(value) or math.isnan(value)))
-            or (isinstance(value, (int, float)) and abs(float(value)) >= 1.0e21)
+            or abs(float(value)) >= 1.0e21
             or datatype == XSD_DOUBLE
         ):
             value = canonical_double(float(value))

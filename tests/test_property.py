@@ -1,0 +1,93 @@
+"""Property-based round-trips (hypothesis): randomly generated JSON-LD
+documents through the full kernel chain. The reference has no property
+tests (SURVEY.md §5) — these guard invariants the W3C suite samples only
+pointwise."""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jsonld_ex_ray.core import JsonLdOptions, compact, expand, from_rdf, to_rdf
+from jsonld_ex_ray.core.isomorphism import isomorphic
+from jsonld_ex_ray.core.nquads import parse_nquads, serialize_nquads
+
+_VOCAB = "https://p.example/"
+
+_scalar = st.one_of(
+    st.text(max_size=12),
+    st.integers(min_value=-(10**9), max_value=10**9),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+)
+
+_iri = st.sampled_from(
+    [f"https://e.example/{i}" for i in range(4)] + [f"_:b{i}" for i in range(3)]
+)
+
+_prop = st.sampled_from(["p1", "p2", "p3", "name"])
+
+
+@st.composite
+def node_objects(draw, depth=2):
+    node = {}
+    if draw(st.booleans()):
+        node["@id"] = draw(_iri)
+    if draw(st.booleans()):
+        node["@type"] = draw(st.sampled_from(["T1", "T2"]))
+    for prop in draw(st.lists(_prop, max_size=3, unique=True)):
+        if depth > 0 and draw(st.booleans()):
+            node[prop] = draw(node_objects(depth=depth - 1))
+        else:
+            node[prop] = draw(st.one_of(_scalar, st.lists(_scalar, max_size=3)))
+    return node
+
+
+def docs():
+    return node_objects().map(
+        lambda n: {"@context": {"@vocab": _VOCAB, "p2": {"@container": "@list"}}, **n}
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs())
+def test_expand_idempotent(doc):
+    e1 = expand(doc)
+    e2 = expand(e1)
+    assert e1 == e2
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs())
+def test_compact_expand_roundtrip(doc):
+    """expand(compact(expand(d))) == expand(d) under the same context."""
+    ctx = {"@context": doc["@context"]}
+    e1 = expand(doc)
+    c = compact(e1, ctx)
+    e2 = expand(c)
+    assert e1 == e2
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs())
+def test_tordf_fromrdf_tordf_fixpoint(doc):
+    """to_rdf(from_rdf(to_rdf(d))) isomorphic to to_rdf(d)."""
+    q1 = to_rdf(doc, JsonLdOptions())
+    back = from_rdf(q1, JsonLdOptions(ordered=True))
+    q2 = to_rdf(back, JsonLdOptions())
+    assert isomorphic(q1, q2)
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs())
+def test_nquads_roundtrip(doc):
+    q1 = to_rdf(doc, JsonLdOptions())
+    text = serialize_nquads(q1)
+    q2 = parse_nquads(text)
+    assert sorted(map(repr, set(q1))) == sorted(map(repr, set(q2)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs())
+def test_expansion_json_serializable(doc):
+    json.dumps(expand(doc))
