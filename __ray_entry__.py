@@ -263,6 +263,69 @@ def _q_events_props_extract(sf_dir: str):
     )
 
 
+def _q_events_tumbling(sf_dir: str):
+    """Event-time tumbling window (1h) aggregate."""
+    import ray.data
+    from jsonld_ex_ray.ops.window import tumbling_window_agg
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+    )
+    return tumbling_window_agg(
+        ds, "ts", 3600, [("value", "count", "n"), ("value", "sum", "sum_value")]
+    )
+
+
+def _q_events_sliding(sf_dir: str):
+    """Sliding window (1h window, 30m slide) aggregate — rows-only check
+    (not ANSI-SQL-expressible without lateral unnest gymnastics)."""
+    import ray.data
+    from jsonld_ex_ray.ops.window import sliding_window_agg
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+    )
+    return sliding_window_agg(
+        ds, "ts", 3600, 1800, [("value", "count", "n"), ("value", "sum", "sum_value")]
+    )
+
+
+def _q_events_asof_view(sf_dir: str):
+    """As-of join: each event gets the most recent strictly-prior 'view'
+    event timestamp of the same user (broadcast right side +
+    merge_asof per batch)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+    from jsonld_ex_ray.ops.joins import asof_join_broadcast
+
+    events = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_type"]
+    )
+    views = events.filter(pc.equal(events.column("event_type"), pa.scalar("view")))
+    right = pa.table(
+        {
+            "user_id": views.column("user_id"),
+            "ts": views.column("ts"),
+            "view_ts": views.column("ts"),
+        }
+    )
+    left = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+    )
+    joined = asof_join_broadcast(
+        left, right, on="ts", by="user_id", allow_exact_matches=False
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_id", "view_ts"])
+
+    return joined.map_batches(project, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "event_id"
+    )
+
+
 def _q_doc_dedup_exact(sf_dir: str):
     from jsonld_ex_ray.ops.dedup import exact_dedup
 
@@ -439,6 +502,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "events_top_users": _q_events_top_users,
         "events_props_extract": _q_events_props_extract,
+        "events_tumbling": _q_events_tumbling,
+        "events_sliding": _q_events_sliding,
+        "events_asof_view": _q_events_asof_view,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_fingerprint": _q_doc_fingerprint,
         "token_counts": _q_token_counts,
@@ -524,6 +590,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
             ORDER BY event_id
+        """,
+        "events_tumbling": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                   count(*) AS n, sum(value) AS sum_value
+            FROM events
+            GROUP BY window_start
+            ORDER BY window_start
+        """,
+        "events_asof_view": """
+            SELECT e.event_id, l.view_ts
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT user_id AS u, ts AS view_ts
+                FROM events WHERE event_type = 'view'
+            ) l ON e.user_id = l.u AND e.ts > l.view_ts
+            ORDER BY e.event_id
         """,
         "doc_dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM (
