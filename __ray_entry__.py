@@ -326,6 +326,26 @@ def _q_events_asof_view(sf_dir: str):
     )
 
 
+def _q_events_value_bands(sf_dir: str):
+    """Range join: event value → [lo, hi) band, broadcast + searchsorted."""
+    import pyarrow as pa
+    import ray.data
+    from jsonld_ex_ray.ops.joins import range_join_broadcast
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    bands = [(0.0, 5.0, "low"), (5.0, 20.0, "mid"), (20.0, 1e9, "high")]
+    out = range_join_broadcast(ds, bands, value_col="value")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_id", "band"])
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "event_id"
+    )
+
+
 def _q_doc_dedup_exact(sf_dir: str):
     from jsonld_ex_ray.ops.dedup import exact_dedup
 
@@ -505,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
         "events_asof_view": _q_events_asof_view,
+        "events_value_bands": _q_events_value_bands,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_fingerprint": _q_doc_fingerprint,
         "token_counts": _q_token_counts,
@@ -605,6 +626,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id AS u, ts AS view_ts
                 FROM events WHERE event_type = 'view'
             ) l ON e.user_id = l.u AND e.ts > l.view_ts
+            ORDER BY e.event_id
+        """,
+        "events_value_bands": """
+            SELECT e.event_id, b.band
+            FROM events e
+            LEFT JOIN (VALUES (0.0, 5.0, 'low'), (5.0, 20.0, 'mid'), (20.0, 1e9, 'high'))
+                 b(lo, hi, band)
+              ON e.value >= b.lo AND e.value < b.hi
             ORDER BY e.event_id
         """,
         "doc_dedup_exact": """

@@ -61,3 +61,34 @@ def asof_join_broadcast(
         zero_copy_batch=True,
         concurrency=2,
     )
+
+
+def range_join_broadcast(
+    left_ds,
+    bands: list[tuple[float, float, str]],
+    *,
+    value_col: str,
+    label_col: str = "band",
+):
+    """Range join against non-overlapping sorted [lo, hi) bands: broadcast
+    the band table and assign per batch via ``numpy.searchsorted`` —
+    O(log B) per row, no shuffle. Rows outside every band get null."""
+    import numpy as np
+
+    bands = sorted(bands)
+    lows = np.asarray([b[0] for b in bands], dtype=np.float64)
+    highs = np.asarray([b[1] for b in bands], dtype=np.float64)
+    labels = [b[2] for b in bands]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch.column(value_col).to_pylist(), dtype=np.float64)
+        idx = np.searchsorted(lows, vals, side="right") - 1
+        out = []
+        for v, i in zip(vals, idx):
+            if i >= 0 and v < highs[i]:
+                out.append(labels[i])
+            else:
+                out.append(None)
+        return batch.append_column(label_col, pa.array(out, pa.string()))
+
+    return left_ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
