@@ -13,7 +13,7 @@ from typing import Any
 
 from .context import NOT_PRESENT, Context
 from .errors import JsonLdError
-from .iri import is_keyword, relativize
+from .iri import relativize
 from .options import JsonLdOptions
 
 _CONTAINER_SORT = "".join

@@ -18,7 +18,6 @@ from typing import Any
 
 from .errors import JsonLdError
 from .iri import (
-    KEYWORDS,
     compact_iri_parts,
     has_keyword_form,
     is_absolute_iri,

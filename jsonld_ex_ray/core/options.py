@@ -10,7 +10,7 @@ warn. Frozen so instances can be captured in Ray task closures / actor ctors.
 from __future__ import annotations
 
 import warnings
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Any, Callable
 
 

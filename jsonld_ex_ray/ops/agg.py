@@ -49,8 +49,6 @@ def groupby_agg_lowcard(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     # final combine: tiny (n_blocks × n_groups rows) — safe to collect
-    import pandas as pd
-
     df = partials.to_pandas()
     grouped = df.groupby(keys, as_index=False, sort=True)
     out = grouped[[c for c in df.columns if c not in keys]].sum()

@@ -60,8 +60,6 @@ def _term_to_nq(value: str | None, kind: str | None, datatype: str | None, lang:
     if value is None:
         return ""
     if kind == "literal":
-        from ..core.rdf_generation import RDF_LANGSTRING
-
         return term_to_nquads(("lit", value, datatype or XSD_STRING, lang))
     if value.startswith("_:"):
         return term_to_nquads(("bnode", value[2:]))

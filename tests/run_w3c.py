@@ -149,7 +149,7 @@ def triple_precision_recall() -> dict:
     output vs the W3C expected N-Quads (the north rule's P/R ≥ 0.95 gate).
     Blank nodes are aligned per case via the isomorphism mapping when the
     graphs match; on mismatch, ground (bnode-erased) triples are compared."""
-    from jsonld_ex_ray.core.isomorphism import _apply, _bnodes, _refine, _signature
+    from jsonld_ex_ray.core.isomorphism import _signature
 
     cases = load_manifest("toRdf")
     loader = make_loader()
