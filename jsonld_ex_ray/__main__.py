@@ -33,6 +33,13 @@ def main(argv: list[str] | None = None) -> int:
     n.add_argument("--nq", required=True, help="target directory for .nq shards")
     n.add_argument("--num-cpus", type=int, default=None)
 
+    f = sub.add_parser(
+        "full", help="complete KG run: extract→triples→canonicalize→dedup→materialize"
+    )
+    f.add_argument("--input", nargs="+", required=True)
+    f.add_argument("--out", required=True)
+    f.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("stats", help="print a checkpointed run's metrics")
     s.add_argument("--out", required=True)
 
@@ -61,6 +68,13 @@ def main(argv: list[str] | None = None) -> int:
                 args.out,
                 shard_size=args.shard_size,
                 concurrency=(2, args.concurrency) if args.concurrency else (2, 8),
+            )
+            print(json.dumps(metrics))
+        elif args.cmd == "full":
+            from .pipelines import full_kg_run
+
+            metrics = full_kg_run(
+                args.input if len(args.input) > 1 else args.input[0], args.out
             )
             print(json.dumps(metrics))
         elif args.cmd == "nquads":

@@ -1,0 +1,37 @@
+"""End-to-end full KG run: all outputs, canonical labels, no duplicates."""
+
+import json
+import os
+
+import pyarrow.dataset as pads
+
+from jsonld_ex_ray.gen import write_corpus
+from jsonld_ex_ray.pipelines import full_kg_run
+
+
+def test_full_kg_run(ray_session, tmp_path):
+    corpus = str(tmp_path / "repos.parquet")
+    write_corpus(corpus, 150, seed=77)
+    out = str(tmp_path / "kg")
+    metrics = full_kg_run(
+        out_dir=out,
+        source=corpus,
+        linker_dict={"https://kg.example/hot/1": "https://kg.example/canonical/h1"},
+        mention_names={f"Widget {i}": f"https://kb/w{i}" for i in range(10000)},
+        concurrency=1,
+    )
+    assert metrics["n_triples"] > 0
+    assert set(os.listdir(out)) >= {"raw", "triples", "adjacency", "mentions", "metrics.json"}
+    assert json.load(open(os.path.join(out, "metrics.json"))) == metrics
+
+    triples = pads.dataset(os.path.join(out, "triples")).to_table().to_pandas()
+    # canonical URDNA labels, doc-namespaced
+    bnodes = [s for s in triples.subj if s.startswith("_:")]
+    assert bnodes and all("-c14n" in b for b in bnodes)
+    # exact dedup held
+    key_cols = ["graph", "subj", "pred", "obj", "obj_datatype", "obj_lang"]
+    assert not triples[key_cols].fillna("").duplicated().any()
+    # linker rewrote the hot subject
+    assert "subj_canon" in triples.columns
+    adjacency = pads.dataset(os.path.join(out, "adjacency")).to_table().to_pandas()
+    assert adjacency.subj.is_unique and adjacency.degree.sum() == len(triples)
