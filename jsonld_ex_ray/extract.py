@@ -52,6 +52,23 @@ def _jsonld_like(doc: Any) -> bool:
     return False
 
 
+# Pluggable detector registry (the engine's counterpart of the reference's
+# RDF.Serialization.Format registration, lib/json_ld.ex:10 / SURVEY.md
+# §2.10): entries are (name, fn(content, lang, ext) -> (payloads, errors) |
+# None). A detector returning None passes to the next; a tuple ends the
+# chain. register_detector(prepend=True) lets deployments add file-kind
+# detectors (e.g. notebook cells, YAML frontmatter) without forking.
+DETECTORS: list[tuple[str, object]] = []
+
+
+def register_detector(name: str, fn, prepend: bool = False) -> None:
+    entry = (name, fn)
+    if prepend:
+        DETECTORS.insert(0, entry)
+    else:
+        DETECTORS.append(entry)
+
+
 def extract_payloads(content: str, lang: str, path: str) -> tuple[list[str], list[str]]:
     """→ (payload_json_strings, errors). Deterministic, bounded."""
     errors: list[str] = []
@@ -62,6 +79,11 @@ def extract_payloads(content: str, lang: str, path: str) -> tuple[list[str], lis
 
     lang = (lang or "").lower()
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+
+    for _, detector in DETECTORS:
+        result = detector(content, lang, ext)
+        if result is not None:
+            return result
 
     # 1. whole-file JSON / JSON-LD
     if lang in _WHOLE_FILE_LANGS or ext in ("jsonld", "json"):

@@ -65,6 +65,26 @@ def test_embedded_picks_outermost():
     assert json.loads(payloads[0]) == inner
 
 
+def test_custom_detector_registry():
+    from jsonld_ex_ray import extract as ex
+
+    def notebook_detector(content, lang, ext):
+        if ext != "ipynb":
+            return None
+        doc = {"@context": {"@vocab": "http://nb/"}, "@id": "http://nb/1"}
+        return [json.dumps(doc)], []
+
+    ex.register_detector("notebook", notebook_detector, prepend=True)
+    try:
+        payloads, errors = extract_payloads("{}", "json", "analysis.ipynb")
+        assert len(payloads) == 1 and "nb/1" in payloads[0]
+        # other kinds untouched
+        p2, _ = extract_payloads('{"name":"noise"}', "json", "a.json")
+        assert p2 == []
+    finally:
+        ex.DETECTORS.pop(0)
+
+
 def test_oversized_content_is_skipped_with_error():
     from jsonld_ex_ray import extract as ex
 
