@@ -79,6 +79,39 @@ class JsonLdToTriples:
         self.loader = CachingLoader(StaticLoader(registry), maxsize=cache_size)
         base = options or JsonLdOptions()
         self.options = base.with_(document_loader=self.loader)
+        # processed-context cache: real corpora repeat a handful of
+        # @context values (schema.org etc.) across millions of documents —
+        # reprocessing term definitions per document is pure waste. Keyed
+        # by the canonical JSON of the top-level @context; only valid when
+        # no document base applies (the pipeline never sets one).
+        self._ctx_cache: dict[str, object] = {}
+        self._ctx_cache_max = cache_size
+
+    def _expand_cached(self, doc):
+        if (
+            isinstance(doc, dict)
+            and "@context" in doc
+            and self.options.base is None
+        ):
+            key = json.dumps(doc["@context"], sort_keys=True, separators=(",", ":"))
+            active = self._ctx_cache.get(key)
+            if active is None:
+                from ..core.context import Context
+
+                active = Context(self.options).process(doc["@context"], None)
+                if len(self._ctx_cache) >= self._ctx_cache_max:
+                    self._ctx_cache.clear()
+                self._ctx_cache[key] = active
+            from ..core.expansion import expand_element
+
+            body = {k: v for k, v in doc.items() if k != "@context"}
+            expanded = expand_element(active, None, body, None, ordered=False)
+            if isinstance(expanded, dict) and set(expanded) == {"@graph"}:
+                expanded = expanded["@graph"]
+            if expanded is None:
+                return []
+            return expanded if isinstance(expanded, list) else [expanded]
+        return expand(doc, self.options)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # triple-level columns built as Python lists (values originate in
@@ -105,7 +138,7 @@ class JsonLdToTriples:
                 continue
             try:
                 doc = json.loads(payload)
-                expanded = expand(doc, self.options)
+                expanded = self._expand_cached(doc)
                 node_map, issuer = node_map_generation(expanded)
                 quads = node_map_to_rdf(node_map, issuer, self.options)
             except JsonLdError as e:
