@@ -394,6 +394,12 @@ def run_checkpointed(
             files, context_registry=context_registry, concurrency=concurrency
         )
         shard_dir = os.path.join(out_dir, "triples", f"shard={i}")
+        if os.path.isdir(shard_dir):
+            # a previous attempt died mid-write: clear the partial shard or
+            # the rerun's UUID-named files would double-count rows
+            import shutil
+
+            shutil.rmtree(shard_dir)
         ds.write_parquet(shard_dir)
         # cheap driver-side stats from the written shard footers
         import pyarrow.dataset as pads

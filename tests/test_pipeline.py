@@ -177,3 +177,19 @@ def test_checkpoint_resume(ray_session, tmp_path):
     m2 = run_checkpointed(files, out, shard_size=1, concurrency=1)
     assert m2["shards_skipped"] == 2  # only the victim re-ran
     assert read_triples(out).count() == total
+
+    # kill DURING a shard write: partial files exist but no manifest line —
+    # the rerun must replace them, not append duplicates
+    lines = [json.loads(line) for line in open(manifest)]
+    victim = lines[-1]["shard"]
+    shard_dir = os.path.join(out, "triples", f"shard={victim}")
+    leftover = os.path.join(shard_dir, "partial_leftover.parquet")
+    src_table = pq.read_table(os.path.join(shard_dir, os.listdir(shard_dir)[0]))
+    pq.write_table(src_table, leftover)  # simulate a torn write
+    with open(manifest, "w") as f:
+        for rec in lines:
+            if rec["shard"] != victim:
+                f.write(json.dumps(rec) + "\n")
+    m3 = run_checkpointed(files, out, shard_size=1, concurrency=1)
+    assert m3["shards_skipped"] == 2
+    assert read_triples(out).count() == total  # no double counting
