@@ -480,6 +480,15 @@ def _q_kg_materialize(sf_dir: str):
     return materialize_graph(build_triples(_corpus_for(sf_dir), concurrency=2))
 
 
+def _q_kg_error_stats(sf_dir: str):
+    """Per-code error-rate rollup over the extraction/expansion errors."""
+    from jsonld_ex_ray.ops.agg import groupby_agg_lowcard
+    from jsonld_ex_ray.pipeline import build_triples, errors_only
+
+    errs = errors_only(build_triples(_corpus_for(sf_dir), concurrency=2))
+    return groupby_agg_lowcard(errs, ["error_code"], [("doc_id", "count", "n")])
+
+
 def _q_kg_mentions(sf_dir: str):
     """Mention-detect + scored entity linking over name-like literals."""
     import ray
@@ -546,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_link": _q_kg_entity_link,
         "kg_from_rdf": _q_kg_from_rdf,
         "kg_mentions": _q_kg_mentions,
+        "kg_error_stats": _q_kg_error_stats,
     }
 
 

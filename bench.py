@@ -210,7 +210,21 @@ if __name__ == "__main__":
         sf_dir = args[args.index("--sf-dir") + 1]
     if "--cpus" in args:
         num_cpus = int(args[args.index("--cpus") + 1])
-    if "--single-run" in args:
+    if "--stats" in args:
+        # operator-level breakdown of the flagship (ds.stats()), to stderr
+        import ray
+
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, log_to_driver=False)
+        from jsonld_ex_ray.pipeline import build_triples, triples_only
+
+        corpus = _corpus_path(_sf_from_dir(sf_dir))
+        mat = triples_only(
+            build_triples(corpus, batch_size=512, override_num_blocks=num_cpus * 2)
+        ).materialize()
+        print(mat.stats(), file=sys.stderr)
+        print(json.dumps({"metric": "stats", "rows": mat.count(), "num_cpus": num_cpus}))
+        ray.shutdown()
+    elif "--single-run" in args:
         print(json.dumps(run_single(sf_dir, num_cpus)))
     elif "--scaling-wide" in args:
         print(json.dumps(run_scaling(sf_dir, low=8, high=32)))
