@@ -346,6 +346,15 @@ def _q_events_value_bands(sf_dir: str):
     )
 
 
+def _q_doc_sample_per_lang(sf_dir: str):
+    """Deterministic stratified sample: 40 docs per lang by md5(doc_id)."""
+    from jsonld_ex_ray.ops.agg import sample_per_group
+
+    return sample_per_group(_read(sf_dir, "documents"), "lang", "doc_id", 40).sort(
+        "doc_id"
+    )
+
+
 def _q_doc_dedup_exact(sf_dir: str):
     from jsonld_ex_ray.ops.dedup import exact_dedup
 
@@ -536,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_view": _q_events_asof_view,
         "events_value_bands": _q_events_value_bands,
         "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_sample_per_lang": _q_doc_sample_per_lang,
         "doc_fingerprint": _q_doc_fingerprint,
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
@@ -645,6 +655,15 @@ def oracle_sql() -> dict[str, str]:
                  b(lo, hi, band)
               ON e.value >= b.lo AND e.value < b.hi
             ORDER BY e.event_id
+        """,
+        "doc_sample_per_lang": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+              ) AS rn
+              FROM documents
+            ) WHERE rn <= 40
+            ORDER BY doc_id
         """,
         "doc_dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM (

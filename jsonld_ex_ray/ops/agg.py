@@ -67,6 +67,41 @@ def groupby_agg_lowcard(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
     return result.sort_values(keys).reset_index(drop=True)
 
 
+def sample_per_group(ds, group_col: str, id_col: str, n: int):
+    """Deterministic stratified sampling: keep the ``n`` rows per group
+    with the smallest ``md5(id)`` — reproducible across runs/retries and
+    oracle-checkable (unlike RNG sampling). Map-side per-group top-n
+    (combiner) → tiny grouped final selection."""
+    import hashlib
+
+    def add_rank_key(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(str(v).encode()).hexdigest()
+            for v in batch.column(id_col).to_pylist()
+        ]
+        return batch.append_column("__rk", pa.array(keys, pa.string()))
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = (
+            df.sort_values([group_col, "__rk"])
+            .groupby(group_col, sort=False)
+            .head(n)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final_topn(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("__rk").head(n)
+        return pa.Table.from_pandas(df.drop(columns="__rk"), preserve_index=False)
+
+    return (
+        ds.map_batches(add_rank_key, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(local_topn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(final_topn, batch_format="pyarrow")
+    )
+
+
 def topk(ds, sort_cols: list[str], descending: list[bool], k: int):
     """Global top-k without a full sort: per-block top-k, then sort+limit
     over the k×n_blocks survivors."""
