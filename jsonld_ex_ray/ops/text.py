@@ -49,43 +49,40 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+_STOPWORD_RE = "(?i)\\b(" + "|".join(sorted(_STOPWORDS)) + ")\\b"
+
+
 def quality_score_batch(batch: pa.Table) -> pa.Table:
     """Length / punctuation / stopword-ratio heuristics (doc_id + features +
-    a composite score in [0,1])."""
-    texts = batch.column("text").to_pylist()
-    n_chars, punct_ratio, stop_ratio, mean_word_len, score = [], [], [], [], []
-    for t in texts:
-        t = t or ""
-        words = t.split()
-        nw = len(words)
-        nc = len(t)
-        punct = sum(1 for c in t if not c.isalnum() and not c.isspace())
-        stops = sum(1 for w in words if w.lower() in _STOPWORDS)
-        pr = punct / nc if nc else 0.0
-        sr = stops / nw if nw else 0.0
-        mwl = (sum(len(w) for w in words) / nw) if nw else 0.0
-        # composite: in-range length, some stopwords, low punct, sane words
-        s = 1.0
-        if nc < 32 or nc > 100_000:
-            s *= 0.3
-        if pr > 0.3:
-            s *= 0.4
-        if mwl < 2 or mwl > 14:
-            s *= 0.5
-        s *= min(1.0, 0.5 + sr)
-        n_chars.append(nc)
-        punct_ratio.append(round(pr, 6))
-        stop_ratio.append(round(sr, 6))
-        mean_word_len.append(round(mwl, 6))
-        score.append(round(s, 6))
+    a composite score in [0,1]). Fully vectorized: Arrow RE2 match counts +
+    numpy arithmetic — no per-document Python."""
+    import numpy as np
+
+    text = pc.fill_null(batch.column("text"), "")
+    nc = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+    nw = pc.count_substring_regex(text, r"\S+").to_numpy(zero_copy_only=False).astype(np.float64)
+    nonspace = pc.count_substring_regex(text, r"\S").to_numpy(zero_copy_only=False).astype(np.float64)
+    punct = pc.count_substring_regex(text, r"[^\w\s]").to_numpy(zero_copy_only=False).astype(np.float64)
+    stops = pc.count_substring_regex(text, _STOPWORD_RE).to_numpy(zero_copy_only=False).astype(np.float64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pr = np.where(nc > 0, punct / nc, 0.0)
+        sr = np.where(nw > 0, stops / nw, 0.0)
+        mwl = np.where(nw > 0, nonspace / nw, 0.0)
+    # composite: in-range length, some stopwords, low punct, sane words
+    score = np.ones_like(nc)
+    score *= np.where((nc < 32) | (nc > 100_000), 0.3, 1.0)
+    score *= np.where(pr > 0.3, 0.4, 1.0)
+    score *= np.where((mwl < 2) | (mwl > 14), 0.5, 1.0)
+    score *= np.minimum(1.0, 0.5 + sr)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "n_chars": pa.array(n_chars, pa.int64()),
-            "punct_ratio": pa.array(punct_ratio, pa.float64()),
-            "stopword_ratio": pa.array(stop_ratio, pa.float64()),
-            "mean_word_len": pa.array(mean_word_len, pa.float64()),
-            "quality": pa.array(score, pa.float64()),
+            "n_chars": pa.array(nc.astype(np.int64)),
+            "punct_ratio": pa.array(np.round(pr, 6)),
+            "stopword_ratio": pa.array(np.round(sr, 6)),
+            "mean_word_len": pa.array(np.round(mwl, 6)),
+            "quality": pa.array(np.round(score, 6)),
         }
     )
 
