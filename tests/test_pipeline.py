@@ -129,6 +129,54 @@ def test_actor_pool_path_matches_task_path(ray_session, corpus):
     assert a == b
 
 
+def test_pipeline_rows_match_core_kernel(ray_session, corpus):
+    """End-to-end integrity: for sampled documents, the pipeline's triple
+    rows equal the core to_rdf() output (modulo the doc-hash bnode
+    namespace the kernel adds)."""
+    import json as _json
+
+    from jsonld_ex_ray.core import JsonLdOptions, to_rdf
+    from jsonld_ex_ray.core.loader import CachingLoader, StaticLoader
+    from jsonld_ex_ray.extract import extract_payloads
+    from jsonld_ex_ray.gen import CONTEXT_REGISTRY
+
+    df = triples_only(build_triples(corpus, concurrency=1)).to_pandas()
+    src = pq.read_table(corpus).to_pandas()
+    opts = JsonLdOptions(document_loader=CachingLoader(StaticLoader(CONTEXT_REGISTRY)))
+    checked = 0
+    for r in src.itertuples():
+        payloads, _ = extract_payloads(r.content, r.lang, r.path)
+        for i, payload in enumerate(payloads):
+            doc_id = f"{r.repo}@{r.commit}:{r.path}#{i}"
+            rows = df[df.doc_id == doc_id]
+            try:
+                quads = to_rdf(_json.loads(payload), opts)
+            except Exception:
+                assert len(rows) == 0
+                continue
+            def strip(v):
+                if isinstance(v, str) and v.startswith("_:"):
+                    return "_:" + v.split("-", 1)[-1]
+                return v
+            got = {
+                (strip(t.subj), t.pred, strip(t.obj) if t.obj_kind == "bnode" else t.obj)
+                for t in rows.itertuples()
+            }
+            want = {
+                (
+                    f"_:{s[1]}" if s[0] == "bnode" else s[1],
+                    p[1],
+                    (f"_:{o[1]}" if o[0] == "bnode" else o[1]),
+                )
+                for s, p, o, g in quads
+            }
+            assert got == want, doc_id
+            checked += 1
+            if checked >= 25:
+                return
+    assert checked > 0
+
+
 def test_mention_linker_scoring():
     from jsonld_ex_ray.stages.linker import MentionLinker
 
