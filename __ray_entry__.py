@@ -445,6 +445,34 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_topk(_read(sf_dir, "embeddings"), rows[0]["embedding"], cents, k=10, nprobe=8)
 
 
+def _q_ann_recall(sf_dir: str):
+    """IVF quality metric: recall@10 of the pruned search vs the exact
+    brute-force top-10, averaged over 20 query vectors."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from jsonld_ex_ray.ops.similarity import _normalize, fit_centroids
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pylist()
+    m = _normalize(np.asarray([r["embedding"] for r in emb], dtype=np.float64))
+    ids = np.asarray([r["vec_id"] for r in emb])
+    cents = fit_centroids(m[:2000], n_clusters=16)
+    assign = np.argmax(m @ cents.T, axis=1)
+    recalls = []
+    for qi in range(20):
+        q = m[qi % len(m)]
+        exact = set(ids[np.argsort(-(m @ q))[:10]].tolist())
+        probe = set(np.argsort(-(cents @ q))[:8].tolist())
+        mask = np.isin(assign, list(probe))
+        cand_ids = ids[mask]
+        sims = m[mask] @ q
+        approx = set(cand_ids[np.argsort(-sims)[:10]].tolist())
+        recalls.append(len(exact & approx) / 10)
+    return pd.DataFrame(
+        {"n_queries": [len(recalls)], "recall_at_10": [round(float(np.mean(recalls)), 4)]}
+    )
+
+
 def _q_emb_dups(sf_dir: str):
     from jsonld_ex_ray.ops.similarity import embedding_cosine_duplicates
 
@@ -555,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "ann_recall": _q_ann_recall,
         "emb_dups": _q_emb_dups,
         "media_features": _q_media_features,
         "kg_triples": _q_kg_triples,
