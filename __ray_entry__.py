@@ -346,6 +346,21 @@ def _q_events_value_bands(sf_dir: str):
     )
 
 
+def _q_doc_splits(sf_dir: str):
+    """Deterministic train/val/test assignment by md5(doc_id)."""
+    import pyarrow as pa
+    from jsonld_ex_ray.ops.text import assign_splits
+
+    ds = assign_splits(_read(sf_dir, "documents"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "split"])
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
 def _q_doc_sample_per_lang(sf_dir: str):
     """Deterministic stratified sample: 40 docs per lang by md5(doc_id)."""
     from jsonld_ex_ray.ops.agg import sample_per_group
@@ -574,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_bands": _q_events_value_bands,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_sample_per_lang": _q_doc_sample_per_lang,
+        "doc_splits": _q_doc_splits,
         "doc_fingerprint": _q_doc_fingerprint,
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
@@ -684,6 +700,14 @@ def oracle_sql() -> dict[str, str]:
                  b(lo, hi, band)
               ON e.value >= b.lo AND e.value < b.hi
             ORDER BY e.event_id
+        """,
+        "doc_splits": """
+            SELECT doc_id,
+                   CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c0' THEN 'train'
+                        WHEN md5(CAST(doc_id AS VARCHAR)) < 'e0' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+            ORDER BY doc_id
         """,
         "doc_sample_per_lang": """
             SELECT doc_id, text, lang, source, n_chars FROM (

@@ -132,6 +132,28 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def assign_splits(ds, id_col: str = "doc_id", boundaries: list[tuple[str, str]] | None = None):
+    """Deterministic dataset splitting for training pipelines: split by the
+    md5 of the id against hex-lexicographic boundaries — stable across
+    runs, machines and retries (never RNG). Default: train <'c0' (75%),
+    val <'e0' (12.5%), test otherwise (12.5%)."""
+    import hashlib as _hashlib
+
+    boundaries = boundaries or [("c0", "train"), ("e0", "val"), ("￿", "test")]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        splits = []
+        for v in batch.column(id_col).to_pylist():
+            h = _hashlib.md5(str(v).encode()).hexdigest()
+            for bound, name in boundaries:
+                if h < bound:
+                    splits.append(name)
+                    break
+        return batch.append_column("split", pa.array(splits, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def filter_quality(ds, min_quality: float = 0.5):
     """Quality-gate a documents Dataset (keeps original columns)."""
 
