@@ -69,13 +69,16 @@ def _q_lineitem_agg(sf_dir: str):
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
+    # float sums are rounded to fixed precision on BOTH sides (engine +
+    # oracle SQL): parallel partial aggregation adds doubles in a different
+    # order than any serial scan, so bit-equality only exists post-round
     return groupby_agg_lowcard(
         ds,
         ["l_returnflag", "l_linestatus"],
         [
-            ("l_quantity", "sum", "sum_qty"),
-            ("l_extendedprice", "sum", "sum_base_price"),
-            ("l_discount", "mean", "avg_disc"),
+            ("l_quantity", "sum", "sum_qty", 2),
+            ("l_extendedprice", "sum", "sum_base_price", 2),
+            ("l_discount", "mean", "avg_disc", 6),
             ("l_quantity", "count", "count_order"),
         ],
     )
@@ -93,9 +96,11 @@ def _q_top_orders(sf_dir: str):
 
 
 def _q_orders_by_segment(sf_dir: str):
-    """Broadcast join: small customer side shipped once via ray.put and
-    looked up inside map_batches — no shuffle join."""
+    """Broadcast join: small customer side shipped once via ray.put as an
+    ARROW table and probed with vectorized ``pc.index_in`` + ``take``
+    inside map_batches — no shuffle join, no per-row Python."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
     import ray.data
@@ -103,22 +108,24 @@ def _q_orders_by_segment(sf_dir: str):
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
-    mapping_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())))
+    cust_ref = ray.put(cust.combine_chunks())
 
     class AttachSegment:
         def __init__(self, ref):
-            self.mapping = ray.get(ref)
+            tbl = ray.get(ref)  # broadcast: fetched once per worker
+            self.keys = tbl.column("c_custkey").chunk(0)
+            self.segs = tbl.column("c_mktsegment").chunk(0)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            segs = [self.mapping.get(k) for k in batch.column("o_custkey").to_pylist()]
-            return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+            idx = pc.index_in(batch.column("o_custkey"), value_set=self.keys)
+            return batch.append_column("c_mktsegment", pc.take(self.segs, idx))
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
     ds = ds.map_batches(
         AttachSegment,
-        fn_constructor_kwargs={"ref": mapping_ref},
+        fn_constructor_kwargs={"ref": cust_ref},
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=2,
@@ -130,7 +137,7 @@ def _q_orders_by_segment(sf_dir: str):
         ["c_mktsegment"],
         [
             ("o_totalprice", "count", "n_orders"),
-            ("o_totalprice", "sum", "sum_price"),
+            ("o_totalprice", "sum", "sum_price", 2),
         ],
     )
 
@@ -159,54 +166,46 @@ def _q_events_window(sf_dir: str):
 
 
 def _q_revenue_by_priority(sf_dir: str):
-    """Two-table pattern at scale: broadcast the small side (orders'
-    priority map via ray.put), pre-aggregate map-side."""
+    """Two LARGE sides (orders is a fact table, not a dimension): bucketed
+    hash join — both sides stream, co-located by hash(orderkey) in one
+    bounded shuffle; no driver-side read, no full-table broadcast."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    import ray
     import ray.data
     from jsonld_ex_ray.ops.agg import groupby_agg_lowcard
+    from jsonld_ex_ray.ops.joins import hash_join_bucketed
 
-    orders = pq.read_table(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
-    )
-    pri_ref = ray.put(
-        dict(zip(orders.column("o_orderkey").to_pylist(), orders.column("o_orderpriority").to_pylist()))
-    )
-
-    class AttachPriority:
-        def __init__(self, ref):
-            self.pri = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            pri = [self.pri.get(k) for k in batch.column("l_orderkey").to_pylist()]
-            revenue = pc.multiply(
-                batch.column("l_extendedprice"),
-                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-            )
-            return pa.table(
-                {
-                    "o_orderpriority": pa.array(pri, pa.string()),
-                    "revenue": revenue,
-                }
-            )
-
-    ds = ray.data.read_parquet(
+    lineitem = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    ds = ds.map_batches(
-        AttachPriority,
-        fn_constructor_kwargs={"ref": pri_ref},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=2,
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
     )
+    joined = hash_join_bucketed(
+        lineitem,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        right_cols=["o_orderpriority"],
+        num_buckets=32,
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {"o_orderpriority": batch.column("o_orderpriority"), "revenue": rev}
+        )
+
+    ds = joined.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
     return groupby_agg_lowcard(
         ds,
         ["o_orderpriority"],
-        [("revenue", "sum", "sum_revenue"), ("revenue", "count", "n_items")],
+        [("revenue", "sum", "sum_revenue", 2), ("revenue", "count", "n_items")],
     )
 
 
@@ -226,37 +225,38 @@ def _q_doc_stats_by_lang(sf_dir: str):
 
 
 def _q_events_top_users(sf_dir: str):
-    """High-cardinality partial agg + top-k composition."""
+    """High-cardinality groupby: map-side arrow partials → ONE bounded
+    bucket shuffle → vectorized per-bucket combine (never collects
+    partials on the driver) → distributed top-k over the per-user rows."""
     import ray.data
-    from jsonld_ex_ray.ops.agg import groupby_agg_lowcard, topk
+    from jsonld_ex_ray.ops.agg import groupby_agg_bucketed, topk
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
     )
-    per_user = groupby_agg_lowcard(ds, ["user_id"], [("value", "sum", "total_value")])
-    out = per_user.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10)
-    return out.reset_index(drop=True)
+    per_user = groupby_agg_bucketed(
+        ds, ["user_id"], [("value", "sum", "total_value", 2)], num_buckets=32
+    )
+    return topk(per_user, ["total_value", "user_id"], [True, False], 10)
 
 
 def _q_events_props_extract(sf_dir: str):
     """JSON payload column parsing (vectorized per batch)."""
-    import json as _json
-
     import pyarrow as pa
+
+    import polars as pl
 
     ds = _read(sf_dir, "events")
 
     def extract_k(batch: pa.Table) -> pa.Table:
-        ks = []
-        for p in batch.column("props").to_pylist():
-            try:
-                v = _json.loads(p).get("k")
-            except Exception:
-                v = None
-            ks.append(None if v is None else int(v))
-        return pa.table(
-            {"event_id": batch.column("event_id"), "k": pa.array(ks, pa.int64())}
+        # vectorized JSON path extraction (polars, zero-copy from arrow)
+        ks = (
+            pl.from_arrow(batch.select(["props"]))
+            .select(pl.col("props").str.json_path_match("$.k").cast(pl.Int64, strict=False))
+            .to_arrow()
+            .column(0)
         )
+        return pa.table({"event_id": batch.column("event_id"), "k": ks.cast(pa.int64())})
 
     return ds.map_batches(extract_k, batch_format="pyarrow", zero_copy_batch=True).sort(
         "event_id"
@@ -291,31 +291,37 @@ def _q_events_sliding(sf_dir: str):
 
 
 def _q_events_asof_view(sf_dir: str):
-    """As-of join: each event gets the most recent strictly-prior 'view'
-    event timestamp of the same user (broadcast right side +
-    merge_asof per batch)."""
+    """As-of join with TWO large sides: the right side ('view' events) is
+    a filtered subset of the same big table, derived as a streaming Ray
+    filter — never read on the driver. Both sides bucket on hash(user_id)
+    and merge_asof runs vectorized inside each bucket."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
     import ray.data
-    from jsonld_ex_ray.ops.joins import asof_join_broadcast
+    from jsonld_ex_ray.ops.joins import asof_join_bucketed
 
-    events = pq.read_table(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_type"]
-    )
-    views = events.filter(pc.equal(events.column("event_type"), pa.scalar("view")))
-    right = pa.table(
-        {
-            "user_id": views.column("user_id"),
-            "ts": views.column("ts"),
-            "view_ts": views.column("ts"),
-        }
-    )
     left = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
     )
-    joined = asof_join_broadcast(
-        left, right, on="ts", by="user_id", allow_exact_matches=False
+
+    def views_only(batch: pa.Table) -> pa.Table:
+        v = batch.filter(pc.equal(batch.column("event_type"), pa.scalar("view")))
+        return pa.table(
+            {"user_id": v.column("user_id"), "ts": v.column("ts"), "view_ts": v.column("ts")}
+        )
+
+    right = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_type"]
+    ).map_batches(views_only, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = asof_join_bucketed(
+        left,
+        right,
+        on="ts",
+        by="user_id",
+        right_value_cols=["view_ts"],
+        num_buckets=32,
+        allow_exact_matches=False,
     )
 
     def project(batch: pa.Table) -> pa.Table:
@@ -450,42 +456,30 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
+    """Centroids are fitted on a BOUNDED ds.limit() sample and broadcast;
+    the corpus itself never leaves the Dataset (no driver-side read)."""
     import numpy as np
-    import pyarrow.parquet as pq
     from jsonld_ex_ray.ops.similarity import fit_centroids, ivf_topk
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    rows = emb.to_pylist()
-    cents = fit_centroids(np.asarray([r["embedding"] for r in rows[:2000]]))
-    return ivf_topk(_read(sf_dir, "embeddings"), rows[0]["embedding"], cents, k=10, nprobe=8)
+    ds = _read(sf_dir, "embeddings")
+    sample = ds.limit(2000).to_pandas()["embedding"].tolist()
+    cents = fit_centroids(np.asarray(sample))
+    return ivf_topk(_read(sf_dir, "embeddings"), sample[0], cents, k=10, nprobe=8)
 
 
 def _q_ann_recall(sf_dir: str):
     """IVF quality metric: recall@10 of the pruned search vs the exact
-    brute-force top-10, averaged over 20 query vectors."""
+    brute-force top-10, averaged over 20 query vectors — one streaming
+    pass emitting per-block top-k survivors for both scans; only those
+    bounded survivors reach the driver."""
     import numpy as np
-    import pandas as pd
-    import pyarrow.parquet as pq
-    from jsonld_ex_ray.ops.similarity import _normalize, fit_centroids
+    from jsonld_ex_ray.ops.similarity import fit_centroids, ivf_recall_at_k
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pylist()
-    m = _normalize(np.asarray([r["embedding"] for r in emb], dtype=np.float64))
-    ids = np.asarray([r["vec_id"] for r in emb])
-    cents = fit_centroids(m[:2000], n_clusters=16)
-    assign = np.argmax(m @ cents.T, axis=1)
-    recalls = []
-    for qi in range(20):
-        q = m[qi % len(m)]
-        exact = set(ids[np.argsort(-(m @ q))[:10]].tolist())
-        probe = set(np.argsort(-(cents @ q))[:8].tolist())
-        mask = np.isin(assign, list(probe))
-        cand_ids = ids[mask]
-        sims = m[mask] @ q
-        approx = set(cand_ids[np.argsort(-sims)[:10]].tolist())
-        recalls.append(len(exact & approx) / 10)
-    return pd.DataFrame(
-        {"n_queries": [len(recalls)], "recall_at_10": [round(float(np.mean(recalls)), 4)]}
-    )
+    ds = _read(sf_dir, "embeddings")
+    sample = ds.limit(2000).to_pandas()["embedding"].tolist()
+    cents = fit_centroids(np.asarray(sample), n_clusters=16)
+    queries = sample[:20]
+    return ivf_recall_at_k(_read(sf_dir, "embeddings"), queries, cents, k=10, nprobe=8)
 
 
 def _q_emb_dups(sf_dir: str):
@@ -618,9 +612,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   avg(l_discount) AS avg_disc,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -635,7 +629,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_segment": """
             SELECT c_mktsegment,
                    count(*) AS n_orders,
-                   sum(o_totalprice) AS sum_price
+                   round(sum(o_totalprice), 2) AS sum_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
@@ -649,7 +643,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_priority": """
             SELECT o_orderpriority,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_revenue,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
@@ -665,7 +659,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY lang
         """,
         "events_top_users": """
-            SELECT user_id, sum(value) AS total_value
+            SELECT user_id, round(sum(value), 2) AS total_value
             FROM events
             GROUP BY user_id
             ORDER BY total_value DESC, user_id ASC

@@ -6,65 +6,158 @@ rows. For low-cardinality keys this replaces Ray's sort-based groupby
 shuffle entirely — the pattern that matters at 100 TB: each block emits a
 handful of partial rows, and the final combine touches kilobytes.
 
+``groupby_agg_bucketed``: the high-cardinality path — same map-side arrow
+partials, then ONE bounded shuffle on ``hash(keys) % num_buckets`` with a
+vectorized per-bucket final combine. Nothing is materialized on the
+driver; the result stays a distributed Dataset (one row per key).
+
 ``topk``: per-block top-k inside ``map_batches`` + global sort+limit over
 the tiny per-block survivors (k × n_blocks rows), replacing a full sort.
+
+Float determinism: parallel partial sums add doubles in a different order
+than a serial scan, so exact bit-equality with any single-threaded oracle
+is unattainable. Aggregate specs therefore accept an optional 4th element
+``round_digits``; pair it with ``round(expr, n)`` in the oracle SQL.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 _SUPPORTED = ("sum", "count", "mean", "min", "max")
 
+# partial column name -> how partials combine across blocks
+_COMBINE_SUM = "sum"
+_COMBINE_MIN = "min"
+_COMBINE_MAX = "max"
 
-def groupby_agg_lowcard(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
-    """aggs: [(column, op, alias)] with op in sum|count|mean|min|max.
-    Returns a pandas DataFrame sorted by keys (result is inherently small:
-    one row per distinct key combination)."""
-    for _, op, _ in aggs:
+
+def _norm_aggs(aggs):
+    """Normalize specs to (col, op, alias, round_digits|None)."""
+    out = []
+    seen_aliases = set()
+    for spec in aggs:
+        col, op, alias = spec[0], spec[1], spec[2]
+        nd = spec[3] if len(spec) > 3 else None
         if op not in _SUPPORTED:
             raise ValueError(f"unsupported op {op!r}")
+        if alias in seen_aliases:
+            raise ValueError(f"duplicate alias {alias!r}")
+        seen_aliases.add(alias)
+        out.append((col, op, alias, nd))
+    return out
+
+
+def _plan_partials(aggs):
+    """partial_name -> (arrow aggregate spec, combine op). Partials shared
+    by several aliases (e.g. sum+mean of one column) are emitted once and
+    fanned out at finalize time — no name collisions."""
+    partials: dict[str, tuple[tuple, str]] = {}
+    for col, op, _alias, _nd in aggs:
+        if op == "count":
+            # COUNT(*) semantics: row count, independent of nulls anywhere
+            partials["__cnt_all"] = (([], "count_all"), _COMBINE_SUM)
+        elif op in ("sum", "mean"):
+            partials[f"__sum_{col}"] = ((col, "sum"), _COMBINE_SUM)
+            if op == "mean":
+                # SQL avg ignores nulls: denominator = non-null count of col
+                partials[f"__cnt_{col}"] = ((col, "count"), _COMBINE_SUM)
+        elif op == "min":
+            partials[f"__min_{col}"] = ((col, "min"), _COMBINE_MIN)
+        elif op == "max":
+            partials[f"__max_{col}"] = ((col, "max"), _COMBINE_MAX)
+    return partials
+
+
+def _arrow_out_name(spec: tuple) -> str:
+    col, op = spec
+    return op if col == [] or col == "" else f"{col}_{op}"
+
+
+def _partial_table(batch: pa.Table, keys: list[str], partials) -> pa.Table:
+    specs = []
+    seen = set()
+    for _name, (spec, _comb) in partials.items():
+        key = (str(spec[0]), spec[1])
+        if key not in seen:
+            seen.add(key)
+            specs.append(spec)
+    tbl = batch.group_by(keys).aggregate(specs)
+    rename = {}
+    for name, (spec, _comb) in partials.items():
+        rename[_arrow_out_name(spec)] = name
+    return tbl.rename_columns([rename.get(n, n) for n in tbl.schema.names])
+
+
+def _finalize_df(df, keys: list[str], aggs, partials, sort: bool):
+    """Combine partial rows (pandas DataFrame) → final aliased columns."""
+    grouped = df.groupby(keys, as_index=False, sort=sort)
+    combine_map = {name: comb for name, (_spec, comb) in partials.items()}
+    out = grouped.agg({name: comb for name, comb in combine_map.items()})
+    result = out[keys].copy()
+    for col, op, alias, nd in aggs:
+        if op == "count":
+            vals = out["__cnt_all"]
+        elif op == "sum":
+            vals = out[f"__sum_{col}"]
+        elif op == "mean":
+            vals = out[f"__sum_{col}"] / out[f"__cnt_{col}"]
+        else:
+            vals = out[f"__{op}_{col}"]
+        if nd is not None:
+            vals = np.round(vals.astype(np.float64), nd)
+        result[alias] = vals
+    return result
+
+
+def groupby_agg_lowcard(ds, keys: list[str], aggs):
+    """aggs: [(column, op, alias[, round_digits])] with op in
+    sum|count|mean|min|max. Returns a pandas DataFrame sorted by keys (the
+    result is inherently small: one row per distinct key combination)."""
+    aggs = _norm_aggs(aggs)
+    partials = _plan_partials(aggs)
 
     def partial(batch: pa.Table) -> pa.Table:
-        # arrow hash aggregation per block: sums + counts (mean = sum/count
-        # at final combine; min/max combine by min/max)
-        specs = []
-        for col, op, alias in aggs:
-            if op == "count":
-                specs.append((keys[0], "count", f"__cnt__{alias}"))
-            elif op == "mean":
-                specs.append((col, "sum", f"__sum__{alias}"))
-                specs.append((col, "count", f"__cnt__{alias}"))
-            else:
-                specs.append((col, op, f"__{op}__{alias}"))
-        tbl = batch.group_by(keys).aggregate([(c, o) for c, o, _ in specs])
-        # rename arrow's "<col>_<op>" outputs to our stable partial names
-        names = list(keys)
-        rename = {f"{c}_{o}": n for c, o, n in specs}
-        out_names = []
-        for name in tbl.schema.names:
-            out_names.append(rename.get(name, name))
-        return tbl.rename_columns(out_names)
+        return _partial_table(batch, keys, partials)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     # final combine: tiny (n_blocks × n_groups rows) — safe to collect
-    df = partials.to_pandas()
-    grouped = df.groupby(keys, as_index=False, sort=True)
-    out = grouped[[c for c in df.columns if c not in keys]].sum()
-    result = out[keys].copy()
-    for col, op, alias in aggs:
-        if op == "count":
-            result[alias] = out[f"__cnt__{alias}"]
-        elif op == "mean":
-            result[alias] = out[f"__sum__{alias}"] / out[f"__cnt__{alias}"]
-        elif op == "sum":
-            result[alias] = out[f"__sum__{alias}"]
-        else:
-            # min/max of partials re-aggregated: redo with min/max not sum
-            agg_fn = "min" if op == "min" else "max"
-            result[alias] = grouped[f"__{op}__{alias}"].agg(agg_fn)[f"__{op}__{alias}"]
+    df = parts.to_pandas()
+    result = _finalize_df(df, keys, aggs, partials, sort=True)
     return result.sort_values(keys).reset_index(drop=True)
+
+
+def groupby_agg_bucketed(ds, keys: list[str], aggs, num_buckets: int = 64):
+    """High-cardinality groupby that never touches the driver: map-side
+    arrow partials per block, bucket on a deterministic hash of the keys,
+    ONE bounded shuffle (``num_buckets`` groups), vectorized per-bucket
+    combine. → Dataset(keys + aliases), one row per distinct key."""
+    import polars as pl
+
+    aggs = _norm_aggs(aggs)
+    partials = _plan_partials(aggs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _partial_table(batch, keys, partials)
+        # deterministic multi-column hash (polars ahash, stable per process
+        # fleet of one interpreter version — bucket ids only need run-scope
+        # consistency, which retries of the same cluster satisfy)
+        h = pl.from_arrow(t.select(keys)).hash_rows(seed=0)
+        bucket = (h % np.uint64(num_buckets)).cast(pl.Int32)
+        return t.append_column("bucket", pa.array(bucket.to_list(), pa.int32()))
+
+    def combine(group: pa.Table) -> pa.Table:
+        df = group.drop_columns(["bucket"]).to_pandas()
+        out = _finalize_df(df, keys, aggs, partials, sort=False)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
 
 
 def sample_per_group(ds, group_col: str, id_col: str, n: int):

@@ -3,14 +3,20 @@
 Ray-Data-first shapes:
 
 - exact:   hash-key → map-side pre-dedup (combiner) → ONE groupby shuffle
-           on the compact hash → keep min-doc_id per group.
-- minhash: shingle → minhash signature (numpy, vectorized per batch) →
-           banding: emit (band, band_hash, doc_id) rows → groupby(bucket)
-           → verify candidates with TRUE shingle Jaccard inside the group
-           → duplicate = verified pair with a smaller doc_id (keep-min
-           rule; avoids iterative connected components at corpus scale).
-- simhash: 64-bit signature; pigeonhole banding on 4×16-bit chunks →
-           groupby chunk → verify Hamming distance inside the group.
+           on ``hash(key) % num_buckets`` (bounded group count) → keep
+           min-doc_id per key VECTORIZED inside each bucket.
+- minhash: shingle → minhash signature (numpy, vectorized) → banding:
+           emit ``(band, band_hash, doc_id, sig)`` rows — signatures only,
+           never text, so the shuffle moves ~0.5 KB/doc/band instead of
+           the document body → groupby(band, band_hash) emits candidate
+           pairs filtered by signature-estimated Jaccard → texts are
+           fetched ONLY for the surviving candidate ids (a tiny broadcast
+           lookup) and pairs are verified with TRUE shingle Jaccard →
+           bucketed min-reduce keeps one ``dup_of`` per doc.
+           Partitioning assumption: verified-candidate ids are a small
+           fraction of the corpus (the point of LSH banding).
+- simhash: 64-bit signature; pigeonhole banding on (max_hamming+1) chunks
+           → groupby chunk → vectorized Hamming verify inside the group.
 
 All signatures are deterministic (fixed seeds), so retried tasks reproduce
 identical buckets.
@@ -23,26 +29,75 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-_MERSENNE = (1 << 61) - 1
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+_GRAM_PRIME = np.uint64(1099511628211)  # FNV prime, wrapping 64-bit mix
+
+# word → 64-bit hash memo (per worker process; words are zipfian so the
+# hit rate is high). Bounded to keep worker heaps flat.
+_WORD_CACHE: dict[str, int] = {}
+_WORD_CACHE_CAP = 2_000_000
 
 
 def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+def _word_hashes(words: list[str]) -> np.ndarray:
+    if len(_WORD_CACHE) > _WORD_CACHE_CAP:
+        _WORD_CACHE.clear()
+    out = np.empty(len(words), dtype=np.uint64)
+    cache = _WORD_CACHE
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = _hash64(w)
+            cache[w] = h
+        out[i] = h
+    return out
+
+
 def _shingles(text: str, k: int) -> np.ndarray:
+    """Unique 64-bit hashes of the word k-grams — vectorized rolling
+    combination of per-word hashes (no per-gram string building)."""
     words = (text or "").split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else [""]
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    return np.unique(np.array([_hash64(g) for g in grams], dtype=np.uint64))
+    if not words:
+        return np.array([0], dtype=np.uint64)
+    wh = _word_hashes(words)
+    if len(wh) < k:
+        k = len(wh)
+    n = len(wh) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _GRAM_PRIME + wh[j : j + n]
+    return np.unique(acc)
+
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values mod 2^61-1 (one fold + conditional subtract)."""
+    y = (x & _MERSENNE61) + (x >> np.uint64(61))
+    return np.where(y >= _MERSENNE61, y - _MERSENNE61, y)
+
+
+def _mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod 2^61-1 with full 122-bit intermediate precision via
+    32-bit limb decomposition (2^64 ≡ 8, 2^61 ≡ 1 mod p) — a correct
+    universal hash family, unlike a wrapping 64-bit multiply."""
+    mask32 = np.uint64(0xFFFFFFFF)
+    a_hi, a_lo = a >> np.uint64(32), a & mask32
+    x_hi, x_lo = x >> np.uint64(32), x & mask32
+    t1 = a_hi * x_hi  # × 2^64 ≡ × 8
+    t2 = a_hi * x_lo + a_lo * x_hi  # × 2^32
+    t3 = a_lo * x_lo
+    t2_hi, t2_lo = t2 >> np.uint64(29), t2 & np.uint64((1 << 29) - 1)
+    total = _fold61(t1 * np.uint64(8)) + t2_hi + _fold61(t2_lo << np.uint64(32)) + _fold61(t3)
+    return _fold61(_fold61(total))
 
 
 def _perm_params(num_perm: int, seed: int = 7):
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    p = int(_MERSENNE61)
+    a = rng.randint(1, p, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, p, size=num_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
@@ -51,17 +106,36 @@ def minhash_signature(text: str, num_perm: int = 64, shingle_k: int = 3, _params
     if key not in _params:
         _params[key] = _perm_params(num_perm)
     a, b = _params[key]
-    sh = _shingles(text, shingle_k)
-    # (num_perm, n_shingles) universal hashing, min over shingles
-    vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    sh = _fold61(_shingles(text, shingle_k))
+    # (num_perm, n_shingles) universal hashing mod 2^61-1, min over shingles
+    vals = _fold61(_mulmod61(a[:, None], sh[None, :]) + b[:, None])
     return vals.min(axis=1)
 
 
+def _estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
 def jaccard(text_a: str, text_b: str, shingle_k: int = 3) -> float:
-    sa, sb = set(_shingles(text_a, shingle_k)), set(_shingles(text_b, shingle_k))
+    sa, sb = set(_shingles(text_a, shingle_k).tolist()), set(_shingles(text_b, shingle_k).tolist())
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def _id_buckets(ids, num_buckets: int) -> pa.Array:
+    """Deterministic bucket per id (int or string) — Knuth multiplicative
+    hash for ints, blake2b for strings."""
+    arr = np.asarray(ids)
+    if arr.dtype.kind in "iu":
+        h = (arr.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(16)
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+    vals = [
+        int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=4).digest(), "big")
+        % num_buckets
+        for v in ids
+    ]
+    return pa.array(vals, pa.int32())
 
 
 # ---------------------------------------------------------------------------
@@ -69,42 +143,216 @@ def jaccard(text_a: str, text_b: str, shingle_k: int = 3) -> float:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per distinct text. Returns the surviving rows."""
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
+    """Keep the min-id row per distinct text. Returns the surviving rows.
+
+    One bounded shuffle: the groupby key is ``int(sha[:8]) % num_buckets``
+    (≤ num_buckets Python group calls total), and the per-bucket dedup is
+    a vectorized sort + drop_duplicates — never one group per distinct
+    document."""
 
     def add_key(batch: pa.Table) -> pa.Table:
-        keys = [
-            hashlib.sha256((t or "").encode("utf-8")).hexdigest()
-            for t in batch.column(text_col).to_pylist()
-        ]
-        return batch.append_column("__key", pa.array(keys, pa.string()))
+        keys, buckets = [], []
+        for t in batch.column(text_col).to_pylist():
+            k = hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+            keys.append(k)
+            buckets.append(int(k[:8], 16) % num_buckets)
+        batch = batch.append_column("__key", pa.array(keys, pa.string()))
+        return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
 
     def local_min(batch: pa.Table) -> pa.Table:
         # combiner: keep min-id row per key within the block before shuffling
-        best: dict[str, int] = {}
-        keys = batch.column("__key").to_pylist()
-        ids = batch.column(id_col).to_pylist()
-        for i, (k, d) in enumerate(zip(keys, ids)):
-            if k not in best or ids[best[k]] > d:
-                best[k] = i
-        return batch.take(pa.array(sorted(best.values())))
+        df = batch.to_pandas()
+        out = df.sort_values(id_col).drop_duplicates("__key", keep="first")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        return group.slice(ids.index(min(ids)), 1)
+    def bucket_min(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        out = df.sort_values(id_col).drop_duplicates("__key", keep="first")
+        return pa.Table.from_pandas(
+            out.drop(columns=["__key", "__bucket"]), preserve_index=False
+        )
 
     return (
         ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(local_min, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__key")
-        .map_groups(keep_min, batch_format="pyarrow")
-        .drop_columns(["__key"])
+        .groupby("__bucket")
+        .map_groups(bucket_min, batch_format="pyarrow")
     )
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH near-dedup
+# MinHash + LSH near-dedup (signature-only shuffle)
 # ---------------------------------------------------------------------------
+
+
+def _band_rows(ds, *, num_perm: int, bands: int, shingle_k: int, text_col: str, id_col: str):
+    """(band, band_hash, doc_id, sig[binary]) rows — NO text in the
+    shuffle; sig is the fixed num_perm×8-byte signature."""
+    rows_per_band = num_perm // bands
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_band, out_hash, out_id, out_sig = [], [], [], []
+        for d, t in zip(ids, texts):
+            sig = minhash_signature(t, num_perm, shingle_k)
+            blob = sig.tobytes()
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                h = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+                )
+                out_band.append(b)
+                out_hash.append(h)
+                out_id.append(d)
+                out_sig.append(blob)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.uint64()),
+                id_col: pa.array(out_id),
+                "sig": pa.array(out_sig, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _candidate_pairs(band_ds, *, id_col: str, est_threshold: float):
+    """groupby(band, band_hash) → (doc_a, doc_b, est) candidate pairs with
+    signature-estimated Jaccard ≥ est_threshold (doc_a < doc_b)."""
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "est": pa.array([], pa.float64()),
+                }
+            )
+        sigs = np.stack(
+            [np.frombuffer(s, dtype=np.uint64) for s in group.column("sig").to_pylist()]
+        )
+        order = np.argsort(np.asarray(ids), kind="stable")
+        a_out, b_out, est_out = [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= est_threshold:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    est_out.append(est)
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+                "est": pa.array(est_out, pa.float64()),
+            }
+        )
+
+    return band_ds.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pyarrow")
+
+
+def _dedupe_pairs(pairs_ds, num_buckets: int = 32):
+    """One row per (doc_a, doc_b) — bucketed, never a group per pair."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * np.uint64(2654435761) + b * np.uint64(40503)) % np.uint64(num_buckets)
+        return batch.append_column("__bucket", pa.array(h.astype(np.int32)))
+
+    def bucket_first(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().drop_duplicates(["doc_a", "doc_b"], keep="first")
+        return pa.Table.from_pandas(df.drop(columns="__bucket"), preserve_index=False)
+
+    return (
+        pairs_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(bucket_first, batch_format="pyarrow")
+    )
+
+
+def _fetch_texts(ds, ids: set, *, text_col: str, id_col: str) -> dict:
+    """Texts for ONLY the candidate ids — a streaming filter over the
+    corpus collecting a result bounded by the candidate count."""
+    import ray
+
+    ids_ref = ray.put(frozenset(ids))
+
+    class Pick:
+        def __init__(self, ref):
+            self.ids = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = [v in self.ids for v in batch.column(id_col).to_pylist()]
+            out = batch.filter(pa.array(keep))
+            return out.select([id_col, text_col])
+
+    picked = ds.map_batches(
+        Pick,
+        fn_constructor_kwargs={"ref": ids_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    ).to_pandas()
+    return dict(zip(picked[id_col], picked[text_col]))
+
+
+def _verify_pairs(pairs_ds, texts_ref, *, shingle_k: int, threshold: float):
+    """True shingle-Jaccard over the surviving candidates (texts broadcast
+    once — bounded by the candidate set)."""
+    import ray
+
+    class Verify:
+        def __init__(self, ref):
+            self.texts = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a_ids = batch.column("doc_a").to_pylist()
+            b_ids = batch.column("doc_b").to_pylist()
+            scores = [
+                jaccard(self.texts.get(a, ""), self.texts.get(b, ""), shingle_k)
+                for a, b in zip(a_ids, b_ids)
+            ]
+            out = batch.append_column("jaccard", pa.array([round(s, 6) for s in scores], pa.float64()))
+            keep = pa.array([s >= threshold for s in scores])
+            return out.filter(keep)
+
+    return pairs_ds.map_batches(
+        Verify,
+        fn_constructor_kwargs={"ref": texts_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+
+def _min_dup_per_doc(pairs_ds, id_col: str, num_buckets: int = 32, keep_cols: list[str] | None = None):
+    """(doc_id, dup_of[, …]): per doc keep the row with the smallest
+    dup_of — bucketed min-reduce, vectorized inside ≤ num_buckets groups."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", _id_buckets(batch.column(id_col).to_pylist(), num_buckets)
+        )
+
+    def bucket_min(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        out = df.sort_values([id_col, "dup_of"]).drop_duplicates(id_col, keep="first")
+        return pa.Table.from_pandas(out.drop(columns="__bucket"), preserve_index=False)
+
+    return (
+        pairs_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(bucket_min, batch_format="pyarrow")
+    )
 
 
 def minhash_lsh_duplicates(
@@ -114,69 +362,53 @@ def minhash_lsh_duplicates(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    est_margin: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
 ):
     """→ Dataset(doc_id, dup_of): docs judged near-duplicates of a
-    smaller-id doc (verified shingle-Jaccard ≥ threshold).
+    smaller-id doc (verified TRUE shingle-Jaccard ≥ threshold).
 
-    Stage 1 (map): signatures + band rows. Stage 2 (shuffle): groupby
-    (band, band_hash); groups are candidate sets — verification runs
-    inside the group (text travels with the band row to keep this a
-    single shuffle; at very large scale swap for id-only bands + a
-    second join-like lookup stage)."""
-    rows_per_band = num_perm // bands
+    Stage 1 (map): signatures + signature-only band rows. Stage 2
+    (bounded shuffle): candidates by estimated Jaccard ≥ threshold −
+    est_margin. Stage 3: texts fetched for only the candidate ids and
+    pairs verified exactly. Stage 4: bucketed min-reduce per doc."""
+    band_ds = _band_rows(
+        ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, text_col=text_col, id_col=id_col
+    )
+    est_th = max(0.0, threshold - est_margin)
+    candidates = _dedupe_pairs(_candidate_pairs(band_ds, id_col=id_col, est_threshold=est_th))
 
-    def band_rows(batch: pa.Table) -> pa.Table:
-        out = {"band": [], "band_hash": [], id_col: [], text_col: []}
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        for d, t in zip(ids, texts):
-            sig = minhash_signature(t, num_perm, shingle_k)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out["band"].append(b)
-                out["band_hash"].append(h)
-                out[id_col].append(d)
-                out[text_col].append(t)
-        return pa.table(
-            {
-                "band": pa.array(out["band"], pa.int32()),
-                "band_hash": pa.array(out["band_hash"], pa.string()),
-                id_col: pa.array(out[id_col]),
-                text_col: pa.array(out[text_col], pa.string()),
-            }
-        )
+    cand_df = candidates.to_pandas()  # bounded: LSH survivors only
+    if len(cand_df) == 0:
+        return _empty_dups(id_col)
+    import ray
 
-    def verify_group(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        texts = group.column(text_col).to_pylist()
-        if len(ids) < 2:
-            return pa.table({id_col: pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())})
-        order = np.argsort(ids)
-        dup_ids, dup_of = [], []
-        for i in range(1, len(order)):
-            for j in range(i):
-                a, b = order[j], order[i]
-                if jaccard(texts[a], texts[b], shingle_k) >= threshold:
-                    dup_ids.append(ids[b])
-                    dup_of.append(ids[a])
-                    break
-        return pa.table({id_col: pa.array(dup_ids, pa.int64()), "dup_of": pa.array(dup_of, pa.int64())})
+    texts = _fetch_texts(
+        ds, set(cand_df.doc_a) | set(cand_df.doc_b), text_col=text_col, id_col=id_col
+    )
+    import ray.data
 
-    pairs = (
-        ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "band_hash"])
-        .map_groups(verify_group, batch_format="pyarrow")
+    cand_ds = ray.data.from_pandas(cand_df[["doc_a", "doc_b"]])
+    verified = _verify_pairs(
+        cand_ds, ray.put(texts), shingle_k=shingle_k, threshold=threshold
     )
 
-    # a doc may surface in several bands: keep one (min dup_of) per doc
-    def min_per_doc(group: pa.Table) -> pa.Table:
-        dups = group.column("dup_of").to_pylist()
-        return group.slice(dups.index(min(dups)), 1)
+    def as_dup(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch.column("doc_b"), "dup_of": batch.column("doc_a")}
+        )
 
-    return pairs.groupby(id_col).map_groups(min_per_doc, batch_format="pyarrow")
+    dups = verified.map_batches(as_dup, batch_format="pyarrow", zero_copy_batch=True)
+    return _min_dup_per_doc(dups, id_col)
+
+
+def _empty_dups(id_col: str):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({id_col: pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())})
+    )
 
 
 def ngram_jaccard_pairs(
@@ -186,72 +418,49 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     num_perm: int = 64,
     bands: int = 32,
+    est_margin: float = 0.25,
     text_col: str = "text",
     id_col: str = "doc_id",
 ):
-    """All near-duplicate PAIRS with their true n-gram Jaccard scores.
+    """All near-duplicate PAIRS with their TRUE n-gram Jaccard scores.
 
-    Candidate generation via MinHash banding (more bands than the dedup
-    path → recall at lower thresholds), exact shingle-Jaccard verification
-    inside each bucket. → Dataset(doc_a, doc_b, jaccard), doc_a < doc_b,
-    deduplicated across buckets by keeping each pair's first bucket."""
-    rows_per_band = num_perm // bands
-
-    def band_rows(batch: pa.Table) -> pa.Table:
-        out = {"band": [], "band_hash": [], id_col: [], text_col: []}
-        for d, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            sig = minhash_signature(t, num_perm, shingle_k)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                out["band"].append(b)
-                out["band_hash"].append(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                )
-                out[id_col].append(d)
-                out[text_col].append(t)
-        return pa.table(
-            {
-                "band": pa.array(out["band"], pa.int32()),
-                "band_hash": pa.array(out["band_hash"], pa.string()),
-                id_col: pa.array(out[id_col]),
-                text_col: pa.array(out[text_col], pa.string()),
-            }
-        )
-
-    def verify_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        texts = group.column(text_col).to_pylist()
-        a_out, b_out, j_out = [], [], []
-        order = np.argsort(ids)
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                score = jaccard(texts[i], texts[j], shingle_k)
-                if score >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    j_out.append(round(score, 6))
-        return pa.table(
-            {
-                "doc_a": pa.array(a_out, pa.int64()),
-                "doc_b": pa.array(b_out, pa.int64()),
-                "jaccard": pa.array(j_out, pa.float64()),
-            }
-        )
-
-    pairs = (
-        ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "band_hash"])
-        .map_groups(verify_pairs, batch_format="pyarrow")
+    Candidate generation via signature-only MinHash banding (more bands
+    than the dedup path → recall at lower thresholds), exact verification
+    over texts fetched for only the candidates.
+    → Dataset(doc_a, doc_b, jaccard), doc_a < doc_b."""
+    band_ds = _band_rows(
+        ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, text_col=text_col, id_col=id_col
     )
+    est_th = max(0.0, threshold - est_margin)
+    candidates = _dedupe_pairs(_candidate_pairs(band_ds, id_col=id_col, est_threshold=est_th))
 
-    def first_per_pair(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    cand_df = candidates.to_pandas()  # bounded: LSH survivors only
+    if len(cand_df) == 0:
+        import ray.data
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        first_per_pair, batch_format="pyarrow"
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    import ray
+    import ray.data
+
+    texts = _fetch_texts(
+        ds, set(cand_df.doc_a) | set(cand_df.doc_b), text_col=text_col, id_col=id_col
+    )
+    cand_ds = ray.data.from_pandas(cand_df[["doc_a", "doc_b"]])
+    verified = _verify_pairs(
+        cand_ds, ray.put(texts), shingle_k=shingle_k, threshold=threshold
+    )
+    return verified.map_batches(
+        lambda b: b.select(["doc_a", "doc_b", "jaccard"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
@@ -259,18 +468,19 @@ def ngram_jaccard_pairs(
 # SimHash near-dedup
 # ---------------------------------------------------------------------------
 
+_BITS64 = np.arange(64, dtype=np.uint64)
+
 
 def simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    for w in (text or "").split():
-        h = _hash64(w)
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += bits * 2 - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """Vectorized: per-word 64-bit hashes → bit matrix via one broadcasted
+    shift → ±1 column sums."""
+    words = (text or "").split()
+    if not words:
+        return 0
+    wh = _word_hashes(words)
+    bits = ((wh[:, None] >> _BITS64[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << _BITS64).sum())
 
 
 def simhash_duplicates(ds, *, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"):
@@ -280,49 +490,51 @@ def simhash_duplicates(ds, *, max_hamming: int = 3, text_col: str = "text", id_c
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
 
-    def chunk_bits(sig: int, c: int) -> int:
-        lo = c * width
-        hi = 64 if c == n_chunks - 1 else lo + width  # last chunk absorbs remainder
-        return (sig >> lo) & ((1 << (hi - lo)) - 1)
-
     def chunk_rows(batch: pa.Table) -> pa.Table:
-        out = {"chunk": [], "chunk_val": [], id_col: [], "sig": []}
-        for d, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            sig = simhash64(t)
-            for c in range(n_chunks):
-                out["chunk"].append(c)
-                out["chunk_val"].append(chunk_bits(sig, c))
-                out[id_col].append(d)
-                out["sig"].append(sig)
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        sigs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+        n = len(ids)
+        out_chunk = np.repeat(np.arange(n_chunks, dtype=np.int32), n)
+        out_ids = np.tile(np.asarray(ids), n_chunks)
+        out_sig = np.tile(sigs, n_chunks)
+        vals = []
+        for c in range(n_chunks):
+            lo = c * width
+            hi = 64 if c == n_chunks - 1 else lo + width  # last chunk absorbs remainder
+            vals.append(((sigs >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)).astype(np.int64))
+        out_vals = np.concatenate(vals)
         return pa.table(
             {
-                "chunk": pa.array(out["chunk"], pa.int32()),
-                "chunk_val": pa.array(out["chunk_val"], pa.int32()),
-                id_col: pa.array(out[id_col]),
-                "sig": pa.array(out["sig"], pa.uint64()),
+                "chunk": pa.array(out_chunk),
+                "chunk_val": pa.array(out_vals),
+                id_col: pa.array(out_ids.tolist()),
+                "sig": pa.array(out_sig),
             }
         )
 
     def verify(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        sigs = group.column("sig").to_pylist()
+        ids = np.asarray(group.column(id_col).to_pylist())
+        sigs = group.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
         if len(ids) < 2:
             return pa.table(
                 {id_col: pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64()), "hamming": pa.array([], pa.int32())}
             )
-        order = np.argsort(ids)
-        did, dof, ham = [], [], []
-        for i in range(1, len(order)):
-            for j in range(i):
-                a, b = order[j], order[i]
-                h = bin(sigs[a] ^ sigs[b]).count("1")
-                if h <= max_hamming:
-                    did.append(ids[b])
-                    dof.append(ids[a])
-                    ham.append(h)
-                    break
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        # vectorized pairwise hamming via XOR + popcount over byte views
+        xor = sigs[:, None] ^ sigs[None, :]
+        ham = np.unpackbits(xor.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2).sum(axis=2)
+        did, dof, out_h = [], [], []
+        for i in range(1, len(ids)):
+            js = np.nonzero(ham[i, :i] <= max_hamming)[0]
+            if len(js):
+                j = js[0]
+                did.append(int(ids[i]))
+                dof.append(int(ids[j]))
+                out_h.append(int(ham[i, j]))
         return pa.table(
-            {id_col: pa.array(did, pa.int64()), "dup_of": pa.array(dof, pa.int64()), "hamming": pa.array(ham, pa.int32())}
+            {id_col: pa.array(did, pa.int64()), "dup_of": pa.array(dof, pa.int64()), "hamming": pa.array(out_h, pa.int32())}
         )
 
     pairs = (
@@ -330,9 +542,4 @@ def simhash_duplicates(ds, *, max_hamming: int = 3, text_col: str = "text", id_c
         .groupby(["chunk", "chunk_val"])
         .map_groups(verify, batch_format="pyarrow")
     )
-
-    def min_per_doc(group: pa.Table) -> pa.Table:
-        dups = group.column("dup_of").to_pylist()
-        return group.slice(dups.index(min(dups)), 1)
-
-    return pairs.groupby(id_col).map_groups(min_per_doc, batch_format="pyarrow")
+    return _min_dup_per_doc(pairs, id_col)

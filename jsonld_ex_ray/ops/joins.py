@@ -1,18 +1,115 @@
-"""Join operators Ray Data lacks: as-of join (and its range-join cousin).
+"""Join operators Ray Data lacks: equi-join, as-of join, range join.
 
-``asof_join_broadcast``: the right side (e.g. a rates/dimension/event
-subset) is sorted once, broadcast via ``ray.put``, and each left batch does
-a vectorized ``pandas.merge_asof`` — the classic broadcast temporal join.
-Partitioning assumption: the RIGHT side fits in worker memory; the left
-side streams. For two large sides, tag-union both into one dataset,
-bucket by hash(by-key), and run the same merge inside
-``groupby(bucket).map_groups`` (documented here; the broadcast path covers
-the overwhelmingly common small-right case).
+Two shapes per join family:
+
+- ``*_broadcast``: the right side is a genuinely small table (dimension /
+  rates / band list) shipped ONCE via ``ray.put`` and probed inside
+  ``map_batches`` — zero shuffle, the 100-TB default when it applies.
+- ``*_bucketed``: BOTH sides are large. Each side is tagged, padded to a
+  shared schema, and bucketed on ``hash(join key) % num_buckets``; one
+  ``union`` + one bounded ``groupby(bucket)`` shuffle co-locates matching
+  keys, and the per-bucket merge is a vectorized ``pyarrow.Table.join`` /
+  ``pandas.merge_asof``. Partitioning assumption: the largest single
+  bucket (both sides) fits in a worker's heap — size ``num_buckets`` to
+  ~data_size / (workers × heap_budget); heavily skewed equi-join keys
+  should be pre-salted by the caller.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+
+
+def _bucket_array(tbl: pa.Table, key_cols: list[str], num_buckets: int) -> pa.Array:
+    """Deterministic per-row bucket id from the join key columns (polars
+    ahash — stable across worker processes of one interpreter fleet)."""
+    import polars as pl
+
+    h = pl.from_arrow(tbl.select(key_cols)).hash_rows(seed=0)
+    return pa.array((h % np.uint64(num_buckets)).cast(pl.Int32).to_list(), pa.int32())
+
+
+def _pad_to_schema(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
+    cols = []
+    for field in schema:
+        if field.name in tbl.schema.names:
+            cols.append(tbl.column(field.name).cast(field.type))
+        else:
+            cols.append(pa.nulls(tbl.num_rows, field.type))
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def _union_schema(left_schema, right_schema, right_cols: list[str]) -> pa.Schema:
+    fields = [pa.field(n, t) for n, t in zip(left_schema.names, left_schema.types)]
+    have = set(left_schema.names)
+    rtypes = dict(zip(right_schema.names, right_schema.types))
+    for name in right_cols:
+        if name not in have:
+            fields.append(pa.field(name, rtypes[name]))
+    fields.append(pa.field("__side", pa.int8()))
+    fields.append(pa.field("__bucket", pa.int32()))
+    return pa.schema(fields)
+
+
+def hash_join_bucketed(
+    left_ds,
+    right_ds,
+    *,
+    left_on: str,
+    right_on: str,
+    right_cols: list[str],
+    num_buckets: int = 64,
+    join_type: str = "inner",
+):
+    """Two-large-sides equi-join: tag-union both datasets, bucket by the
+    hashed join key, join inside each bucket with the vectorized arrow
+    hash join. → Dataset(left columns + right_cols)."""
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_names = list(left_schema.names)
+    schema = _union_schema(left_schema, right_schema, [right_on, *right_cols])
+
+    def tag(side: int, key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            out = _pad_to_schema(batch, schema)
+            idx_side = schema.get_field_index("__side")
+            idx_bucket = schema.get_field_index("__bucket")
+            out = out.set_column(
+                idx_side, "__side", pa.nulls(batch.num_rows, pa.int8()).fill_null(side)
+            )
+            return out.set_column(
+                idx_bucket, "__bucket", _bucket_array(batch, [key], num_buckets)
+            )
+
+        return fn
+
+    tagged_left = left_ds.map_batches(tag(0, left_on), batch_format="pyarrow", zero_copy_batch=True)
+    tagged_right = right_ds.map_batches(tag(1, right_on), batch_format="pyarrow", zero_copy_batch=True)
+    both = tagged_left.union(tagged_right)
+
+    right_keep = [right_on] + [c for c in right_cols if c != right_on]
+    out_cols = left_names + [c for c in right_cols if c not in left_names]
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group.column("__side")
+        left_tbl = group.filter(pc.equal(side, pa.scalar(0, pa.int8()))).select(left_names)
+        right_tbl = group.filter(pc.equal(side, pa.scalar(1, pa.int8()))).select(right_keep)
+        if left_tbl.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.nulls(0, schema.field(c).type) for c in out_cols], names=out_cols
+            )
+        joined = left_tbl.join(
+            right_tbl,
+            keys=[left_on],
+            right_keys=[right_on],
+            join_type="left outer" if join_type == "left" else join_type,
+        )
+        return joined.select(out_cols)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def asof_join_broadcast(
@@ -28,7 +125,8 @@ def asof_join_broadcast(
 ):
     """For each left row, attach the nearest prior (direction='backward')
     right row by ``on`` (within the same ``by`` group). Right-side value
-    columns are suffixed. → Dataset(left columns + right value columns)."""
+    columns are suffixed. → Dataset(left columns + right value columns).
+    Partitioning assumption: the RIGHT side fits in worker memory."""
     import pandas as pd
     import ray
 
@@ -63,6 +161,75 @@ def asof_join_broadcast(
     )
 
 
+def asof_join_bucketed(
+    left_ds,
+    right_ds,
+    *,
+    on: str,
+    by: str,
+    right_value_cols: list[str],
+    num_buckets: int = 64,
+    allow_exact_matches: bool = False,
+    direction: str = "backward",
+):
+    """Two-large-sides as-of join. Both sides bucket on ``hash(by)`` so
+    every ``by`` group lands whole in exactly one bucket; the per-bucket
+    merge is a vectorized ``pandas.merge_asof``. → Dataset(left columns +
+    right_value_cols)."""
+    import pandas as pd
+
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_names = list(left_schema.names)
+    schema = _union_schema(left_schema, right_schema, [on, by, *right_value_cols])
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            out = _pad_to_schema(batch, schema)
+            idx_side = schema.get_field_index("__side")
+            idx_bucket = schema.get_field_index("__bucket")
+            out = out.set_column(
+                idx_side, "__side", pa.nulls(batch.num_rows, pa.int8()).fill_null(side)
+            )
+            return out.set_column(
+                idx_bucket, "__bucket", _bucket_array(batch, [by], num_buckets)
+            )
+
+        return fn
+
+    tagged_left = left_ds.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    tagged_right = right_ds.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    both = tagged_left.union(tagged_right)
+
+    right_keep = [by, on] + [c for c in right_value_cols if c not in (by, on)]
+    out_cols = left_names + [c for c in right_value_cols if c not in left_names]
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group.column("__side")
+        left_tbl = group.filter(pc.equal(side, pa.scalar(0, pa.int8()))).select(left_names)
+        right_tbl = group.filter(pc.equal(side, pa.scalar(1, pa.int8()))).select(right_keep)
+        left = left_tbl.to_pandas().sort_values(on)
+        right = right_tbl.to_pandas().sort_values(on)
+        if len(left) == 0:
+            return pa.Table.from_arrays(
+                [pa.nulls(0, schema.field(c).type) for c in out_cols], names=out_cols
+            )
+        merged = pd.merge_asof(
+            left,
+            right,
+            on=on,
+            by=by,
+            direction=direction,
+            allow_exact_matches=allow_exact_matches,
+            suffixes=("", "_right"),
+        )
+        return pa.Table.from_pandas(merged[out_cols], preserve_index=False)
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
 def range_join_broadcast(
     left_ds,
     bands: list[tuple[float, float, str]],
@@ -72,23 +239,19 @@ def range_join_broadcast(
 ):
     """Range join against non-overlapping sorted [lo, hi) bands: broadcast
     the band table and assign per batch via ``numpy.searchsorted`` —
-    O(log B) per row, no shuffle. Rows outside every band get null."""
-    import numpy as np
-
+    O(log B) per row, fully vectorized, no shuffle. Rows outside every
+    band get null."""
     bands = sorted(bands)
     lows = np.asarray([b[0] for b in bands], dtype=np.float64)
     highs = np.asarray([b[1] for b in bands], dtype=np.float64)
-    labels = [b[2] for b in bands]
+    labels = np.asarray([b[2] for b in bands], dtype=object)
 
     def assign(batch: pa.Table) -> pa.Table:
-        vals = np.asarray(batch.column(value_col).to_pylist(), dtype=np.float64)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
         idx = np.searchsorted(lows, vals, side="right") - 1
-        out = []
-        for v, i in zip(vals, idx):
-            if i >= 0 and v < highs[i]:
-                out.append(labels[i])
-            else:
-                out.append(None)
-        return batch.append_column(label_col, pa.array(out, pa.string()))
+        safe = np.clip(idx, 0, len(bands) - 1)
+        hit = (idx >= 0) & (vals < highs[safe])
+        out = np.where(hit, labels[safe], None)
+        return batch.append_column(label_col, pa.array(out.tolist(), pa.string()))
 
     return left_ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -141,17 +141,23 @@ def embedding_cosine_duplicates(
     def verify(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column(id_col).to_pylist())
         m = _normalize(_to_matrix(group.column(emb_col)))
-        order = np.argsort(ids)
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
         did, dof, sims = [], [], []
-        gram = m @ m.T
-        for i in range(1, len(order)):
-            for j in range(i):
-                a, b = order[j], order[i]
-                if gram[a, b] >= threshold:
-                    did.append(int(ids[b]))
-                    dof.append(int(ids[a]))
-                    sims.append(round(float(gram[a, b]), 6))
-                    break
+        # chunked gram: memory is chunk×n, not n×n, so a hot centroid
+        # bucket can't blow a worker's heap
+        chunk = 512
+        for lo in range(1, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            g = m[lo:hi] @ m.T  # rows lo..hi vs ALL earlier+later columns
+            for r in range(hi - lo):
+                i = lo + r
+                js = np.nonzero(g[r, :i] >= threshold)[0]
+                if len(js):
+                    j = int(js[0])
+                    did.append(int(ids[i]))
+                    dof.append(int(ids[j]))
+                    sims.append(round(float(g[r, j]), 6))
         return pa.table(
             {
                 id_col: pa.array(did, pa.int64()),
@@ -164,4 +170,70 @@ def embedding_cosine_duplicates(
         ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(verify, batch_format="pyarrow")
+    )
+
+
+def ivf_recall_at_k(
+    ds,
+    queries,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """recall@k of the IVF-pruned search vs the exact brute force, as ONE
+    streaming pass: each batch emits its local top-k per query for BOTH
+    the exact and the pruned scan (bounded: 2·k·n_queries rows per block);
+    the driver combines only those survivors. Never materializes the
+    corpus. → pandas DataFrame(n_queries, recall_at_{k})."""
+    import pandas as pd
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    nq = len(Q)
+    probe = np.argsort(-(centroids @ Q.T), axis=0)[:nprobe].T  # (nq, nprobe)
+
+    def local(batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        assign = np.argmax(m @ centroids.T, axis=1)
+        sims = m @ Q.T  # (n, nq)
+        out_q, out_id, out_sim, out_kind = [], [], [], []
+        for qi in range(nq):
+            top = np.argsort(-sims[:, qi], kind="stable")[:k]
+            out_q.extend([qi] * len(top))
+            out_id.extend(ids[top].tolist())
+            out_sim.extend(sims[top, qi].tolist())
+            out_kind.extend(["exact"] * len(top))
+            mask = np.isin(assign, probe[qi])
+            if mask.any():
+                cid = ids[mask]
+                cs = sims[mask, qi]
+                top2 = np.argsort(-cs, kind="stable")[:k]
+                out_q.extend([qi] * len(top2))
+                out_id.extend(cid[top2].tolist())
+                out_sim.extend(cs[top2].tolist())
+                out_kind.extend(["ivf"] * len(top2))
+        return pa.table(
+            {
+                "q": pa.array(out_q, pa.int32()),
+                id_col: pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+                "kind": pa.array(out_kind, pa.string()),
+            }
+        )
+
+    surv = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    recalls = []
+    for qi in range(nq):
+        sq = surv[surv.q == qi]
+        exact = sq[sq.kind == "exact"].nlargest(k, "sim")[id_col]
+        approx = sq[sq.kind == "ivf"].nlargest(k, "sim")[id_col]
+        recalls.append(len(set(exact) & set(approx)) / k)
+    return pd.DataFrame(
+        {
+            "n_queries": [nq],
+            f"recall_at_{k}": [round(float(np.mean(recalls)), 4)],
+        }
     )
