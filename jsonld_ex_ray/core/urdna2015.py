@@ -117,8 +117,11 @@ def canonicalize(quads: list[tuple], max_permutations: int = 40320) -> dict[str,
             chosen_issuer = None
             group = related_map[rh]
             if _fact(len(set(group))) > max_permutations:
-                # pathological: deterministic fallback keeps the run alive
-                for rel in sorted(set(group)):
+                # pathological: deterministic fallback keeps the run alive.
+                # Order by (first-degree hash, sorted position) — the hash
+                # is label-invariant, so the fallback stays stable under
+                # input relabeling wherever first-degree hashes differ
+                for rel in sorted(set(group), key=lambda b: (h1[b], b)):
                     issuer.issue(rel)
                 continue
             for perm in permutations(sorted(set(group))):

@@ -141,6 +141,10 @@ def assign_splits(ds, id_col: str = "doc_id", boundaries: list[tuple[str, str]] 
 
     boundaries = boundaries or [("c0", "train"), ("e0", "val"), ("￿", "test")]
 
+    fallback = boundaries[-1][1]  # caller boundaries may not cover the
+    # full md5 hex range: unmatched ids take the last label instead of
+    # silently shortening the column (length-mismatch crash downstream)
+
     def assign(batch: pa.Table) -> pa.Table:
         splits = []
         for v in batch.column(id_col).to_pylist():
@@ -149,6 +153,8 @@ def assign_splits(ds, id_col: str = "doc_id", boundaries: list[tuple[str, str]] 
                 if h < bound:
                     splits.append(name)
                     break
+            else:
+                splits.append(fallback)
         return batch.append_column("split", pa.array(splits, pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

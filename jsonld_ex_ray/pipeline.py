@@ -21,6 +21,7 @@ import os
 import time
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -112,19 +113,29 @@ def errors_only(ds):
 # ---------------------------------------------------------------------------
 
 
-def _triple_key(batch: pa.Table) -> pa.Table:
-    """Derive a compact 64-bit-ish dedup key so the shuffle moves a short
-    key instead of six wide string columns' worth of group-by state."""
+def _triple_key_cols(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Append a compact 128-bit dedup key (two independently-seeded 64-bit
+    vectorized hashes of the identity columns) + its shuffle bucket, so the
+    shuffle moves 17 bytes/row instead of six wide string columns' worth of
+    group-by state — and the kernel is one vectorized pass, not a per-row
+    Python blake2b loop."""
+    import polars as pl
+
     cols = ["graph", "subj", "pred", "obj", "obj_datatype", "obj_lang"]
-    arrs = [batch.column(c).to_pylist() for c in cols]
-    keys = [
-        hashlib.blake2b(
-            "\x1f".join("" if v is None else v for v in row).encode("utf-8"),
-            digest_size=16,
-        ).hexdigest()
-        for row in zip(*arrs)
-    ]
-    return batch.append_column("triple_key", pa.array(keys, pa.string()))
+    joined = pl.from_arrow(batch.select(cols)).select(
+        pl.concat_str(
+            # \x00 keeps null distinct from empty string; \x1f guards
+            # column boundaries
+            [pl.col(c).fill_null("\x00") for c in cols],
+            separator="\x1f",
+        ).alias("k")
+    )
+    k1 = joined.select(pl.col("k").hash(seed=1)).to_series()
+    k2 = joined.select(pl.col("k").hash(seed=2)).to_series()
+    bucket = (k1 % np.uint64(num_buckets)).cast(pl.Int32)
+    batch = batch.append_column("tk1", pa.array(k1.to_list(), pa.uint64()))
+    batch = batch.append_column("tk2", pa.array(k2.to_list(), pa.uint64()))
+    return batch.append_column("bucket", pa.array(bucket.to_list(), pa.int32()))
 
 
 def dedup_triples(ds, num_buckets: int = 64):
@@ -137,17 +148,11 @@ def dedup_triples(ds, num_buckets: int = 64):
     the wrong shape at any scale.)"""
 
     def local_dedup(batch: pa.Table) -> pa.Table:
-        batch = _triple_key(batch)
-        # map-side combine: first occurrence per key within the block
-        mask = []
-        seen = set()
-        buckets = []
-        for k in batch.column("triple_key").to_pylist():
-            mask.append(k not in seen)
-            seen.add(k)
-            buckets.append(int(k[:8], 16) % num_buckets)
-        batch = batch.append_column("bucket", pa.array(buckets, pa.int32()))
-        return batch.filter(pa.array(mask))
+        batch = _triple_key_cols(batch, num_buckets)
+        # map-side combine: first occurrence per 128-bit key in the block
+        df = batch.to_pandas()
+        out = df.drop_duplicates(subset=["tk1", "tk2"], keep="first")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     ds = triples_only(ds).map_batches(
         local_dedup, batch_format="pyarrow", zero_copy_batch=True
@@ -155,67 +160,101 @@ def dedup_triples(ds, num_buckets: int = 64):
 
     def bucket_dedup(group: pa.Table) -> pa.Table:
         df = group.to_pandas()
-        out = df.drop_duplicates(subset="triple_key", keep="first")
+        out = df.drop_duplicates(subset=["tk1", "tk2"], keep="first")
         return pa.Table.from_pandas(
-            out.drop(columns=["triple_key", "bucket"]), preserve_index=False
+            out.drop(columns=["tk1", "tk2", "bucket"]), preserve_index=False
         )
 
     return ds.groupby("bucket").map_groups(bucket_dedup, batch_format="pyarrow")
 
 
-def canonicalize_bnodes(ds):
-    """URDNA2015 blank-node canonicalization executed as a
-    groupby(document) shuffle (north rule): per document, the real
-    RDFC-1.0 algorithm (core/urdna2015.py) assigns ``c14n<n>`` labels that
-    are invariant under any input relabeling; the doc hash prefixes them
-    for global uniqueness before cross-document union."""
+def _relabel_doc(group: pa.Table) -> pa.Table:
+    """URDNA2015-relabel the triples of ONE document (rows of a single
+    doc_id)."""
     from .core.rdf_generation import RDF_LANGSTRING, XSD_STRING
     from .core.urdna2015 import canonicalize
 
-    def relabel(group: pa.Table) -> pa.Table:
-        doc_id = group.column("doc_id")[0].as_py()
-        dh = hashlib.sha1(doc_id.encode()).hexdigest()[:16]
-        subs = group.column("subj").to_pylist()
-        preds = group.column("pred").to_pylist()
-        objs = group.column("obj").to_pylist()
-        kinds = group.column("obj_kind").to_pylist()
-        dts = group.column("obj_datatype").to_pylist()
-        lgs = group.column("obj_lang").to_pylist()
-        graphs = group.column("graph").to_pylist()
+    doc_id = group.column("doc_id")[0].as_py()
+    dh = hashlib.sha1(doc_id.encode()).hexdigest()[:16]
+    subs = group.column("subj").to_pylist()
+    preds = group.column("pred").to_pylist()
+    objs = group.column("obj").to_pylist()
+    kinds = group.column("obj_kind").to_pylist()
+    dts = group.column("obj_datatype").to_pylist()
+    lgs = group.column("obj_lang").to_pylist()
+    graphs = group.column("graph").to_pylist()
 
-        def term(v, kind=None, dt=None, lang=None):
-            if v is None:
-                return None
-            if kind == "literal":
-                return ("lit", v, dt or (RDF_LANGSTRING if lang else XSD_STRING), lang)
-            if v.startswith("_:"):
-                return ("bnode", v[2:])
-            return ("iri", v)
+    def term(v, kind=None, dt=None, lang=None):
+        if v is None:
+            return None
+        if kind == "literal":
+            return ("lit", v, dt or (RDF_LANGSTRING if lang else XSD_STRING), lang)
+        if v.startswith("_:"):
+            return ("bnode", v[2:])
+        return ("iri", v)
 
-        quads = [
-            (term(s), term(p), term(o, k, dt, lg), term(g))
-            for s, p, o, k, dt, lg, g in zip(subs, preds, objs, kinds, dts, lgs, graphs)
-        ]
-        mapping = canonicalize(quads)
+    quads = [
+        (term(s), term(p), term(o, k, dt, lg), term(g))
+        for s, p, o, k, dt, lg, g in zip(subs, preds, objs, kinds, dts, lgs, graphs)
+    ]
+    mapping = canonicalize(quads)
 
-        def canon(v: str | None, is_bnode: bool) -> str | None:
-            if v is None or not is_bnode or not v.startswith("_:"):
-                return v
-            return f"_:{dh}-{mapping.get(v[2:], v[2:])}"
+    def canon(v: str | None, is_bnode: bool) -> str | None:
+        if v is None or not is_bnode or not v.startswith("_:"):
+            return v
+        return f"_:{dh}-{mapping.get(v[2:], v[2:])}"
 
-        new_sub = [canon(v, True) for v in subs]
-        new_obj = [canon(v, k == "bnode") for v, k in zip(objs, kinds)]
-        new_graph = [canon(v, True) for v in graphs]
-        rows = group
-        for col, vals in (("subj", new_sub), ("obj", new_obj), ("graph", new_graph)):
-            rows = rows.set_column(
-                rows.schema.get_field_index(col), col, pa.array(vals, pa.string())
-            )
-        return rows.sort_by(
-            [("graph", "ascending"), ("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+    new_sub = [canon(v, True) for v in subs]
+    new_obj = [canon(v, k == "bnode") for v, k in zip(objs, kinds)]
+    new_graph = [canon(v, True) for v in graphs]
+    rows = group
+    for col, vals in (("subj", new_sub), ("obj", new_obj), ("graph", new_graph)):
+        rows = rows.set_column(
+            rows.schema.get_field_index(col), col, pa.array(vals, pa.string())
         )
+    return rows.sort_by(
+        [("graph", "ascending"), ("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+    )
 
-    return triples_only(ds).groupby("doc_id").map_groups(relabel, batch_format="pyarrow")
+
+def canonicalize_bnodes(ds, num_buckets: int = 64):
+    """URDNA2015 blank-node canonicalization (north rule): per document,
+    the real RDFC-1.0 algorithm (core/urdna2015.py) assigns ``c14n<n>``
+    labels that are invariant under any input relabeling; the doc hash
+    prefixes them for global uniqueness before cross-document union.
+
+    Shuffle shape: ONE bounded groupby on ``hash(doc_id) % num_buckets``
+    (≤ num_buckets Python group calls), looping documents INSIDE each
+    bucket — never one shuffle group per document (millions of single-doc
+    groups at corpus scale)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        buckets = [
+            int.from_bytes(hashlib.blake2b(d.encode(), digest_size=4).digest(), "big")
+            % num_buckets
+            for d in batch.column("doc_id").to_pylist()
+        ]
+        return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
+
+    def relabel_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__bucket"]).combine_chunks()
+        group = group.sort_by([("doc_id", "ascending")])
+        doc_ids = np.asarray(group.column("doc_id").to_pylist())
+        # contiguous per-doc runs after the sort → one slice per document
+        starts = np.flatnonzero(np.r_[True, doc_ids[1:] != doc_ids[:-1]])
+        bounds = np.r_[starts, len(doc_ids)]
+        parts = [
+            _relabel_doc(group.slice(bounds[i], bounds[i + 1] - bounds[i]))
+            for i in range(len(starts))
+        ]
+        return pa.concat_tables(parts)
+
+    return (
+        triples_only(ds)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(relabel_bucket, batch_format="pyarrow")
+    )
 
 
 def materialize_graph(ds, salt_buckets: int = 16, num_buckets: int = 64):
@@ -315,18 +354,18 @@ def materialize_graph(ds, salt_buckets: int = 16, num_buckets: int = 64):
     return partials.groupby("bucket").map_groups(bucket_merge, batch_format="pyarrow")
 
 
-def triples_to_jsonld(ds):
-    """Inverse direction (SURVEY.md §2.5 fromRdf grouping): triple rows →
-    expanded JSON-LD node documents, one per graph, via
-    ``groupby("graph").map_groups`` (list reconstruction needs the whole
-    graph in view). → Dataset(graph, doc[json string], n_nodes)."""
-    from .core.rdf_serialization import serialize_rdf
-    from .core.options import JsonLdOptions
+def _quads_of(group: pa.Table) -> list:
     from .core.rdf_generation import RDF_LANGSTRING, XSD_STRING
 
-    def build(group: pa.Table) -> pa.Table:
-        graph_name = group.column("graph")[0].as_py()
-        quads = []
+    def term(v, kind=None, dtype=None, lang=None):
+        if kind == "literal":
+            return ("lit", v, dtype or (RDF_LANGSTRING if lang else XSD_STRING), lang)
+        if v.startswith("_:"):
+            return ("bnode", v[2:])
+        return ("iri", v)
+
+    return [
+        (term(s), term(p), term(o, k, dt, lg), None)
         for s, p, o, k, dt, lg in zip(
             group.column("subj").to_pylist(),
             group.column("pred").to_pylist(),
@@ -334,25 +373,93 @@ def triples_to_jsonld(ds):
             group.column("obj_kind").to_pylist(),
             group.column("obj_datatype").to_pylist(),
             group.column("obj_lang").to_pylist(),
-        ):
-            def term(v, kind=None, dtype=None, lang=None):
-                if kind == "literal":
-                    return ("lit", v, dtype or (RDF_LANGSTRING if lang else XSD_STRING), lang)
-                if v.startswith("_:"):
-                    return ("bnode", v[2:])
-                return ("iri", v)
+        )
+    ]
 
-            quads.append((term(s), term(p), term(o, k, dt, lg), None))
-        docs = serialize_rdf(quads, JsonLdOptions(ordered=True))
+
+def triples_to_jsonld(ds, num_shards: int = 32):
+    """Inverse direction (SURVEY.md §2.5 fromRdf grouping): triple rows →
+    expanded JSON-LD node documents, one row per graph.
+    → Dataset(graph, doc[json string], n_nodes).
+
+    Skew-safe shape: the only cross-subject semantics in RDF→JSON-LD
+    conversion is rdf:first/rdf:rest list reconstruction (bare
+    ``{"@id"}`` reference nodes are never emitted — see
+    core/rdf_serialization.py:232), so:
+
+    - graphs WITHOUT list structure shard by ``hash(subj) % num_shards``
+      and each shard serializes independently (exact: every node's output
+      is a function of its own triples);
+    - graphs WITH rdf:first/rest route whole to one group (list chains
+      cross subjects; assumption: list-bearing graphs are individually
+      bounded — they are documents, not the default-graph union);
+    - a final groupby(graph) merges the ≤ num_shards node-array parts per
+      graph (bounded group count, trivial reduce).
+
+    The default graph holding 90%+ of the corpus therefore never lands in
+    a single Python ``map_groups`` call."""
+    import polars as pl
+
+    from .core.options import JsonLdOptions
+    from .core.rdf_generation import RDF_FIRST, RDF_REST
+    from .core.rdf_serialization import serialize_rdf
+
+    t = triples_only(ds)
+
+    # tiny driver-side set: names of graphs that contain list structure
+    def graphs_with_lists(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("pred"), value_set=pa.array([RDF_FIRST, RDF_REST]))
+        g = pc.fill_null(batch.filter(mask).column("graph").cast(pa.string()), "")
+        return pa.table({"graph": pc.unique(g)})
+
+    lg_df = t.map_batches(
+        graphs_with_lists, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    list_graphs = set(lg_df["graph"]) if len(lg_df) else set()
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        g = pc.fill_null(batch.column("graph").cast(pa.string()), "")
+        h = pl.from_arrow(batch.select(["subj"])).select(
+            pl.col("subj").hash(seed=0) % np.uint64(num_shards)
+        )["subj"]
+        shard = np.asarray(h.to_list(), dtype=np.int32)
+        if list_graphs:
+            in_lg = pc.is_in(g, value_set=pa.array(sorted(list_graphs)))
+            shard = np.where(in_lg.to_numpy(zero_copy_only=False), 0, shard)
+        batch = batch.append_column("__g", g)
+        return batch.append_column("__shard", pa.array(shard, pa.int32()))
+
+    def build_shard(group: pa.Table) -> pa.Table:
+        graph_name = group.column("__g")[0].as_py()
+        docs = serialize_rdf(_quads_of(group), JsonLdOptions(ordered=True))
         return pa.table(
             {
-                "graph": pa.array([graph_name or ""], pa.string()),
-                "doc": pa.array([json.dumps(docs, sort_keys=True)], pa.string()),
+                "graph": pa.array([graph_name], pa.string()),
+                "part": pa.array([json.dumps(docs)], pa.string()),
                 "n_nodes": pa.array([len(docs)], pa.int64()),
             }
         )
 
-    return triples_only(ds).groupby("graph").map_groups(build, batch_format="pyarrow")
+    def merge_graph(group: pa.Table) -> pa.Table:
+        graph_name = group.column("graph")[0].as_py()
+        nodes: list = []
+        for blob in group.column("part").to_pylist():
+            nodes.extend(json.loads(blob))
+        nodes.sort(key=lambda n: n["@id"])  # same order as sorted node-map keys
+        return pa.table(
+            {
+                "graph": pa.array([graph_name], pa.string()),
+                "doc": pa.array([json.dumps(nodes, sort_keys=True)], pa.string()),
+                "n_nodes": pa.array([len(nodes)], pa.int64()),
+            }
+        )
+
+    parts = (
+        t.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["__g", "__shard"])
+        .map_groups(build_shard, batch_format="pyarrow")
+    )
+    return parts.groupby("graph").map_groups(merge_graph, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

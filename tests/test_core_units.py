@@ -134,3 +134,36 @@ def test_jcs_numbers_and_key_order():
     assert jcs_canonicalize({"b": 1, "a": [True, None, 2.5]}) == '{"a":[true,null,2.5],"b":1}'
     assert jcs_canonicalize({"x": 1e21}) == '{"x":1e+21}'
     assert jcs_canonicalize({"x": 56.0}) == '{"x":56}'
+
+
+def test_urdna2015_golden_vectors():
+    """Lock in canonical output on small known graphs (regression guard:
+    any change to the hashing/issuing order shows up here)."""
+    from jsonld_ex_ray.core.urdna2015 import canonicalize
+
+    XS = "http://www.w3.org/2001/XMLSchema#string"
+    chain = [
+        (("bnode", "e0"), ("iri", "http://example.com/#p1"), ("bnode", "e1"), None),
+        (("bnode", "e1"), ("iri", "http://example.com/#p2"), ("lit", "Foo", XS, None), None),
+    ]
+    assert canonicalize(chain) == {"e0": "c14n0", "e1": "c14n1"}
+    # and invariance of the same graph under relabeling
+    relabeled = [
+        (("bnode", "zz"), ("iri", "http://example.com/#p1"), ("bnode", "qq"), None),
+        (("bnode", "qq"), ("iri", "http://example.com/#p2"), ("lit", "Foo", XS, None), None),
+    ]
+    assert canonicalize(relabeled) == {"zz": "c14n0", "qq": "c14n1"}
+    # 3-cycle: exercises hash-n-degree with identical first-degree hashes
+    cyc = [
+        (("bnode", "a"), ("iri", "http://x/p"), ("bnode", "b"), None),
+        (("bnode", "b"), ("iri", "http://x/p"), ("bnode", "c"), None),
+        (("bnode", "c"), ("iri", "http://x/p"), ("bnode", "a"), None),
+    ]
+    got = canonicalize(cyc)
+    assert sorted(got.values()) == ["c14n0", "c14n1", "c14n2"]
+    rot = [
+        (("bnode", "b"), ("iri", "http://x/p"), ("bnode", "c"), None),
+        (("bnode", "c"), ("iri", "http://x/p"), ("bnode", "a"), None),
+        (("bnode", "a"), ("iri", "http://x/p"), ("bnode", "b"), None),
+    ]
+    assert canonicalize(rot) == got

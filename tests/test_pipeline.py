@@ -241,3 +241,92 @@ def test_checkpoint_resume(ray_session, tmp_path):
     m3 = run_checkpointed(files, out, shard_size=1, concurrency=1)
     assert m3["shards_skipped"] == 2
     assert read_triples(out).count() == total  # no double counting
+
+
+def test_triples_to_jsonld_default_graph_sharded(ray_session):
+    """A corpus where the default graph holds >90% of triples must NOT
+    collapse into one serializer call: shard assignment spreads it, the
+    merged output still matches a single whole-graph serialize_rdf."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data
+
+    from jsonld_ex_ray.core.options import JsonLdOptions
+    from jsonld_ex_ray.core.rdf_serialization import serialize_rdf
+    from jsonld_ex_ray.pipeline import _quads_of, triples_to_jsonld
+
+    n = 400
+    rows = {
+        "subj": [f"https://x.example/s{i}" for i in range(n)],
+        "pred": ["https://x.example/p"] * n,
+        "obj": [f"v{i}" for i in range(n)],
+        "obj_kind": ["literal"] * n,
+        "obj_datatype": ["http://www.w3.org/2001/XMLSchema#string"] * n,
+        "obj_lang": [None] * n,
+        "graph": [None] * n,  # everything in the default graph
+        "doc_id": [f"d{i}" for i in range(n)],
+    }
+    tbl = pa.table(rows)
+    num_shards = 8
+    out = triples_to_jsonld(
+        ray.data.from_arrow(tbl), num_shards=num_shards
+    ).to_pandas()
+    assert len(out) == 1  # one row per graph — unchanged output contract
+    got = _json.loads(out.doc.iloc[0])
+    want = serialize_rdf(_quads_of(tbl), JsonLdOptions(ordered=True))
+    want.sort(key=lambda node: node["@id"])
+    assert got == _json.loads(_json.dumps(want, sort_keys=True))
+    # shard spread: the subjects of the big graph hash to many shards, so
+    # no single serializer group saw more than a fraction of the triples
+    import numpy as np
+    import polars as pl
+
+    h = pl.DataFrame({"subj": rows["subj"]}).select(
+        pl.col("subj").hash(seed=0) % np.uint64(num_shards)
+    )["subj"].to_list()
+    counts = np.bincount(np.asarray(h, dtype=np.int64), minlength=num_shards)
+    assert (counts > 0).sum() >= num_shards - 1
+    assert counts.max() < n  # never one group holding the whole graph
+
+
+def test_triples_to_jsonld_list_graph_routes_whole(ray_session):
+    """Graphs containing rdf:first/rest chains serialize whole (list
+    reconstruction crosses subjects) and still produce correct @list."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data
+
+    from jsonld_ex_ray.pipeline import triples_to_jsonld
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    XS = "http://www.w3.org/2001/XMLSchema#string"
+    rows = [
+        ("https://x.example/s", "https://x.example/items", "_:l0", "bnode", None),
+        ("_:l0", RDF + "first", "a", "literal", XS),
+        ("_:l0", RDF + "rest", "_:l1", "bnode", None),
+        ("_:l1", RDF + "first", "b", "literal", XS),
+        ("_:l1", RDF + "rest", RDF + "nil", "iri", None),
+    ]
+    tbl = pa.table(
+        {
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj": [r[2] for r in rows],
+            "obj_kind": [r[3] for r in rows],
+            "obj_datatype": [r[4] for r in rows],
+            "obj_lang": [None] * len(rows),
+            "graph": [None] * len(rows),
+            "doc_id": ["d0"] * len(rows),
+        }
+    )
+    out = triples_to_jsonld(ray.data.from_arrow(tbl), num_shards=8).to_pandas()
+    assert len(out) == 1
+    doc = _json.loads(out.doc.iloc[0])
+    assert doc == [
+        {
+            "@id": "https://x.example/s",
+            "https://x.example/items": [{"@list": [{"@value": "a"}, {"@value": "b"}]}],
+        }
+    ]
