@@ -46,6 +46,15 @@ def _read(sf_dir: str, table: str):
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def _read_spread(sf_dir: str, table: str, blocks: int = 32):
+    """Read + repartition: the sf testdata files hold ONE parquet row
+    group, which gates the read to a single task — a serial bottleneck for
+    compute-heavy per-doc kernels (signatures). Real corpora arrive in
+    thousands of blocks and skip this. The repartition is cheap (no key
+    shuffle) at test scale."""
+    return _read(sf_dir, table).repartition(blocks)
+
+
 def entry() -> Any:
     """Flagship: source repos → extract → expand → triples (sf0.001 scale)."""
     from jsonld_ex_ray.pipeline import build_triples, triples_only
@@ -429,19 +438,19 @@ def _q_lang_id(sf_dir: str):
 def _q_dedup_minhash(sf_dir: str):
     from jsonld_ex_ray.ops.dedup import minhash_lsh_duplicates
 
-    return minhash_lsh_duplicates(_read(sf_dir, "documents")).sort("doc_id")
+    return minhash_lsh_duplicates(_read_spread(sf_dir, "documents")).sort("doc_id")
 
 
 def _q_dedup_simhash(sf_dir: str):
     from jsonld_ex_ray.ops.dedup import simhash_duplicates
 
-    return simhash_duplicates(_read(sf_dir, "documents")).sort("doc_id")
+    return simhash_duplicates(_read_spread(sf_dir, "documents")).sort("doc_id")
 
 
 def _q_jaccard_pairs(sf_dir: str):
     from jsonld_ex_ray.ops.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5).sort(
+    return ngram_jaccard_pairs(_read_spread(sf_dir, "documents"), threshold=0.5).sort(
         ["doc_a", "doc_b"]
     )
 

@@ -62,18 +62,22 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     results: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # flagship: KG triple extraction (files → triples), consumed by count()
+    # flagship: KG triple extraction (files → triples). Materialized ONCE
+    # (the real chain extracts once and checkpoints — full_kg.py); the
+    # wide stages below are timed over the materialized triples so their
+    # numbers are the SHUFFLE cost, not a re-run of extraction.
     from jsonld_ex_ray.pipeline import build_triples, triples_only
 
     t0 = time.monotonic()
-    n_triples = triples_only(
+    triples_mat = triples_only(
         build_triples(
             corpus,
             concurrency=(2, max(2, num_cpus // 2)),
             batch_size=512,
             override_num_blocks=num_cpus * 2,
         )
-    ).count()
+    ).materialize()
+    n_triples = triples_mat.count()
     dt = time.monotonic() - t0
     results["kg_triples"] = round(dt, 3)
     extras["files_per_sec"] = round(n_files / dt, 1)
@@ -82,19 +86,16 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     extras["n_triples"] = n_triples
 
     # shuffle-stage visibility: exact dedup + salted graph materialize over
-    # the same corpus (wide ops at sf scale)
+    # the materialized triples (wide ops at sf scale)
     from jsonld_ex_ray.pipeline import dedup_triples, materialize_graph
 
     t0 = time.monotonic()
-    extras["n_dedup"] = dedup_triples(
-        build_triples(corpus, batch_size=512, override_num_blocks=num_cpus * 2)
-    ).count()
+    extras["n_dedup"] = dedup_triples(triples_mat).count()
     results["kg_dedup"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
-    extras["n_subjects"] = materialize_graph(
-        build_triples(corpus, batch_size=512, override_num_blocks=num_cpus * 2)
-    ).count()
+    extras["n_subjects"] = materialize_graph(triples_mat).count()
     results["kg_materialize"] = round(time.monotonic() - t0, 3)
+    del triples_mat
 
     # secondary pipelines over the driver tables
     import __ray_entry__ as entrymod

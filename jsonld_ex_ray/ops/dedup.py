@@ -8,11 +8,14 @@ Ray-Data-first shapes:
 - minhash: shingle → minhash signature (numpy, vectorized) → banding:
            emit ``(band, band_hash, doc_id, sig)`` rows — signatures only,
            never text, so the shuffle moves ~0.5 KB/doc/band instead of
-           the document body → groupby(band, band_hash) emits candidate
-           pairs filtered by signature-estimated Jaccard → texts are
-           fetched ONLY for the surviving candidate ids (a tiny broadcast
-           lookup) and pairs are verified with TRUE shingle Jaccard →
-           bucketed min-reduce keeps one ``dup_of`` per doc.
+           the document body → ONE bounded groupby on
+           ``band_hash % num_buckets`` (collision runs found vectorized
+           inside each bucket) emits candidate pairs filtered by
+           signature-estimated Jaccard → texts are fetched ONLY for the
+           surviving candidate ids (a tiny broadcast lookup) and pairs are
+           verified with TRUE shingle Jaccard → min-reduce keeps one
+           ``dup_of`` per doc (in-hand below ``_DRIVER_VERIFY_MAX`` pairs,
+           bucketed beyond).
            Partitioning assumption: verified-candidate ids are a small
            fraction of the corpus (the point of LSH banding).
 - simhash: 64-bit signature; pigeonhole banding on (max_hamming+1) chunks
@@ -151,31 +154,32 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
     a vectorized sort + drop_duplicates — never one group per distinct
     document."""
 
-    def add_key(batch: pa.Table) -> pa.Table:
+    import polars as pl
+
+    def _min_id_mask(tbl: pa.Table) -> pa.Array:
+        # keep rows whose id is the per-key minimum — vectorized window
+        # expression, applied as an arrow filter (strings never copied)
+        m = pl.from_arrow(tbl.select(["__key", id_col])).select(
+            (pl.col(id_col) == pl.col(id_col).min().over("__key"))
+        )
+        return m.to_arrow().column(0).cast(pa.bool_())
+
+    def add_key_and_local_min(batch: pa.Table) -> pa.Table:
         keys, buckets = [], []
         for t in batch.column(text_col).to_pylist():
             k = hashlib.sha256((t or "").encode("utf-8")).hexdigest()
             keys.append(k)
             buckets.append(int(k[:8], 16) % num_buckets)
         batch = batch.append_column("__key", pa.array(keys, pa.string()))
-        return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
-
-    def local_min(batch: pa.Table) -> pa.Table:
-        # combiner: keep min-id row per key within the block before shuffling
-        df = batch.to_pandas()
-        out = df.sort_values(id_col).drop_duplicates("__key", keep="first")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        batch = batch.append_column("__bucket", pa.array(buckets, pa.int32()))
+        # combiner: min-id row per key within the block before shuffling
+        return batch.filter(_min_id_mask(batch))
 
     def bucket_min(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        out = df.sort_values(id_col).drop_duplicates("__key", keep="first")
-        return pa.Table.from_pandas(
-            out.drop(columns=["__key", "__bucket"]), preserve_index=False
-        )
+        return group.filter(_min_id_mask(group)).drop_columns(["__key", "__bucket"])
 
     return (
-        ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(local_min, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_key_and_local_min, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
         .map_groups(bucket_min, batch_format="pyarrow")
     )
@@ -219,35 +223,38 @@ def _band_rows(ds, *, num_perm: int, bands: int, shingle_k: int, text_col: str, 
     return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _candidate_pairs(band_ds, *, id_col: str, est_threshold: float):
-    """groupby(band, band_hash) → (doc_a, doc_b, est) candidate pairs with
-    signature-estimated Jaccard ≥ est_threshold (doc_a < doc_b)."""
+def _candidate_pairs(band_ds, *, id_col: str, est_threshold: float, num_buckets: int = 64):
+    """Band-bucket collision mining with a BOUNDED shuffle: the groupby
+    key is ``band_hash % num_buckets`` (≤ num_buckets Python group calls —
+    NOT one per distinct band bucket, which is per-document cardinality);
+    inside each bucket a vectorized pandas groupby finds the (band,
+    band_hash) collision runs, and only those few runs get the pairwise
+    estimated-Jaccard loop. → (doc_a, doc_b, est), doc_a < doc_b."""
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        if len(ids) < 2:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "est": pa.array([], pa.float64()),
-                }
-            )
-        sigs = np.stack(
-            [np.frombuffer(s, dtype=np.uint64) for s in group.column("sig").to_pylist()]
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
         )
-        order = np.argsort(np.asarray(ids), kind="stable")
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        sizes = df.groupby(["band", "band_hash"])[id_col].transform("size")
+        coll = df[sizes > 1]
         a_out, b_out, est_out = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= est_threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    est_out.append(est)
+        for (_b, _h), sub in coll.groupby(["band", "band_hash"]):
+            sub = sub.sort_values(id_col)
+            ids = sub[id_col].to_numpy()
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sub["sig"]])
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    if ids[x] == ids[y]:
+                        continue
+                    est = float((sigs[x] == sigs[y]).mean())
+                    if est >= est_threshold:
+                        a_out.append(int(ids[x]))
+                        b_out.append(int(ids[y]))
+                        est_out.append(est)
         return pa.table(
             {
                 "doc_a": pa.array(a_out, pa.int64()),
@@ -256,27 +263,17 @@ def _candidate_pairs(band_ds, *, id_col: str, est_threshold: float):
             }
         )
 
-    return band_ds.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pyarrow")
-
-
-def _dedupe_pairs(pairs_ds, num_buckets: int = 32):
-    """One row per (doc_a, doc_b) — bucketed, never a group per pair."""
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (a * np.uint64(2654435761) + b * np.uint64(40503)) % np.uint64(num_buckets)
-        return batch.append_column("__bucket", pa.array(h.astype(np.int32)))
-
-    def bucket_first(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().drop_duplicates(["doc_a", "doc_b"], keep="first")
-        return pa.Table.from_pandas(df.drop(columns="__bucket"), preserve_index=False)
-
     return (
-        pairs_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        band_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
-        .map_groups(bucket_first, batch_format="pyarrow")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
     )
+
+
+# above this many candidate pairs, exact verification distributes as a
+# map_batches over the pair rows (texts broadcast); below it the pairs
+# are verified in-process — same output, no extra Ray stage latency
+_DRIVER_VERIFY_MAX = 100_000
 
 
 def _fetch_texts(ds, ids: set, *, text_col: str, id_col: str) -> dict:
@@ -286,51 +283,76 @@ def _fetch_texts(ds, ids: set, *, text_col: str, id_col: str) -> dict:
 
     ids_ref = ray.put(frozenset(ids))
 
-    class Pick:
-        def __init__(self, ref):
-            self.ids = ray.get(ref)
+    def pick(batch: pa.Table) -> pa.Table:
+        idset = ray.get(ids_ref)
+        keep = [v in idset for v in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(keep)).select([id_col, text_col])
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = [v in self.ids for v in batch.column(id_col).to_pylist()]
-            out = batch.filter(pa.array(keep))
-            return out.select([id_col, text_col])
-
-    picked = ds.map_batches(
-        Pick,
-        fn_constructor_kwargs={"ref": ids_ref},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=2,
-    ).to_pandas()
+    picked = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     return dict(zip(picked[id_col], picked[text_col]))
 
 
-def _verify_pairs(pairs_ds, texts_ref, *, shingle_k: int, threshold: float):
-    """True shingle-Jaccard over the surviving candidates (texts broadcast
-    once — bounded by the candidate set)."""
+def _verify_pairs_distributed(cand_df, texts_ref, *, shingle_k: int, threshold: float):
+    """True shingle-Jaccard over the candidates as a distributed
+    map_batches (texts broadcast once — bounded by the candidate set)."""
+    import ray
+    import ray.data
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+        a_ids = batch.column("doc_a").to_pylist()
+        b_ids = batch.column("doc_b").to_pylist()
+        cache = {
+            i: set(_shingles(texts.get(i, ""), shingle_k).tolist())
+            for i in set(a_ids) | set(b_ids)
+        }
+
+        def j(a, b):
+            sa, sb = cache[a], cache[b]
+            if not sa and not sb:
+                return 1.0
+            return len(sa & sb) / len(sa | sb)
+
+        scores = [j(a, b) for a, b in zip(a_ids, b_ids)]
+        out = batch.append_column(
+            "jaccard", pa.array([round(s, 6) for s in scores], pa.float64())
+        )
+        return out.filter(pa.array([s >= threshold for s in scores]))
+
+    cand_ds = ray.data.from_pandas(cand_df[["doc_a", "doc_b"]])
+    return cand_ds.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _verified_pairs(ds, cand_df, *, shingle_k, threshold, text_col, id_col):
+    """Candidate pairs → verified (doc_a, doc_b, jaccard) pandas frame
+    (driver path) or Dataset (distributed path beyond the size gate)."""
+    import pandas as pd
+
+    texts = _fetch_texts(
+        ds, set(cand_df.doc_a) | set(cand_df.doc_b), text_col=text_col, id_col=id_col
+    )
+    if len(cand_df) <= _DRIVER_VERIFY_MAX:
+        # shingle each candidate doc ONCE (clusters of dups create many
+        # pairs per doc — per-pair re-shingling is quadratic work)
+        cache = {
+            i: set(_shingles(texts.get(i, ""), shingle_k).tolist())
+            for i in set(cand_df.doc_a) | set(cand_df.doc_b)
+        }
+
+        def j(a, b):
+            sa, sb = cache[a], cache[b]
+            if not sa and not sb:
+                return 1.0
+            return len(sa & sb) / len(sa | sb)
+
+        scores = [round(j(a, b), 6) for a, b in zip(cand_df.doc_a, cand_df.doc_b)]
+        out = cand_df[["doc_a", "doc_b"]].copy()
+        out["jaccard"] = scores
+        return out[pd.Series(scores, index=out.index) >= threshold]
     import ray
 
-    class Verify:
-        def __init__(self, ref):
-            self.texts = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a_ids = batch.column("doc_a").to_pylist()
-            b_ids = batch.column("doc_b").to_pylist()
-            scores = [
-                jaccard(self.texts.get(a, ""), self.texts.get(b, ""), shingle_k)
-                for a, b in zip(a_ids, b_ids)
-            ]
-            out = batch.append_column("jaccard", pa.array([round(s, 6) for s in scores], pa.float64()))
-            keep = pa.array([s >= threshold for s in scores])
-            return out.filter(keep)
-
-    return pairs_ds.map_batches(
-        Verify,
-        fn_constructor_kwargs={"ref": texts_ref},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=2,
+    return _verify_pairs_distributed(
+        cand_df, ray.put(texts), shingle_k=shingle_k, threshold=threshold
     )
 
 
@@ -373,26 +395,34 @@ def minhash_lsh_duplicates(
     (bounded shuffle): candidates by estimated Jaccard ≥ threshold −
     est_margin. Stage 3: texts fetched for only the candidate ids and
     pairs verified exactly. Stage 4: bucketed min-reduce per doc."""
+    import pandas as pd
+
     band_ds = _band_rows(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, text_col=text_col, id_col=id_col
     )
     est_th = max(0.0, threshold - est_margin)
-    candidates = _dedupe_pairs(_candidate_pairs(band_ds, id_col=id_col, est_threshold=est_th))
-
-    cand_df = candidates.to_pandas()  # bounded: LSH survivors only
+    # LSH survivors only — bounded by design; pair-dedupe in-hand
+    cand_df = (
+        _candidate_pairs(band_ds, id_col=id_col, est_threshold=est_th)
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+    )
     if len(cand_df) == 0:
         return _empty_dups(id_col)
-    import ray
-
-    texts = _fetch_texts(
-        ds, set(cand_df.doc_a) | set(cand_df.doc_b), text_col=text_col, id_col=id_col
+    verified = _verified_pairs(
+        ds, cand_df, shingle_k=shingle_k, threshold=threshold, text_col=text_col, id_col=id_col
     )
-    import ray.data
+    if isinstance(verified, pd.DataFrame):
+        out = (
+            verified.rename(columns={"doc_b": id_col, "doc_a": "dup_of"})
+            .sort_values([id_col, "dup_of"])
+            .drop_duplicates(id_col, keep="first")[[id_col, "dup_of"]]
+        )
+        import ray.data
 
-    cand_ds = ray.data.from_pandas(cand_df[["doc_a", "doc_b"]])
-    verified = _verify_pairs(
-        cand_ds, ray.put(texts), shingle_k=shingle_k, threshold=threshold
-    )
+        if len(out) == 0:
+            return _empty_dups(id_col)
+        return ray.data.from_pandas(out.reset_index(drop=True))
 
     def as_dup(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -428,16 +458,20 @@ def ngram_jaccard_pairs(
     than the dedup path → recall at lower thresholds), exact verification
     over texts fetched for only the candidates.
     → Dataset(doc_a, doc_b, jaccard), doc_a < doc_b."""
+    import pandas as pd
+
+    import ray.data
+
     band_ds = _band_rows(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, text_col=text_col, id_col=id_col
     )
     est_th = max(0.0, threshold - est_margin)
-    candidates = _dedupe_pairs(_candidate_pairs(band_ds, id_col=id_col, est_threshold=est_th))
-
-    cand_df = candidates.to_pandas()  # bounded: LSH survivors only
+    cand_df = (
+        _candidate_pairs(band_ds, id_col=id_col, est_threshold=est_th)
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+    )
     if len(cand_df) == 0:
-        import ray.data
-
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -447,16 +481,13 @@ def ngram_jaccard_pairs(
                 }
             )
         )
-    import ray
-    import ray.data
-
-    texts = _fetch_texts(
-        ds, set(cand_df.doc_a) | set(cand_df.doc_b), text_col=text_col, id_col=id_col
+    verified = _verified_pairs(
+        ds, cand_df, shingle_k=shingle_k, threshold=threshold, text_col=text_col, id_col=id_col
     )
-    cand_ds = ray.data.from_pandas(cand_df[["doc_a", "doc_b"]])
-    verified = _verify_pairs(
-        cand_ds, ray.put(texts), shingle_k=shingle_k, threshold=threshold
-    )
+    if isinstance(verified, pd.DataFrame):
+        return ray.data.from_pandas(
+            verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
     return verified.map_batches(
         lambda b: b.select(["doc_a", "doc_b", "jaccard"]),
         batch_format="pyarrow",
@@ -513,33 +544,43 @@ def simhash_duplicates(ds, *, max_hamming: int = 3, text_col: str = "text", id_c
             }
         )
 
-    def verify(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column(id_col).to_pylist())
-        sigs = group.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
-        if len(ids) < 2:
-            return pa.table(
-                {id_col: pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64()), "hamming": pa.array([], pa.int32())}
-            )
-        order = np.argsort(ids, kind="stable")
-        ids, sigs = ids[order], sigs[order]
-        # vectorized pairwise hamming via XOR + popcount over byte views
-        xor = sigs[:, None] ^ sigs[None, :]
-        ham = np.unpackbits(xor.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2).sum(axis=2)
+    def add_bucket(batch: pa.Table, num_buckets: int = 64) -> pa.Table:
+        # bounded shuffle key — NOT the raw (chunk, chunk_val), which has
+        # per-document cardinality
+        v = batch.column("chunk_val").to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = batch.column("chunk").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (v * np.uint64(2654435761) + c) % np.uint64(64)
+        return batch.append_column("__bucket", pa.array(h.astype(np.int32)))
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        sizes = df.groupby(["chunk", "chunk_val"])[id_col].transform("size")
+        coll = df[sizes > 1]
         did, dof, out_h = [], [], []
-        for i in range(1, len(ids)):
-            js = np.nonzero(ham[i, :i] <= max_hamming)[0]
-            if len(js):
-                j = js[0]
-                did.append(int(ids[i]))
-                dof.append(int(ids[j]))
-                out_h.append(int(ham[i, j]))
+        for (_c, _v), sub in coll.groupby(["chunk", "chunk_val"]):
+            sub = sub.sort_values(id_col)
+            ids = sub[id_col].to_numpy()
+            sigs = sub["sig"].to_numpy().astype(np.uint64)
+            # vectorized pairwise hamming via XOR + popcount over byte views
+            xor = sigs[:, None] ^ sigs[None, :]
+            ham = np.unpackbits(
+                xor.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2
+            ).sum(axis=2)
+            for i in range(1, len(ids)):
+                js = np.nonzero(ham[i, :i] <= max_hamming)[0]
+                if len(js) and ids[i] != ids[js[0]]:
+                    j = int(js[0])
+                    did.append(int(ids[i]))
+                    dof.append(int(ids[j]))
+                    out_h.append(int(ham[i, j]))
         return pa.table(
             {id_col: pa.array(did, pa.int64()), "dup_of": pa.array(dof, pa.int64()), "hamming": pa.array(out_h, pa.int32())}
         )
 
     pairs = (
         ds.map_batches(chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["chunk", "chunk_val"])
-        .map_groups(verify, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(verify_bucket, batch_format="pyarrow")
     )
     return _min_dup_per_doc(pairs, id_col)

@@ -147,23 +147,27 @@ def dedup_triples(ds, num_buckets: int = 64):
     (groupby on the raw key spawns one Python call per distinct triple —
     the wrong shape at any scale.)"""
 
+    import polars as pl
+
+    def _first_mask(tbl: pa.Table) -> pa.Array:
+        # boolean keep-mask computed in polars (vectorized), applied as an
+        # arrow filter — zero table conversion, strings never copied
+        m = pl.from_arrow(tbl.select(["tk1", "tk2"])).select(
+            pl.struct(["tk1", "tk2"]).is_first_distinct()
+        )
+        return m.to_arrow().column(0).cast(pa.bool_())
+
     def local_dedup(batch: pa.Table) -> pa.Table:
         batch = _triple_key_cols(batch, num_buckets)
         # map-side combine: first occurrence per 128-bit key in the block
-        df = batch.to_pandas()
-        out = df.drop_duplicates(subset=["tk1", "tk2"], keep="first")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return batch.filter(_first_mask(batch))
 
     ds = triples_only(ds).map_batches(
         local_dedup, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def bucket_dedup(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        out = df.drop_duplicates(subset=["tk1", "tk2"], keep="first")
-        return pa.Table.from_pandas(
-            out.drop(columns=["tk1", "tk2", "bucket"]), preserve_index=False
-        )
+        return group.filter(_first_mask(group)).drop_columns(["tk1", "tk2", "bucket"])
 
     return ds.groupby("bucket").map_groups(bucket_dedup, batch_format="pyarrow")
 
@@ -393,11 +397,16 @@ def triples_to_jsonld(ds, num_shards: int = 32):
     - graphs WITH rdf:first/rest route whole to one group (list chains
       cross subjects; assumption: list-bearing graphs are individually
       bounded — they are documents, not the default-graph union);
-    - a final groupby(graph) merges the ≤ num_shards node-array parts per
-      graph (bounded group count, trivial reduce).
+    - a final bucketed merge combines the ≤ num_shards node-array parts
+      per graph.
 
-    The default graph holding 90%+ of the corpus therefore never lands in
-    a single Python ``map_groups`` call."""
+    Both shuffles key on a BOUNDED bucket (hash(graph) % num_buckets
+    crossed with the subject shard), never the raw graph name — named
+    graphs have per-document cardinality at corpus scale, and a
+    Python map_groups call per graph is the same anti-pattern as one per
+    document. Graphs are looped INSIDE each bucket. The default graph
+    holding 90%+ of the corpus never lands in a single call either (its
+    subject shards spread across buckets)."""
     import polars as pl
 
     from .core.options import JsonLdOptions
@@ -417,49 +426,95 @@ def triples_to_jsonld(ds, num_shards: int = 32):
     ).to_pandas()
     list_graphs = set(lg_df["graph"]) if len(lg_df) else set()
 
+    num_buckets = num_shards * 2
+
     def add_shard(batch: pa.Table) -> pa.Table:
         g = pc.fill_null(batch.column("graph").cast(pa.string()), "")
         h = pl.from_arrow(batch.select(["subj"])).select(
             pl.col("subj").hash(seed=0) % np.uint64(num_shards)
         )["subj"]
-        shard = np.asarray(h.to_list(), dtype=np.int32)
+        shard = np.asarray(h.to_list(), dtype=np.int64)
         if list_graphs:
             in_lg = pc.is_in(g, value_set=pa.array(sorted(list_graphs)))
             shard = np.where(in_lg.to_numpy(zero_copy_only=False), 0, shard)
+        gh = np.asarray(
+            pl.from_arrow(pa.table({"g": g}))
+            .select(pl.col("g").hash(seed=3))["g"]
+            .to_list(),
+            dtype=np.uint64,
+        )
+        bucket = ((gh * np.uint64(num_shards) + shard.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
         batch = batch.append_column("__g", g)
-        return batch.append_column("__shard", pa.array(shard, pa.int32()))
+        batch = batch.append_column("__shard", pa.array(shard.astype(np.int32), pa.int32()))
+        return batch.append_column("__bucket", pa.array(bucket, pa.int32()))
 
-    def build_shard(group: pa.Table) -> pa.Table:
-        graph_name = group.column("__g")[0].as_py()
-        docs = serialize_rdf(_quads_of(group), JsonLdOptions(ordered=True))
+    def build_shards(group: pa.Table) -> pa.Table:
+        # loop the distinct (graph, shard) cells INSIDE the bounded bucket
+        group = group.combine_chunks().sort_by(
+            [("__g", "ascending"), ("__shard", "ascending")]
+        )
+        gs = np.asarray(group.column("__g").to_pylist(), dtype=object)
+        sh = group.column("__shard").to_numpy(zero_copy_only=False)
+        change = np.r_[True, (gs[1:] != gs[:-1]) | (sh[1:] != sh[:-1])]
+        starts = np.flatnonzero(change)
+        bounds = np.r_[starts, len(gs)]
+        names, parts_out, counts = [], [], []
+        for i in range(len(starts)):
+            cell = group.slice(bounds[i], bounds[i + 1] - bounds[i])
+            docs = serialize_rdf(_quads_of(cell), JsonLdOptions(ordered=True))
+            names.append(gs[bounds[i]])
+            parts_out.append(json.dumps(docs))
+            counts.append(len(docs))
         return pa.table(
             {
-                "graph": pa.array([graph_name], pa.string()),
-                "part": pa.array([json.dumps(docs)], pa.string()),
-                "n_nodes": pa.array([len(docs)], pa.int64()),
+                "graph": pa.array(names, pa.string()),
+                "part": pa.array(parts_out, pa.string()),
+                "n_nodes": pa.array(counts, pa.int64()),
             }
         )
 
-    def merge_graph(group: pa.Table) -> pa.Table:
-        graph_name = group.column("graph")[0].as_py()
-        nodes: list = []
-        for blob in group.column("part").to_pylist():
-            nodes.extend(json.loads(blob))
-        nodes.sort(key=lambda n: n["@id"])  # same order as sorted node-map keys
+    def add_merge_bucket(batch: pa.Table) -> pa.Table:
+        gh = pl.from_arrow(batch.select(["graph"])).select(
+            pl.col("graph").hash(seed=3) % np.uint64(num_buckets)
+        )["graph"]
+        return batch.append_column(
+            "__bucket", pa.array(np.asarray(gh.to_list(), dtype=np.int64).astype(np.int32))
+        )
+
+    def merge_graphs(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks().sort_by([("graph", "ascending")])
+        gs = np.asarray(group.column("graph").to_pylist(), dtype=object)
+        blobs = group.column("part").to_pylist()
+        change = np.r_[True, gs[1:] != gs[:-1]]
+        starts = np.flatnonzero(change)
+        bounds = np.r_[starts, len(gs)]
+        names, docs_out, counts = [], [], []
+        for i in range(len(starts)):
+            nodes: list = []
+            for blob in blobs[bounds[i] : bounds[i + 1]]:
+                nodes.extend(json.loads(blob))
+            nodes.sort(key=lambda n: n["@id"])  # same order as sorted node-map keys
+            names.append(gs[bounds[i]])
+            docs_out.append(json.dumps(nodes, sort_keys=True))
+            counts.append(len(nodes))
         return pa.table(
             {
-                "graph": pa.array([graph_name], pa.string()),
-                "doc": pa.array([json.dumps(nodes, sort_keys=True)], pa.string()),
-                "n_nodes": pa.array([len(nodes)], pa.int64()),
+                "graph": pa.array(names, pa.string()),
+                "doc": pa.array(docs_out, pa.string()),
+                "n_nodes": pa.array(counts, pa.int64()),
             }
         )
 
     parts = (
         t.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["__g", "__shard"])
-        .map_groups(build_shard, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(build_shards, batch_format="pyarrow")
     )
-    return parts.groupby("graph").map_groups(merge_graph, batch_format="pyarrow")
+    return (
+        parts.map_batches(add_merge_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(merge_graphs, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
