@@ -111,30 +111,27 @@ def _extract_html_scripts(body: str, extract_all: bool):
     return extract_html_document(body, None, extract_all)
 
 
-class SimulatedHTTPLoader:
-    """DocumentLoader over a fake HTTP transport.
+_PROFILE_RE = re.compile(r'profile="?([^;"]+)"?')
 
-    ``responses``: url → SimResponse. URLs not present 404. The production
-    deployment swaps ``responses``-backed ``_get`` for a real HTTP client
-    behind the same dispatch logic.
-    """
 
-    def __init__(
-        self,
-        responses: dict[str, SimResponse],
-        max_redirects: int = 5,
-        extract_all_scripts: bool = False,
-    ):
-        self.responses = responses
-        self.max_redirects = max_redirects
-        self.extract_all_scripts = extract_all_scripts
+def _profile_of(content_type: str) -> str | None:
+    """Profile parameter of a content-type header (reference
+    remote_document.ex:186-197)."""
+    m = _PROFILE_RE.search(content_type or "")
+    return m.group(1) if m else None
 
-    def _get(self, url: str) -> SimResponse:
-        base = url.split("#", 1)[0]
-        resp = self.responses.get(base)
-        if resp is None:
-            raise JsonLdError("loading document failed", f"404: {url}")
-        return resp
+
+class HTTPSemanticsLoader:
+    """Shared HTTP dispatch semantics over an abstract ``_get`` transport
+    (reference remote_document.ex:60-261): content-type dispatch,
+    Link-header context discovery, rel=alternate following, redirect cap
+    + loop detection, HTML passthrough for script extraction."""
+
+    max_redirects: int = 5
+    extract_all_scripts: bool = False
+
+    def _get(self, url: str) -> SimResponse:  # pragma: no cover - abstract
+        raise NotImplementedError
 
     def load(self, url: str, options=None) -> RemoteDocument:
         extract_all = self.extract_all_scripts
@@ -165,6 +162,7 @@ class SimulatedHTTPLoader:
                     document=json.loads(resp.body),
                     document_url=current,
                     content_type=ct,
+                    profile=_profile_of(resp.content_type),
                 )
             if ct == "application/json" or ct.endswith("+json"):
                 context_links = [l for l in links if l.get("rel") == JSONLD_CONTEXT_REL]
@@ -204,3 +202,99 @@ class SimulatedHTTPLoader:
                 "loading document failed", f"unusable content type {ct!r} at {current}"
             )
         raise JsonLdError("loading document failed", f"too many redirects from {url}")
+
+
+class SimulatedHTTPLoader(HTTPSemanticsLoader):
+    """DocumentLoader over a fake HTTP transport.
+
+    ``responses``: url → SimResponse. URLs not present 404. Tests drive it
+    from the W3C remote-doc manifest's declarative HTTP options;
+    ``HttpLoader`` is the real-transport sibling."""
+
+    def __init__(
+        self,
+        responses: dict[str, SimResponse],
+        max_redirects: int = 5,
+        extract_all_scripts: bool = False,
+    ):
+        self.responses = responses
+        self.max_redirects = max_redirects
+        self.extract_all_scripts = extract_all_scripts
+
+    def _get(self, url: str) -> SimResponse:
+        base = url.split("#", 1)[0]
+        resp = self.responses.get(base)
+        if resp is None:
+            raise JsonLdError("loading document failed", f"404: {url}")
+        return resp
+
+
+class HttpLoader(HTTPSemanticsLoader):
+    """Real HTTP ``DocumentLoader`` (urllib, stdlib-only) behind the same
+    dispatch semantics — reference default_client.ex:21-34 +
+    remote_document.ex:154-173: accept header (with optional request
+    profile), 5-redirect cap enforced by the shared loop (urllib's
+    auto-redirect is disabled so loop detection and the cap apply).
+
+    Only constructed explicitly — nothing in the offline pipeline or test
+    suite reaches the network by default."""
+
+    def __init__(
+        self,
+        max_redirects: int = 5,
+        extract_all_scripts: bool = False,
+        timeout: float = 30.0,
+        request_profile: str | list[str] | None = None,
+    ):
+        self.max_redirects = max_redirects
+        self.extract_all_scripts = extract_all_scripts
+        self.timeout = timeout
+        self.request_profile = request_profile
+
+    def _accept_header(self) -> str:
+        if self.request_profile:
+            profiles = (
+                self.request_profile
+                if isinstance(self.request_profile, list)
+                else [self.request_profile]
+            )
+            return (
+                f'application/ld+json;profile="{" ".join(profiles)}", application/json'
+            )
+        return "application/ld+json, application/json"
+
+    def _get(self, url: str) -> SimResponse:
+        import urllib.error
+        import urllib.request
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, req, fp, code, msg, headers, newurl):
+                return None  # surface 3xx to the dispatch loop
+
+        opener = urllib.request.build_opener(_NoRedirect)
+        req = urllib.request.Request(
+            url.split("#", 1)[0], headers={"Accept": self._accept_header()}
+        )
+        try:
+            resp = opener.open(req, timeout=self.timeout)
+        except urllib.error.HTTPError as e:
+            if e.code in (301, 302, 303, 307, 308):
+                loc = e.headers.get("Location")
+                if not loc:
+                    raise JsonLdError(
+                        "loading document failed", f"redirect without Location at {url}"
+                    )
+                return SimResponse(status=e.code, location=loc)
+            raise JsonLdError("loading document failed", f"HTTP {e.code} at {url}")
+        except (urllib.error.URLError, OSError, TimeoutError) as e:
+            raise JsonLdError("loading document failed", f"HTTP request failed: {e}")
+        with resp:
+            headers = resp.headers
+            charset = headers.get_content_charset() or "utf-8"
+            body = resp.read().decode(charset, errors="replace")
+            return SimResponse(
+                status=resp.status,
+                content_type=headers.get("Content-Type", "application/octet-stream"),
+                body=body,
+                link_headers=headers.get_all("Link") or [],
+            )

@@ -167,3 +167,78 @@ def test_urdna2015_golden_vectors():
         (("bnode", "a"), ("iri", "http://x/p"), ("bnode", "b"), None),
     ]
     assert canonicalize(rot) == got
+
+
+def test_http_loader_against_local_server():
+    """Real-transport DocumentLoader (HttpLoader) against a local socket
+    server: content-type dispatch, Link context header, redirect cap."""
+    import http.server
+    import threading
+
+    from jsonld_ex_ray.core.errors import JsonLdError
+    from jsonld_ex_ray.core.remote import JSONLD_CONTEXT_REL, HttpLoader
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/doc.jsonld":
+                assert "application/ld+json" in self.headers["Accept"]
+                body = b'{"@context": {"name": "https://x/name"}, "name": "n"}'
+                self.send_response(200)
+                self.send_header("Content-Type", "application/ld+json")
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/plain.json":
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header(
+                    "Link", f'</ctx.jsonld>; rel="{JSONLD_CONTEXT_REL}"'
+                )
+                self.end_headers()
+                self.wfile.write(b'{"name": "n"}')
+            elif self.path == "/redir":
+                self.send_response(302)
+                self.send_header("Location", "/doc.jsonld")
+                self.end_headers()
+            elif self.path == "/loop":
+                self.send_response(302)
+                self.send_header("Location", "/loop2")
+                self.end_headers()
+            elif self.path == "/loop2":
+                self.send_response(302)
+                self.send_header("Location", "/loop")
+                self.end_headers()
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        loader = HttpLoader()
+        base = f"http://127.0.0.1:{port}"
+        doc = loader.load(f"{base}/doc.jsonld")
+        assert doc.document["name"] == "n"
+        assert doc.content_type == "application/ld+json"
+
+        plain = loader.load(f"{base}/plain.json")
+        assert plain.context_url == f"{base}/ctx.jsonld"
+
+        redirected = loader.load(f"{base}/redir")
+        assert redirected.document_url == f"{base}/doc.jsonld"
+
+        import pytest as _pytest
+
+        with _pytest.raises(JsonLdError) as ei:
+            loader.load(f"{base}/loop")
+        assert ei.value.code == "loading document failed"
+
+        with _pytest.raises(JsonLdError):
+            loader.load(f"{base}/missing")
+    finally:
+        srv.shutdown()
+        srv.server_close()
