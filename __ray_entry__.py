@@ -565,6 +565,19 @@ def _q_kg_from_rdf(sf_dir: str):
     return triples_to_jsonld(build_triples(_corpus_for(sf_dir), concurrency=2))
 
 
+def _q_kg_frame(sf_dir: str):
+    """JSON-LD 1.1 Framing as a pipeline stage: frame each reconstructed
+    graph document by @type (the one API member the reference lacks)."""
+    from jsonld_ex_ray.pipeline import build_triples, frame_docs, triples_to_jsonld
+
+    docs = triples_to_jsonld(build_triples(_corpus_for(sf_dir), concurrency=2))
+    frame = {
+        "@context": {"@vocab": "https://schema.example/"},
+        "@type": "Product",
+    }
+    return frame_docs(docs, frame).sort("graph")
+
+
 def _q_kg_entity_link(sf_dir: str):
     from jsonld_ex_ray.pipeline import build_triples, triples_only
     from jsonld_ex_ray.stages.linker import build_canonical_dictionary
@@ -612,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_materialize": _q_kg_materialize,
         "kg_entity_link": _q_kg_entity_link,
         "kg_from_rdf": _q_kg_from_rdf,
+        "kg_frame": _q_kg_frame,
         "kg_mentions": _q_kg_mentions,
         "kg_error_stats": _q_kg_error_stats,
     }

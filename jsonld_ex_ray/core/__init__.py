@@ -1,4 +1,4 @@
-from .api import compact, expand, flatten, from_rdf, to_rdf
+from .api import compact, expand, flatten, frame, from_rdf, to_rdf
 from .context import Context
 from .errors import JsonLdError
 from .loader import CachingLoader, FileLoader, RemoteDocument, StaticLoader
@@ -15,6 +15,7 @@ __all__ = [
     "compact",
     "expand",
     "flatten",
+    "frame",
     "from_rdf",
     "to_rdf",
 ]

@@ -181,3 +181,58 @@ def from_rdf(quads: list, options: JsonLdOptions | dict | None = None) -> list:
 
     options = to_options(options)
     return serialize_rdf(quads, options)
+
+
+def frame(
+    input_: Any, frame_doc: Any, options: JsonLdOptions | dict | None = None
+) -> dict:
+    """JSON-LD 1.1 Framing (json-ld11-framing §3.2 frame()). The reference
+    does not implement framing (its README lists it as a known gap) — this
+    follows the W3C spec: expand input + frame, frame the merged node map,
+    compact with the frame's context, unwrap @graph per ``omitGraph``."""
+    from .compaction import compact_top_level
+    from .framing import expand_frame, frame_expanded
+
+    options = to_options(options)
+    fdoc, fdoc_url, _fctx, _ = _load_input(frame_doc, options)
+    if not isinstance(fdoc, (dict, list)):
+        raise JsonLdError("invalid frame", f"frame must be an object: {type(fdoc)}")
+    doc, doc_url, context_url, base_override = _load_input(input_, options)
+    if base_override is not None:
+        options = options.with_(base=base_override)
+    expanded = expand(
+        RemoteDocument(document=doc, document_url=doc_url, context_url=context_url)
+        if doc_url
+        else doc,
+        options.with_(ordered=False),
+    )
+    expanded_frame = expand_frame(fdoc, options, fdoc_url or doc_url)
+    framed = frame_expanded(expanded, expanded_frame, options)
+
+    context = fdoc.get("@context") if isinstance(fdoc, dict) else None
+    compacted = compact_top_level(
+        framed, {"@context": context} if context is not None else {}, options, doc_url
+    )
+    from .framing import _replace_null_sentinel
+
+    compacted = _replace_null_sentinel(compacted)
+    omit_graph = options.omit_graph
+    if omit_graph is None:
+        omit_graph = options.processing_mode != "json-ld-1.0"
+    # compact_top_level wraps multiple nodes in (compacted) @graph already;
+    # when omitGraph is False a single node must still be wrapped
+    from .compaction import compact_iri as _compact_iri
+    from .context import Context as _Ctx
+
+    if not omit_graph:
+        active = _Ctx(options)
+        if context is not None:
+            active = active.process(context, doc_url)
+        graph_key = _compact_iri(active, "@graph", vocab=True)
+        body = {k: v for k, v in compacted.items() if k != "@context"}
+        if graph_key not in compacted:
+            result = {graph_key: [body] if body else []}
+            if context is not None:
+                result["@context"] = context
+            return result
+    return compacted

@@ -29,6 +29,14 @@ class JsonLdOptions:
     rdf_direction: str | None = None  # None | "i18n-datatype" | "compound-literal"
     use_native_types: bool = False
     use_rdf_type: bool = False
+    # framing (json-ld11-framing §2.1 JsonLdOptions additions; the
+    # reference has no framing, so these follow the spec defaults):
+    embed: str = "@once"
+    explicit: bool = False
+    omit_default: bool = False
+    omit_graph: bool | None = None  # None → True in json-ld-1.1
+    require_all: bool = False
+    frame_default: bool = False  # False → frame the @merged graph
     # implementation-defined (reference parity):
     lowercase_language: bool = False
     warn: str | Callable[[str], None] = "ignore"  # ignore | log | raise | callable

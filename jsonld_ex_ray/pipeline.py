@@ -517,6 +517,26 @@ def triples_to_jsonld(ds, num_shards: int = 32):
     )
 
 
+def frame_docs(ds, frame_doc: dict, *, doc_col: str = "doc", options=None):
+    """Optional framing stage: apply a JSON-LD frame to a column of JSON
+    document strings (e.g. ``triples_to_jsonld`` output) — pure per-row
+    kernel, no shuffle; the frame itself is a small constant shipped in
+    the task closure. → Dataset(original key columns + framed[json])."""
+    from .core.api import frame as frame_api
+    from .core.options import to_options
+
+    opts = to_options(options)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        framed = []
+        for blob in batch.column(doc_col).to_pylist():
+            doc = json.loads(blob)
+            framed.append(json.dumps(frame_api(doc, frame_doc, opts), sort_keys=True))
+        return batch.append_column("framed", pa.array(framed, pa.string()))
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # checkpointed, resumable runs (SURVEY.md §4)
 # ---------------------------------------------------------------------------
