@@ -170,7 +170,7 @@ def _q_events_window(sf_dir: str):
     return groupby_agg_lowcard(
         ds.map_batches(day_col, batch_format="pyarrow", zero_copy_batch=True),
         ["day", "event_type"],
-        [("value", "count", "n"), ("value", "sum", "sum_value")],
+        [("value", "count", "n"), ("value", "sum", "sum_value", 2)],
     )
 
 
@@ -281,7 +281,7 @@ def _q_events_tumbling(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
     )
     return tumbling_window_agg(
-        ds, "ts", 3600, [("value", "count", "n"), ("value", "sum", "sum_value")]
+        ds, "ts", 3600, [("value", "count", "n"), ("value", "sum", "sum_value", 2)]
     )
 
 
@@ -659,7 +659,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_window": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-                   count(*) AS n, sum(value) AS sum_value
+                   count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY day, event_type
             ORDER BY day, event_type
@@ -696,7 +696,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_tumbling": """
             SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
-                   count(*) AS n, sum(value) AS sum_value
+                   count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY window_start
             ORDER BY window_start

@@ -3,6 +3,8 @@
     python -m jsonld_ex_ray build --input repos.parquet [repos2.parquet ...] \
         --out /data/kg_out [--shard-size 4] [--concurrency 8]
     python -m jsonld_ex_ray nquads --out /data/kg_out --nq /data/kg.nq
+    python -m jsonld_ex_ray frame --out /data/kg_out --frame frame.json \
+        --framed /data/kg_framed
     python -m jsonld_ex_ray stats --out /data/kg_out
 
 `build` is resumable: re-running after a kill skips shards recorded done in
@@ -39,6 +41,14 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--input", nargs="+", required=True)
     f.add_argument("--out", required=True)
     f.add_argument("--num-cpus", type=int, default=None)
+
+    fr = sub.add_parser(
+        "frame", help="reconstruct JSON-LD docs per graph and apply a JSON-LD frame"
+    )
+    fr.add_argument("--out", required=True, help="the build output dir (triples)")
+    fr.add_argument("--frame", required=True, help="path to the frame JSON document")
+    fr.add_argument("--framed", required=True, help="target dir for framed parquet")
+    fr.add_argument("--num-cpus", type=int, default=None)
 
     s = sub.add_parser("stats", help="print a checkpointed run's metrics")
     s.add_argument("--out", required=True)
@@ -83,6 +93,14 @@ def main(argv: list[str] | None = None) -> int:
 
             write_nquads(read_triples(args.out), args.nq)
             print(json.dumps({"status": "written", "dir": args.nq}))
+        elif args.cmd == "frame":
+            from .pipeline import frame_docs, read_triples, triples_to_jsonld
+
+            with open(args.frame) as fh:
+                frame_doc = json.load(fh)
+            docs = triples_to_jsonld(read_triples(args.out))
+            frame_docs(docs, frame_doc).write_parquet(args.framed)
+            print(json.dumps({"status": "written", "dir": args.framed}))
     finally:
         ray.shutdown()
     return 0

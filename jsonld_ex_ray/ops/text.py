@@ -34,17 +34,18 @@ _LANG_TRIGRAMS = {
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
     """doc_id, n_tokens_ws (single-space split — matches the SQL oracle's
-    string_split semantics), n_tokens_bpe (regex word pieces)."""
-    texts = batch.column("text").to_pylist()
+    string_split semantics), n_tokens_bpe (regex word pieces). Fully
+    vectorized: Arrow substring counts, no per-document Python."""
+    text = pc.fill_null(batch.column("text"), "")
+    nonempty = pc.greater(pc.utf8_length(text), 0)
+    spaces = pc.count_substring(text, " ")
+    ws = pc.if_else(nonempty, pc.add(spaces, 1), pa.scalar(0, pa.int64()))
+    bpe = pc.count_substring_regex(text, r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "n_tokens_ws": pa.array(
-                [len(t.split(" ")) if t else 0 for t in texts], pa.int64()
-            ),
-            "n_tokens_bpe": pa.array(
-                [len(_BPE_RE.findall(t)) if t else 0 for t in texts], pa.int64()
-            ),
+            "n_tokens_ws": ws.cast(pa.int64()),
+            "n_tokens_bpe": bpe.cast(pa.int64()),
         }
     )
 
@@ -88,41 +89,57 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
 
 
 def lang_id_batch(batch: pa.Table) -> pa.Table:
-    """Trigram-overlap language heuristic → doc_id, lang_pred, lang_conf."""
-    texts = batch.column("text").to_pylist()
-    preds, confs = [], []
-    for t in texts:
-        t = (t or "").lower()
-        grams = {t[i : i + 3] for i in range(len(t) - 2)} if len(t) >= 3 else set()
-        best, best_hits = "und", 0
-        for lang, table in _LANG_TRIGRAMS.items():
-            hits = len(grams & table)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        preds.append(best)
-        confs.append(round(best_hits / 10.0, 6))
+    """Trigram-overlap language heuristic → doc_id, lang_pred, lang_conf.
+    Vectorized: one Arrow presence test per table trigram (40 RE2-free
+    substring scans across the whole batch) instead of a per-document
+    Python set build."""
+    import numpy as np
+
+    lower = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+    langs = list(_LANG_TRIGRAMS)
+    hits = np.zeros((batch.num_rows, len(langs)), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        for tri in _LANG_TRIGRAMS[lang]:
+            present = pc.greater(pc.count_substring(lower, tri), 0)
+            hits[:, li] += present.to_numpy(zero_copy_only=False)
+    best = hits.argmax(axis=1)
+    best_hits = hits[np.arange(len(hits)), best]
+    lang_arr = np.asarray(langs, dtype=object)
+    preds = np.where(best_hits > 0, lang_arr[best], "und")
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "lang_pred": pa.array(preds, pa.string()),
-            "lang_conf": pa.array(confs, pa.float64()),
+            "lang_pred": pa.array(preds.tolist(), pa.string()),
+            "lang_conf": pa.array(np.round(best_hits / 10.0, 6)),
         }
     )
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """doc_id, fp_md5 (content hash — matches SQL md5()), fp_rolling
-    (64-bit polynomial rolling hash over words, order-sensitive)."""
+    (64-bit polynomial rolling hash over words, order-sensitive:
+    Σ wh_i · P^(n-1-i) mod 2^64, computed vectorized per document from
+    cached word hashes)."""
+    import numpy as np
+
+    from .dedup import _word_hashes
+
+    _P = np.uint64(1099511628211)
     texts = batch.column("text").to_pylist()
     md5s, rolls = [], []
     for t in texts:
         data = (t or "").encode("utf-8")
         md5s.append(hashlib.md5(data).hexdigest())
-        h = 0
-        for w in (t or "").split():
-            wh = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            h = ((h * 1099511628211) ^ wh) & 0xFFFFFFFFFFFFFFFF
-        rolls.append(h)
+        words = (t or "").split()
+        if not words:
+            rolls.append(0)
+            continue
+        wh = _word_hashes(words)
+        # powers P^(n-1), ..., P^0 (wrapping uint64 cumprod)
+        powers = np.full(len(wh), _P, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        powers = np.cumprod(powers, dtype=np.uint64)[::-1]
+        rolls.append(int((wh * powers).sum(dtype=np.uint64)))
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),

@@ -23,7 +23,11 @@ def to_df(res):
 
 def normalize(df):
     df = df[sorted(df.columns)].copy()
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    sortable = [
+        c for c in df.columns if not df[c].map(lambda v: isinstance(v, (list, dict, np.ndarray))).any()
+    ]
+    if sortable:
+        df = df.sort_values(sortable).reset_index(drop=True)
     return df
 
 

@@ -142,3 +142,25 @@ def test_media_decode_plumbing(ray_session):
     assert list(map(list, feats.sort_values("media_id").feature)) == list(
         map(list, feats2.sort_values("media_id").feature)
     )
+
+
+def test_minhash_distributed_verify_path(ray_session, monkeypatch):
+    """Force the >_DRIVER_VERIFY_MAX branch: distributed true-Jaccard
+    verification + bucketed min-reduce must give the same duplicates as
+    the driver path."""
+    import ray.data
+
+    from jsonld_ex_ray.ops import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    texts = [base, base + "lambda", "totally different content here " * 10, base]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()), "text": texts})
+    want = dd.minhash_lsh_duplicates(
+        ray.data.from_arrow(tbl), threshold=0.7
+    ).to_pandas()
+    monkeypatch.setattr(dd, "_DRIVER_VERIFY_MAX", 0)
+    got = dd.minhash_lsh_duplicates(
+        ray.data.from_arrow(tbl), threshold=0.7
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["doc_id", "dup_of"]].values.tolist()))
+    assert key(got) == key(want)
