@@ -295,7 +295,7 @@ def _q_events_sliding(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
     )
     return sliding_window_agg(
-        ds, "ts", 3600, 1800, [("value", "count", "n"), ("value", "sum", "sum_value")]
+        ds, "ts", 3600, 1800, [("value", "count", "n"), ("value", "sum", "sum_value", 2)]
     )
 
 
@@ -456,12 +456,10 @@ def _q_jaccard_pairs(sf_dir: str):
 
 
 def _q_ann_topk(sf_dir: str):
-    import pyarrow.parquet as pq
     from jsonld_ex_ray.ops.similarity import brute_force_topk
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    first = emb.slice(0, 1).to_pylist()[0]
-    return brute_force_topk(_read(sf_dir, "embeddings"), first["embedding"], k=10)
+    q = _read(sf_dir, "embeddings").limit(1).take_all()[0]["embedding"]
+    return brute_force_topk(_read(sf_dir, "embeddings"), q, k=10)
 
 
 def _q_ann_ivf(sf_dir: str):
@@ -631,6 +629,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _text_quality_sql() -> str:
+    """Generated from the SAME constants as ops/text.quality_score_batch
+    (both sides use RE2 regexes and identical float-op ordering)."""
+    from jsonld_ex_ray.ops.text import _STOPWORDS
+
+    stop_re = r"(?i)\b(" + "|".join(sorted(_STOPWORDS)) + r")\b"
+    return f"""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS nc,
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS nw,
+                 CAST(len(regexp_extract_all(text, '\\S')) AS DOUBLE) AS nonspace,
+                 CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+                 CAST(len(regexp_extract_all(text, '{stop_re}')) AS DOUBLE) AS stops
+          FROM documents
+        ), r AS (
+          SELECT doc_id, nc,
+                 CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS pr,
+                 CASE WHEN nw > 0 THEN stops / nw ELSE 0.0 END AS sr,
+                 CASE WHEN nw > 0 THEN nonspace / nw ELSE 0.0 END AS mwl
+          FROM f
+        )
+        SELECT doc_id,
+               CAST(nc AS BIGINT) AS n_chars,
+               round(pr, 6) AS punct_ratio,
+               round(sr, 6) AS stopword_ratio,
+               round(mwl, 6) AS mean_word_len,
+               round((CASE WHEN nc < 32 OR nc > 100000 THEN 0.3 ELSE 1.0 END)
+                     * (CASE WHEN pr > 0.3 THEN 0.4 ELSE 1.0 END)
+                     * (CASE WHEN mwl < 2 OR mwl > 14 THEN 0.5 ELSE 1.0 END)
+                     * least(1.0, 0.5 + sr), 6) AS quality
+        FROM r
+        ORDER BY doc_id
+    """
+
+
+def _lang_id_sql() -> str:
+    """Generated from the SAME trigram tables as ops/text.lang_id_batch;
+    tie-break mirrors numpy argmax (first language in table order)."""
+    from jsonld_ex_ray.ops.text import _LANG_TRIGRAMS
+
+    langs = list(_LANG_TRIGRAMS)
+    hit_cols = []
+    for lang in langs:
+        terms = " + ".join(
+            f"(CASE WHEN contains(lower(text), '{tri}') THEN 1 ELSE 0 END)"
+            for tri in sorted(_LANG_TRIGRAMS[lang])
+        )
+        hit_cols.append(f"({terms}) AS h_{lang}")
+    h_list = ", ".join(f"h_{lang}" for lang in langs)
+    pred_chain = f"CASE WHEN greatest({h_list}) = 0 THEN 'und' "
+    for i, lang in enumerate(langs):
+        rest = [f"h_{lang} >= h_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        pred_chain += f"WHEN {cond} THEN '{lang}' "
+    pred_chain += "END"
+    return f"""
+        WITH h AS (
+          SELECT doc_id, {", ".join(hit_cols)}
+          FROM documents
+        )
+        SELECT doc_id,
+               {pred_chain} AS lang_pred,
+               round(greatest({h_list}) / 10.0, 6) AS lang_conf
+        FROM h
+        ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lineitem_agg": """
@@ -718,6 +785,28 @@ def oracle_sql() -> dict[str, str]:
               ON e.value >= b.lo AND e.value < b.hi
             ORDER BY e.event_id
         """,
+        "events_sliding": """
+            SELECT ws AS window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM (
+              SELECT e.value,
+                     CAST(floor(epoch(e.ts) / 1800) * 1800 - k.k * 1800 AS BIGINT) AS ws,
+                     epoch(e.ts) AS t
+              FROM events e CROSS JOIN (VALUES (0), (1)) k(k)
+            )
+            WHERE t >= ws AND t < ws + 3600
+            GROUP BY ws
+            ORDER BY ws
+        """,
+        "ann_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings LIMIT 1)), 4) AS sim
+            FROM embeddings
+            ORDER BY sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "text_quality": _text_quality_sql(),
+        "lang_id": _lang_id_sql(),
         "doc_splits": """
             SELECT doc_id,
                    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c0' THEN 'train'

@@ -28,6 +28,15 @@ import pyarrow.compute as pc
 
 _SUPPORTED = ("sum", "count", "mean", "min", "max")
 
+
+def round_half_away(x, nd: int):
+    """Round half away from zero — bit-matches DuckDB/C++ ``round()``
+    for oracle comparison (numpy's ``round`` is banker's, which differs
+    on exact-dyadic halves like 1/128 at 6 decimals)."""
+    p = 10.0 ** nd
+    scaled = np.asarray(x, dtype=np.float64) * p
+    return np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / p
+
 # partial column name -> how partials combine across blocks
 _COMBINE_SUM = "sum"
 _COMBINE_MIN = "min"
@@ -107,7 +116,7 @@ def _finalize_df(df, keys: list[str], aggs, partials, sort: bool):
         else:
             vals = out[f"__{op}_{col}"]
         if nd is not None:
-            vals = np.round(vals.astype(np.float64), nd)
+            vals = round_half_away(vals.astype(np.float64), nd)
         result[alias] = vals
     return result
 

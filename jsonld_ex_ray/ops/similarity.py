@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .agg import round_half_away
+
 
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     lists = col.to_pylist()
@@ -47,7 +49,7 @@ def brute_force_topk(
         return pa.table(
             {
                 id_col: pa.array(ids.tolist()),
-                "sim": pa.array(np.round(sims[idx], round_to).tolist(), pa.float64()),
+                "sim": pa.array(round_half_away(sims[idx], round_to).tolist(), pa.float64()),
             }
         )
 
@@ -107,7 +109,7 @@ def ivf_topk(
         return pa.table(
             {
                 id_col: pa.array(ids[idx].tolist()),
-                "sim": pa.array(np.round(sims[idx], round_to).tolist(), pa.float64()),
+                "sim": pa.array(round_half_away(sims[idx], round_to).tolist(), pa.float64()),
             }
         )
 

@@ -59,6 +59,11 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     numpy arithmetic — no per-document Python."""
     import numpy as np
 
+    from .agg import round_half_away
+
+    def _r6(x):
+        return round_half_away(x, 6)
+
     text = pc.fill_null(batch.column("text"), "")
     nc = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
     nw = pc.count_substring_regex(text, r"\S+").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -80,10 +85,10 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
         {
             "doc_id": batch.column("doc_id"),
             "n_chars": pa.array(nc.astype(np.int64)),
-            "punct_ratio": pa.array(np.round(pr, 6)),
-            "stopword_ratio": pa.array(np.round(sr, 6)),
-            "mean_word_len": pa.array(np.round(mwl, 6)),
-            "quality": pa.array(np.round(score, 6)),
+            "punct_ratio": pa.array(_r6(pr)),
+            "stopword_ratio": pa.array(_r6(sr)),
+            "mean_word_len": pa.array(_r6(mwl)),
+            "quality": pa.array(_r6(score)),
         }
     )
 
@@ -94,6 +99,8 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     substring scans across the whole batch) instead of a per-document
     Python set build."""
     import numpy as np
+
+    from .agg import round_half_away
 
     lower = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
     langs = list(_LANG_TRIGRAMS)
@@ -110,7 +117,7 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
         {
             "doc_id": batch.column("doc_id"),
             "lang_pred": pa.array(preds.tolist(), pa.string()),
-            "lang_conf": pa.array(np.round(best_hits / 10.0, 6)),
+            "lang_conf": pa.array(round_half_away(best_hits / 10.0, 6)),
         }
     )
 
