@@ -281,12 +281,13 @@ def _fetch_texts(ds, ids: set, *, text_col: str, id_col: str) -> dict:
     corpus collecting a result bounded by the candidate count."""
     import ray
 
-    ids_ref = ray.put(frozenset(ids))
+    ids_ref = ray.put(pa.array(sorted(ids)))
 
     def pick(batch: pa.Table) -> pa.Table:
-        idset = ray.get(ids_ref)
-        keep = [v in idset for v in batch.column(id_col).to_pylist()]
-        return batch.filter(pa.array(keep)).select([id_col, text_col])
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column(id_col), value_set=ray.get(ids_ref))
+        return batch.filter(keep).select([id_col, text_col])
 
     picked = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     return dict(zip(picked[id_col], picked[text_col]))
