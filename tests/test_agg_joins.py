@@ -1,0 +1,171 @@
+"""Unit tests for the aggregation layer (partial-spec dedup, COUNT(*)
+semantics, rounding, high-cardinality bucketed path) and the bucketed
+two-large-sides joins — locking in the round-1 ADVICE fixes."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl):
+    import ray.data
+
+    return ray.data.from_arrow(tbl)
+
+
+def test_sum_and_mean_share_column_no_collision(ray_session):
+    from jsonld_ex_ray.ops.agg import groupby_agg_lowcard
+
+    tbl = pa.table(
+        {
+            "k": ["a", "a", "b", "b", "b"],
+            "v": [1.0, 3.0, 10.0, 20.0, 30.0],
+        }
+    )
+    out = groupby_agg_lowcard(
+        _ds(tbl), ["k"], [("v", "sum", "total"), ("v", "mean", "avg")]
+    )
+    assert out.total.tolist() == [4.0, 60.0]
+    assert out.avg.tolist() == [2.0, 20.0]
+
+
+def test_count_star_with_null_keys_and_values(ray_session):
+    from jsonld_ex_ray.ops.agg import groupby_agg_lowcard
+
+    tbl = pa.table(
+        {
+            "k": ["a", "a", "b"],
+            "v": pa.array([1.0, None, 2.0], pa.float64()),
+        }
+    )
+    out = groupby_agg_lowcard(
+        _ds(tbl), ["k"], [("v", "count", "n"), ("v", "mean", "avg")]
+    )
+    # COUNT(*) counts rows; mean ignores the null (SQL avg semantics)
+    assert out.n.tolist() == [2, 1]
+    assert out.avg.tolist() == [1.0, 2.0]
+
+
+def test_bucketed_matches_lowcard_on_high_card_keys(ray_session):
+    from jsonld_ex_ray.ops.agg import groupby_agg_bucketed, groupby_agg_lowcard
+
+    rng = np.random.RandomState(5)
+    n = 5000
+    tbl = pa.table(
+        {
+            "k": rng.randint(0, 900, n),
+            "v": np.round(rng.rand(n) * 100, 2),
+        }
+    )
+    aggs = [("v", "sum", "s", 2), ("v", "count", "n"), ("v", "max", "mx")]
+    want = groupby_agg_lowcard(_ds(tbl), ["k"], aggs)
+    got = (
+        groupby_agg_bucketed(_ds(tbl), ["k"], aggs, num_buckets=16)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)[["k", "s", "n", "mx"]]
+    )
+    pd.testing.assert_frame_equal(got, want[["k", "s", "n", "mx"]], check_dtype=False)
+
+
+def test_round_half_away_matches_duckdb():
+    import duckdb
+
+    from jsonld_ex_ray.ops.agg import round_half_away
+
+    vals = [0.0078125, 1.0 / 128, 3.0 / 128, 0.1234565, 2.5e-7, 123.455, -0.0078125]
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute("SELECT round(?::DOUBLE, 6)", [v]).fetchone()[0]
+        got = float(round_half_away(np.array([v]), 6)[0])
+        assert got == want, (v, got, want)
+
+
+def test_hash_join_bucketed_inner_and_left(ray_session):
+    from jsonld_ex_ray.ops.joins import hash_join_bucketed
+
+    left = pa.table({"lk": [1, 2, 3, 4, 2], "lv": ["a", "b", "c", "d", "e"]})
+    right = pa.table({"rk": [1, 2, 2, 5], "rv": ["x", "y", "z", "w"]})
+    inner = (
+        hash_join_bucketed(
+            _ds(left), _ds(right), left_on="lk", right_on="rk", right_cols=["rv"], num_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["lk", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.to_pandas()
+        .merge(right.to_pandas(), left_on="lk", right_on="rk")
+        .drop(columns="rk")
+        .sort_values(["lk", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(inner, want, check_dtype=False)
+
+    left_out = (
+        hash_join_bucketed(
+            _ds(left), _ds(right), left_on="lk", right_on="rk", right_cols=["rv"],
+            num_buckets=4, join_type="left",
+        )
+        .to_pandas()
+        .sort_values(["lk", "lv"], kind="stable")
+    )
+    # unmatched keys survive with null rv
+    assert set(left_out[left_out.rv.isna()].lk) == {3, 4}
+
+
+def test_asof_join_bucketed_matches_pandas(ray_session):
+    from jsonld_ex_ray.ops.joins import asof_join_bucketed
+
+    rng = np.random.RandomState(3)
+    n = 400
+    left = pa.table(
+        {
+            "g": rng.randint(0, 12, n),
+            "t": np.sort(rng.randint(0, 10_000, n)).astype("int64"),
+            "lid": np.arange(n),
+        }
+    )
+    m = 150
+    right = pa.table(
+        {
+            "g": rng.randint(0, 12, m),
+            "t": np.sort(rng.randint(0, 10_000, m)).astype("int64"),
+            "rv": np.arange(m).astype("float64"),
+        }
+    )
+    got = (
+        asof_join_bucketed(
+            _ds(left), _ds(right), on="t", by="g", right_value_cols=["rv"], num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.to_pandas().sort_values("t"),
+        right.to_pandas().sort_values("t"),
+        on="t",
+        by="g",
+        allow_exact_matches=False,
+    ).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["lid", "rv"]], want[["lid", "rv"]], check_dtype=False)
+
+
+def test_asof_bucket_with_empty_right_side(ray_session):
+    from jsonld_ex_ray.ops.joins import asof_join_bucketed
+
+    left = pa.table({"g": [1, 2], "t": [10, 20], "lid": [0, 1]})
+    right = pa.table(
+        {"g": pa.array([], pa.int64()), "t": pa.array([], pa.int64()), "rv": pa.array([], pa.float64())}
+    )
+    got = (
+        asof_join_bucketed(
+            _ds(left), _ds(right), on="t", by="g", right_value_cols=["rv"], num_buckets=2
+        )
+        .to_pandas()
+        .sort_values("lid")
+    )
+    assert len(got) == 2 and got.rv.isna().all()
