@@ -125,23 +125,106 @@ def test_text_ops_deterministic_and_sane(ray_session, docs_ds):
     assert fp1 == fp2
 
 
-def test_media_decode_plumbing(ray_session):
+def test_media_decode_real_png_wav(ray_session):
+    import json as _json
+
     import ray.data
     from jsonld_ex_ray.ops.multimodal import FEATURE_DIM, decode_media, synth_media_table
 
     tbl = synth_media_table(50)
     feats = decode_media(ray.data.from_arrow(tbl), concurrency=2, batch_size=8).to_pandas()
     assert len(feats) == 50
-    known = feats[feats.kind != "unknown"]
-    unknown = feats[feats.kind == "unknown"]
-    assert (known.width >= 0).all()
-    assert (unknown.width == -1).all()  # NotImplementedError surfaced, not raised
+    src = tbl.to_pandas().set_index("media_id")
+    images = feats[feats.kind == "image"]
+    assert len(images) > 0
+    for r in images.itertuples():
+        meta = _json.loads(src.loc[r.media_id, "meta"])
+        # REAL decode: dimensions come from the PNG IHDR, not the metadata
+        assert (r.width, r.height) == (meta["width"], meta["height"])
+    audio = feats[feats.kind == "audio"]
+    assert len(audio) > 0
+    assert (audio.duration_ms > 0).all()
+    assert (audio.duration_ms <= 400).all()
+    # video/unknown: no stdlib codec → honest error rows, never fake values
+    errs = feats[feats.kind.isin(["video", "unknown"])]
+    assert (errs.width == -1).all() and (errs.duration_ms == -1).all()
     assert all(len(f) == FEATURE_DIM for f in feats.feature)
     # deterministic features from payload bytes
     feats2 = decode_media(ray.data.from_arrow(tbl), concurrency=2, batch_size=8).to_pandas()
     assert list(map(list, feats.sort_values("media_id").feature)) == list(
         map(list, feats2.sort_values("media_id").feature)
     )
+
+
+def test_png_codec_roundtrip_filters():
+    """Encoder round-trip (filter 0) + a hand-filtered image covering the
+    other four PNG filter types (Sub/Up/Average/Paeth)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from jsonld_ex_ray.ops.multimodal import _PNG_MAGIC, _png_decode, _png_encode
+
+    rng = np.random.RandomState(2)
+    px = rng.randint(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    w, h, got = _png_decode(_png_encode(px))
+    assert (w, h) == (7, 9)
+    assert (got == px).all()
+
+    # hand-filter rows with types 1..4 per the PNG spec and decode back
+    px = rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    stride, bpp = 5 * 3, 3
+    rows = px.reshape(4, stride).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y, ftype in enumerate([1, 2, 3, 4]):
+        cur = rows[y]
+        filt = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            left = cur[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa_, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa_ <= pb and pa_ <= pc_) else (up if pb <= pc_ else ul)
+            filt[x] = (cur[x] - pred) % 256
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    w2, h2, got2 = _png_decode(payload)
+    assert (w2, h2) == (5, 4)
+    assert (got2 == px).all()
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+    from jsonld_ex_ray.ops.multimodal import _wav_decode, _wav_encode
+
+    t = np.arange(800) / 8000.0
+    s = 0.25 * np.sin(2 * np.pi * 440 * t)
+    rate, n, back = _wav_decode(_wav_encode(s, 8000))
+    assert rate == 8000 and n == 800
+    assert np.abs(back - s).max() < 1e-3
 
 
 def test_minhash_distributed_verify_path(ray_session, monkeypatch):
