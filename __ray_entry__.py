@@ -31,11 +31,13 @@ def _corpus_for(sf_dir: str) -> str:
     n = max(200, int(400_000 * sf))
     key = (n, 42)
     if key not in _CORPUS_CACHE:
-        path = f"/tmp/jsonld_ex_ray_corpus_{n}_42.parquet"
+        # sharded directory: one Ray read task per file — a single-file
+        # corpus serializes the scan behind one reader
+        path = f"/tmp/jsonld_ex_ray_corpus_{n}_42_s16"
         if not os.path.exists(path):
             from jsonld_ex_ray.gen import write_corpus
 
-            write_corpus(path, n, seed=42)
+            write_corpus(path, n, seed=42, shards=16)
         _CORPUS_CACHE[key] = path
     return _CORPUS_CACHE[key]
 

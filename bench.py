@@ -27,19 +27,21 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def _corpus_path(sf: float, seed: int = 42, heavy: float = 0.0) -> str:
+def _corpus_path(sf: float, seed: int = 42, heavy: float = 0.0, shards: int = 32) -> str:
     n = max(200, int(400_000 * sf))
     if heavy:
         # scaling runs need compute-dominated wall time: more files, and
         # `heavy` fraction of them are large multi-entity documents
         # (~40M triples at sf0.1 so fixed startup cost is noise)
         n = max(2000, int(2_000_000 * sf))
-    tag = f"{n}_{seed}" + (f"_h{int(heavy * 100)}" if heavy else "")
-    path = f"/tmp/jsonld_ex_ray_corpus_{tag}.parquet"
+    # sharded layout: Ray schedules one read task per FILE, so a
+    # single-file corpus serializes the scan behind one reader
+    tag = f"{n}_{seed}" + (f"_h{int(heavy * 100)}" if heavy else "") + f"_s{shards}"
+    path = f"/tmp/jsonld_ex_ray_corpus_{tag}"
     if not os.path.exists(path):
         from jsonld_ex_ray.gen import write_corpus
 
-        write_corpus(path, n, seed=seed, heavy_fraction=heavy)
+        write_corpus(path, n, seed=seed, heavy_fraction=heavy, shards=shards)
     return path
 
 
@@ -55,9 +57,9 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
         )
     sf = _sf_from_dir(sf_dir)
     corpus = _corpus_path(sf)
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
-    n_files = pq.read_metadata(corpus).num_rows
+    n_files = pads.dataset(corpus).count_rows()
 
     results: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -130,9 +132,9 @@ def run_single(sf_dir: str, num_cpus: int) -> dict:
     )
     sf = _sf_from_dir(sf_dir)
     corpus = _corpus_path(sf, heavy=0.5)
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
-    n_files = pq.read_metadata(corpus).num_rows
+    n_files = pads.dataset(corpus).count_rows()
     from jsonld_ex_ray.pipeline import build_triples, triples_only
 
     t0 = time.monotonic()

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import random
 
 # Offline remote-context registry (archetype A7). The resolver actor uses a
@@ -305,14 +306,31 @@ def write_corpus(
     seed: int = 42,
     row_group_size: int = 2048,
     heavy_fraction: float = 0.0,
+    shards: int | None = None,
 ) -> str:
+    """``shards=None`` writes one parquet file; ``shards=N`` writes a
+    DIRECTORY of N files (identical rows, contiguous split). Ray assigns
+    one read task per FILE regardless of row groups, so a single-file
+    corpus serializes the whole pipeline behind one reader — shard any
+    corpus meant for multi-CPU runs (real corpora arrive sharded)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pa.table(generate_rows(num_files, seed, heavy_fraction))
-    # small row groups so ray.data.read_parquet can split one file into
-    # many parallel read tasks (a single mega row group serializes the
-    # whole pipeline behind one reader)
+    if shards:
+        os.makedirs(out_path, exist_ok=True)
+        per = (table.num_rows + shards - 1) // shards
+        for i in range(shards):
+            part = table.slice(i * per, per)
+            if part.num_rows == 0:
+                break
+            pq.write_table(
+                part,
+                os.path.join(out_path, f"part-{i:04d}.parquet"),
+                row_group_size=row_group_size,
+            )
+        return out_path
+    # small row groups so readers that can split within a file still may
     pq.write_table(table, out_path, row_group_size=row_group_size)
     return out_path
 
