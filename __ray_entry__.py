@@ -428,6 +428,16 @@ def _q_text_quality(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_doc_quality_filter(sf_dir: str):
+    """Quality gate: keep documents whose composite quality score clears
+    0.51 (the corpus floor is exactly 0.5, so this threshold actually
+    discriminates) — the standard pre-training corpus filter,
+    oracle-checked against the same formula in SQL."""
+    from jsonld_ex_ray.ops.text import filter_quality
+
+    return filter_quality(_read(sf_dir, "documents"), min_quality=0.51).sort("doc_id")
+
+
 def _q_lang_id(sf_dir: str):
     from jsonld_ex_ray.ops.text import lang_id_batch
 
@@ -609,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
+        "doc_quality_filter": _q_doc_quality_filter,
         "lang_id": _q_lang_id,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -808,6 +819,13 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "text_quality": _text_quality_sql(),
+        "doc_quality_filter": f"""
+            WITH q AS ({_text_quality_sql()})
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d JOIN q ON d.doc_id = q.doc_id
+            WHERE q.quality >= 0.51
+            ORDER BY d.doc_id
+        """,
         "lang_id": _lang_id_sql(),
         "doc_splits": """
             SELECT doc_id,

@@ -115,10 +115,6 @@ def minhash_signature(text: str, num_perm: int = 64, shingle_k: int = 3, _params
     return vals.min(axis=1)
 
 
-def _estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
-    return float((sig_a == sig_b).mean())
-
-
 def jaccard(text_a: str, text_b: str, shingle_k: int = 3) -> float:
     sa, sb = set(_shingles(text_a, shingle_k).tolist()), set(_shingles(text_b, shingle_k).tolist())
     if not sa and not sb:
