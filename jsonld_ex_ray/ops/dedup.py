@@ -6,16 +6,17 @@ Ray-Data-first shapes:
            on ``hash(key) % num_buckets`` (bounded group count) → keep
            min-doc_id per key VECTORIZED inside each bucket.
 - minhash: shingle → minhash signature (numpy, vectorized) → banding:
-           emit ``(band, band_hash, doc_id, sig)`` rows — signatures only,
-           never text, so the shuffle moves ~0.5 KB/doc/band instead of
-           the document body → ONE bounded groupby on
+           emit ``(band, band_hash, doc_id)`` rows — 20 bytes/row, no
+           text and no signature in the shuffle (the signature already
+           did its job producing band_hash; verification is exact either
+           way, so an estimated-Jaccard prefilter would only re-ship
+           redundant bytes) → ONE bounded groupby on
            ``band_hash % num_buckets`` (collision runs found vectorized
-           inside each bucket) emits candidate pairs filtered by
-           signature-estimated Jaccard → texts are fetched ONLY for the
-           surviving candidate ids (a tiny broadcast lookup) and pairs are
-           verified with TRUE shingle Jaccard → min-reduce keeps one
-           ``dup_of`` per doc (in-hand below ``_DRIVER_VERIFY_MAX`` pairs,
-           bucketed beyond).
+           inside each bucket) emits candidate pairs → texts are fetched
+           ONLY for the candidate ids (a tiny broadcast lookup) and pairs
+           are verified with TRUE shingle Jaccard → min-reduce keeps one
+           ``dup_of`` per doc (in-hand below ``_DRIVER_VERIFY_MAX``
+           pairs, distributed beyond).
            Partitioning assumption: verified-candidate ids are a small
            fraction of the corpus (the point of LSH banding).
 - simhash: 64-bit signature; pigeonhole banding on (max_hamming+1) chunks
@@ -187,17 +188,16 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
 
 
 def _band_rows(ds, *, num_perm: int, bands: int, shingle_k: int, text_col: str, id_col: str):
-    """(band, band_hash, doc_id, sig[binary]) rows — NO text in the
-    shuffle; sig is the fixed num_perm×8-byte signature."""
+    """(band, band_hash, doc_id) rows — ~20 bytes/row; neither text nor
+    signature enters the shuffle."""
     rows_per_band = num_perm // bands
 
     def emit(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out_band, out_hash, out_id, out_sig = [], [], [], []
+        out_band, out_hash, out_id = [], [], []
         for d, t in zip(ids, texts):
             sig = minhash_signature(t, num_perm, shingle_k)
-            blob = sig.tobytes()
             for b in range(bands):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 h = int.from_bytes(
@@ -206,26 +206,24 @@ def _band_rows(ds, *, num_perm: int, bands: int, shingle_k: int, text_col: str, 
                 out_band.append(b)
                 out_hash.append(h)
                 out_id.append(d)
-                out_sig.append(blob)
         return pa.table(
             {
                 "band": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_hash, pa.uint64()),
                 id_col: pa.array(out_id),
-                "sig": pa.array(out_sig, pa.binary()),
             }
         )
 
     return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _candidate_pairs(band_ds, *, id_col: str, est_threshold: float, num_buckets: int = 64):
+def _candidate_pairs(band_ds, *, id_col: str, num_buckets: int = 64):
     """Band-bucket collision mining with a BOUNDED shuffle: the groupby
     key is ``band_hash % num_buckets`` (≤ num_buckets Python group calls —
     NOT one per distinct band bucket, which is per-document cardinality);
     inside each bucket a vectorized pandas groupby finds the (band,
-    band_hash) collision runs, and only those few runs get the pairwise
-    estimated-Jaccard loop. → (doc_a, doc_b, est), doc_a < doc_b."""
+    band_hash) collision runs and emits their pairs.
+    → (doc_a, doc_b), doc_a < doc_b."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = batch.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -237,25 +235,18 @@ def _candidate_pairs(band_ds, *, id_col: str, est_threshold: float, num_buckets:
         df = group.to_pandas()
         sizes = df.groupby(["band", "band_hash"])[id_col].transform("size")
         coll = df[sizes > 1]
-        a_out, b_out, est_out = [], [], []
+        a_out, b_out = [], []
         for (_b, _h), sub in coll.groupby(["band", "band_hash"]):
-            sub = sub.sort_values(id_col)
-            ids = sub[id_col].to_numpy()
-            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sub["sig"]])
+            ids = np.sort(sub[id_col].to_numpy())
             for x in range(len(ids)):
                 for y in range(x + 1, len(ids)):
-                    if ids[x] == ids[y]:
-                        continue
-                    est = float((sigs[x] == sigs[y]).mean())
-                    if est >= est_threshold:
+                    if ids[x] != ids[y]:
                         a_out.append(int(ids[x]))
                         b_out.append(int(ids[y]))
-                        est_out.append(est)
         return pa.table(
             {
                 "doc_a": pa.array(a_out, pa.int64()),
                 "doc_b": pa.array(b_out, pa.int64()),
-                "est": pa.array(est_out, pa.float64()),
             }
         )
 
@@ -381,26 +372,24 @@ def minhash_lsh_duplicates(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.8,
-    est_margin: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
 ):
     """→ Dataset(doc_id, dup_of): docs judged near-duplicates of a
     smaller-id doc (verified TRUE shingle-Jaccard ≥ threshold).
 
-    Stage 1 (map): signatures + signature-only band rows. Stage 2
-    (bounded shuffle): candidates by estimated Jaccard ≥ threshold −
-    est_margin. Stage 3: texts fetched for only the candidate ids and
-    pairs verified exactly. Stage 4: bucketed min-reduce per doc."""
+    Stage 1 (map): signatures → id-only band rows. Stage 2 (bounded
+    shuffle): collision pairs. Stage 3: texts fetched for only the
+    candidate ids and pairs verified exactly. Stage 4: min-reduce per
+    doc."""
     import pandas as pd
 
     band_ds = _band_rows(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, text_col=text_col, id_col=id_col
     )
-    est_th = max(0.0, threshold - est_margin)
     # LSH survivors only — bounded by design; pair-dedupe in-hand
     cand_df = (
-        _candidate_pairs(band_ds, id_col=id_col, est_threshold=est_th)
+        _candidate_pairs(band_ds, id_col=id_col)
         .to_pandas()
         .drop_duplicates(["doc_a", "doc_b"])
     )
@@ -445,15 +434,14 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     num_perm: int = 64,
     bands: int = 32,
-    est_margin: float = 0.25,
     text_col: str = "text",
     id_col: str = "doc_id",
 ):
     """All near-duplicate PAIRS with their TRUE n-gram Jaccard scores.
 
-    Candidate generation via signature-only MinHash banding (more bands
-    than the dedup path → recall at lower thresholds), exact verification
-    over texts fetched for only the candidates.
+    Candidate generation via id-only MinHash banding (more bands than the
+    dedup path → recall at lower thresholds), exact verification over
+    texts fetched for only the candidates.
     → Dataset(doc_a, doc_b, jaccard), doc_a < doc_b."""
     import pandas as pd
 
@@ -462,9 +450,8 @@ def ngram_jaccard_pairs(
     band_ds = _band_rows(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, text_col=text_col, id_col=id_col
     )
-    est_th = max(0.0, threshold - est_margin)
     cand_df = (
-        _candidate_pairs(band_ds, id_col=id_col, est_threshold=est_th)
+        _candidate_pairs(band_ds, id_col=id_col)
         .to_pandas()
         .drop_duplicates(["doc_a", "doc_b"])
     )
