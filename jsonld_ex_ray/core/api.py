@@ -217,6 +217,8 @@ def frame(
 
     compacted = _replace_null_sentinel(compacted)
     omit_graph = options.omit_graph
+    if expanded_frame and "@omitGraph" in expanded_frame[0]:
+        omit_graph = bool(expanded_frame[0]["@omitGraph"])  # frame overrides
     if omit_graph is None:
         omit_graph = options.processing_mode != "json-ld-1.0"
     # compact_top_level wraps multiple nodes in (compacted) @graph already;

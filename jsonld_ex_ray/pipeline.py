@@ -294,20 +294,22 @@ def materialize_graph(ds, salt_buckets: int = 16, num_buckets: int = 64):
         return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
     def bucket_partials(group: pa.Table) -> pa.Table:
-        import itertools
-
-        rows = sorted(
-            zip(
-                group.column("subj").to_pylist(),
-                group.column("pred").to_pylist(),
-                group.column("obj").to_pylist(),
-            )
+        # arrow sort + run slicing; only the per-subject JSON dump stays
+        # Python (it must escape arbitrary literal content)
+        g = group.select(["subj", "pred", "obj"]).combine_chunks().sort_by(
+            [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
         )
+        subjs_arr = np.asarray(g.column("subj").to_pylist(), dtype=object)
+        preds = g.column("pred").to_pylist()
+        objs = g.column("obj").to_pylist()
+        starts = np.flatnonzero(np.r_[True, subjs_arr[1:] != subjs_arr[:-1]])
+        bounds = np.r_[starts, len(subjs_arr)]
         subjs, degrees, adjs = [], [], []
-        for subj, grp in itertools.groupby(rows, key=lambda r: r[0]):
-            pairs = [(p, o) for _, p, o in grp]
-            subjs.append(subj)
-            degrees.append(len(pairs))
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            pairs = [[preds[j], objs[j]] for j in range(lo, hi)]
+            subjs.append(subjs_arr[lo])
+            degrees.append(hi - lo)
             adjs.append(json.dumps(pairs, separators=(",", ":")))
         return pa.table(
             {
@@ -326,18 +328,21 @@ def materialize_graph(ds, salt_buckets: int = 16, num_buckets: int = 64):
         return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
     def bucket_merge(group: pa.Table) -> pa.Table:
-        import itertools
-
-        rows = sorted(
-            zip(group.column("subj").to_pylist(), group.column("adjacency").to_pylist())
+        g = group.select(["subj", "adjacency"]).combine_chunks().sort_by(
+            [("subj", "ascending")]
         )
+        subjs_arr = np.asarray(g.column("subj").to_pylist(), dtype=object)
+        blobs = g.column("adjacency").to_pylist()
+        starts = np.flatnonzero(np.r_[True, subjs_arr[1:] != subjs_arr[:-1]])
+        bounds = np.r_[starts, len(subjs_arr)]
         subjs, degrees, adjs = [], [], []
-        for subj, grp in itertools.groupby(rows, key=lambda r: r[0]):
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
             merged: list = []
-            for _, blob in grp:
-                merged.extend(json.loads(blob))
+            for j in range(lo, hi):
+                merged.extend(json.loads(blobs[j]))
             merged.sort()
-            subjs.append(subj)
+            subjs.append(subjs_arr[lo])
             degrees.append(len(merged))
             adjs.append(json.dumps(merged, separators=(",", ":")))
         return pa.table(

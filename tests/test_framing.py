@@ -260,3 +260,10 @@ def test_blank_node_pruning():
     child = out["child"]
     assert child.get("name") == "anon"
     assert "@id" not in child  # single-use bnode id pruned
+
+
+def test_frame_doc_omit_graph_flag():
+    out = frame(LIBRARY, {**LIBRARY_FRAME, "@omitGraph": False})
+    assert "@graph" in out
+    out2 = frame(LIBRARY, {**LIBRARY_FRAME, "@omitGraph": True})
+    assert out2["@type"] == "Library"
