@@ -251,6 +251,27 @@ def _q_events_top_users(sf_dir: str):
     return topk(per_user, ["total_value", "user_id"], [True, False], 10)
 
 
+def _q_events_distinct_users(sf_dir: str):
+    """Exact count-distinct: per-block unique (combiner) → one bounded
+    bucket shuffle → per-bucket unique counts → tiny sum."""
+    import ray.data
+    from jsonld_ex_ray.ops.agg import distinct_count
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    return distinct_count(ds, "user_id")
+
+
+def _q_events_distinct_users_hll(sf_dir: str):
+    """HyperLogLog sketch variant (the 100-TB shape: a few KB of
+    registers per block, merged by max) — approximate, rows-only; the
+    pytest gate bounds its error against the exact count."""
+    import ray.data
+    from jsonld_ex_ray.ops.agg import approx_distinct_hll
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    return approx_distinct_hll(ds, "user_id")
+
+
 def _q_events_props_extract(sf_dir: str):
     """JSON payload column parsing (vectorized per batch)."""
     import pyarrow as pa
@@ -608,6 +629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _q_revenue_by_priority,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "events_top_users": _q_events_top_users,
+        "events_distinct_users": _q_events_distinct_users,
+        "events_distinct_users_hll": _q_events_distinct_users_hll,
         "events_props_extract": _q_events_props_extract,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
@@ -767,6 +790,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             ORDER BY total_value DESC, user_id ASC
             LIMIT 10
+        """,
+        "events_distinct_users": """
+            SELECT count(DISTINCT user_id) AS n_distinct FROM events
         """,
         "events_props_extract": """
             SELECT event_id,

@@ -522,6 +522,26 @@ def triples_to_jsonld(ds, num_shards: int = 32):
     )
 
 
+def compact_docs(ds, context: dict, *, doc_col: str = "doc", options=None):
+    """Compaction as a pipeline stage: apply a JSON-LD context to a column
+    of (expanded) JSON document strings — shuffle-free per-row kernel,
+    context shipped once in the task closure.
+    → Dataset(original columns + compacted[json])."""
+    from .core.api import compact as compact_api
+    from .core.options import to_options
+
+    opts = to_options(options)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        out = []
+        for blob in batch.column(doc_col).to_pylist():
+            doc = json.loads(blob)
+            out.append(json.dumps(compact_api(doc, context, opts), sort_keys=True))
+        return batch.append_column("compacted", pa.array(out, pa.string()))
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def frame_docs(ds, frame_doc: dict, *, doc_col: str = "doc", options=None):
     """Optional framing stage: apply a JSON-LD frame to a column of JSON
     document strings (e.g. ``triples_to_jsonld`` output) — pure per-row

@@ -1,3 +1,3 @@
-from .files import read_jsonld_files, write_nquads
+from .files import read_jsonld_files, read_nquads, write_nquads
 
-__all__ = ["read_jsonld_files", "write_nquads"]
+__all__ = ["read_jsonld_files", "read_nquads", "write_nquads"]

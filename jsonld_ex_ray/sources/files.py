@@ -53,6 +53,54 @@ def read_jsonld_files(paths, **build_kwargs):
     return build_triples(repo_rows, **build_kwargs)
 
 
+def read_nquads(paths):
+    """N-Quads text shards → triple Dataset (subj, pred, obj, obj_kind,
+    obj_datatype, obj_lang, graph) — the inverse of ``write_nquads`` and
+    the ingest path for external RDF dumps. Parsing is per-line and
+    embarrassingly parallel: ``ray.data.read_text`` splits shards into
+    blocks and each batch parses independently."""
+    import ray.data
+
+    from ..core.nquads import parse_nquads
+    from ..core.rdf_generation import XSD_STRING
+
+    ds = ray.data.read_text(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang", "graph")}
+        for line in batch.column("text").to_pylist():
+            for s, p, o, g in parse_nquads(line):
+                out["subj"].append(f"_:{s[1]}" if s[0] == "bnode" else s[1])
+                out["pred"].append(p[1])
+                if o[0] == "lit":
+                    out["obj"].append(o[1])
+                    out["obj_kind"].append("literal")
+                    out["obj_datatype"].append(o[2] or XSD_STRING)
+                    out["obj_lang"].append(o[3])
+                else:
+                    out["obj"].append(f"_:{o[1]}" if o[0] == "bnode" else o[1])
+                    out["obj_kind"].append(o[0])
+                    out["obj_datatype"].append(None)
+                    out["obj_lang"].append(None)
+                if g is None:
+                    out["graph"].append(None)
+                else:
+                    out["graph"].append(f"_:{g[1]}" if g[0] == "bnode" else g[1])
+        return pa.table(
+            {
+                "subj": pa.array(out["subj"], pa.string()),
+                "pred": pa.array(out["pred"], pa.string()),
+                "obj": pa.array(out["obj"], pa.string()),
+                "obj_kind": pa.array(out["obj_kind"], pa.string()),
+                "obj_datatype": pa.array(out["obj_datatype"], pa.string()),
+                "obj_lang": pa.array(out["obj_lang"], pa.string()),
+                "graph": pa.array(out["graph"], pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _term_to_nq(value: str | None, kind: str | None, datatype: str | None, lang: str | None) -> str:
     from ..core.nquads import term_to_nquads
     from ..core.rdf_generation import XSD_STRING

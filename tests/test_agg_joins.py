@@ -169,3 +169,34 @@ def test_asof_bucket_with_empty_right_side(ray_session):
         .sort_values("lid")
     )
     assert len(got) == 2 and got.rv.isna().all()
+
+
+def test_distinct_count_exact_and_hll(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import approx_distinct_hll, distinct_count
+
+    rng = np.random.RandomState(9)
+    vals = rng.randint(0, 3000, 20000)
+    ds = ray.data.from_arrow(pa.table({"u": vals}))
+    exact_n = len(set(vals.tolist()))
+    got = distinct_count(ds, "u")
+    assert got.n_distinct.iloc[0] == exact_n
+    approx = approx_distinct_hll(ds, "u").n_distinct_approx.iloc[0]
+    assert abs(approx - exact_n) / exact_n < 0.05  # p=12 → ~1.6% std err
+
+
+def test_compact_docs_stage(ray_session):
+    import json as _json
+
+    import ray.data
+
+    from jsonld_ex_ray.pipeline import compact_docs
+
+    expanded = [[{"@id": "https://x/s", "https://x/name": [{"@value": "n"}]}]]
+    tbl = pa.table({"doc": [_json.dumps(d) for d in expanded]})
+    ctx = {"@context": {"@vocab": "https://x/"}}
+    out = compact_docs(ray.data.from_arrow(tbl), ctx).to_pandas()
+    compacted = _json.loads(out.compacted.iloc[0])
+    assert compacted["name"] == "n"
+    assert compacted["@id"] == "https://x/s"

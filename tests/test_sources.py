@@ -62,3 +62,34 @@ def test_file_source_and_nquads_roundtrip(ray_session, tmp_path):
             )
         )
     assert isomorphic(quads, want)
+
+
+def test_nquads_roundtrip_via_reader(ray_session, tmp_path):
+    """write_nquads → read_nquads round-trips the triple set exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from jsonld_ex_ray.sources import read_nquads, write_nquads
+
+    XS = "http://www.w3.org/2001/XMLSchema#string"
+    rows = {
+        "subj": ["https://x/s1", "_:b0", "https://x/s1"],
+        "pred": ["https://x/p", "https://x/p", "https://x/q"],
+        "obj": ['say "hi"\nplease', "https://x/o", "_:b0"],
+        "obj_kind": ["literal", "iri", "bnode"],
+        "obj_datatype": [XS, None, None],
+        "obj_lang": [None, None, None],
+        "graph": [None, "https://x/g", None],
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = str(tmp_path / "nq")
+    write_nquads(ds, out)
+    back = read_nquads(out).to_pandas()
+    key = lambda df: sorted(
+        map(tuple, df.fillna("").astype(str).values.tolist())
+    )
+    import pandas as pd
+
+    src = pd.DataFrame(rows)
+    back = back[src.columns]
+    assert key(back) == key(src)
