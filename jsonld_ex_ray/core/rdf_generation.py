@@ -31,6 +31,10 @@ RDF_TYPE = RDF + "type"
 RDF_FIRST = RDF + "first"
 RDF_REST = RDF + "rest"
 RDF_NIL = RDF + "nil"
+_RDF_TYPE_TERM = ("iri", RDF_TYPE)
+_RDF_FIRST_TERM = ("iri", RDF_FIRST)
+_RDF_REST_TERM = ("iri", RDF_REST)
+_RDF_NIL_TERM = ("iri", RDF_NIL)
 RDF_JSON = RDF + "JSON"
 RDF_LANGSTRING = RDF + "langString"
 RDF_VALUE = RDF + "value"
@@ -46,14 +50,27 @@ Term = tuple
 Quad = tuple  # (subj, pred, obj, graph|None)
 
 
+_TERM_CACHE: dict[str, "Term | None | bool"] = {}
+
+
 def _iri_or_bnode(value: str) -> Term | None:
     """Well-formedness gate: ill-formed identifiers are silently dropped
-    (reference decoder.ex:49-51, 59-61, 86-87, 225-226)."""
+    (reference decoder.ex:49-51, 59-61, 86-87, 225-226). Memoized —
+    subjects/predicates/types repeat massively across a corpus, and the
+    returned tuples are immutable so sharing them is safe."""
+    hit = _TERM_CACHE.get(value, False)
+    if hit is not False:
+        return hit
     if is_blank_node_id(value):
-        return ("bnode", value[2:])
-    if is_absolute_iri(value):
-        return ("iri", value)
-    return None
+        term: Term | None = ("bnode", value[2:])
+    elif is_absolute_iri(value):
+        term = ("iri", value)
+    else:
+        term = None
+    if len(_TERM_CACHE) > 65536:
+        _TERM_CACHE.clear()
+    _TERM_CACHE[value] = term
+    return term
 
 
 def canonical_double(value: float) -> str:
@@ -235,9 +252,9 @@ def list_to_rdf(
         subject = bnodes[i]
         obj = object_to_rdf(item, quads, graph, issuer, options)
         if obj is not None:
-            quads.append((subject, ("iri", RDF_FIRST), obj, graph))
-        rest: Term = bnodes[i + 1] if i + 1 < len(bnodes) else ("iri", RDF_NIL)
-        quads.append((subject, ("iri", RDF_REST), rest, graph))
+            quads.append((subject, _RDF_FIRST_TERM, obj, graph))
+        rest: Term = bnodes[i + 1] if i + 1 < len(bnodes) else _RDF_NIL_TERM
+        quads.append((subject, _RDF_REST_TERM, rest, graph))
     return bnodes[0]
 
 
@@ -268,14 +285,15 @@ def node_map_to_rdf(
                     for t in values:
                         t_term = _iri_or_bnode(t)
                         if t_term is not None:
-                            quads.append((subj_term, ("iri", RDF_TYPE), t_term, graph_term))
+                            quads.append((subj_term, _RDF_TYPE_TERM, t_term, graph_term))
                     continue
                 if is_keyword(prop):
                     continue
                 if is_blank_node_id(prop) and not options.produce_generalized_rdf:
                     continue
                 pred_term = _iri_or_bnode(prop)
-                if pred_term is None or (pred_term[0] == "iri" and not is_absolute_iri(prop)):
+                if pred_term is None:
+                    # an "iri" result already implies is_absolute_iri(prop)
                     continue
                 for item in values:
                     obj_term = object_to_rdf(item, quads, graph_term, issuer, options)
