@@ -21,12 +21,33 @@ import numpy as np
 import pyarrow as pa
 
 
+def _normalize_key_type(t: pa.DataType) -> pa.DataType:
+    """Widen key columns to canonical types before hashing: the two join
+    sides may carry different physical types for the same logical key
+    (int32 vs int64, timestamp units) and a raw-dtype hash would bucket
+    them differently — silently dropping matches."""
+    if pa.types.is_integer(t):
+        return pa.int64()
+    if pa.types.is_floating(t):
+        return pa.float64()
+    if pa.types.is_timestamp(t):
+        return pa.timestamp("us")
+    return t
+
+
 def _bucket_array(tbl: pa.Table, key_cols: list[str], num_buckets: int) -> pa.Array:
     """Deterministic per-row bucket id from the join key columns (polars
     ahash — stable across worker processes of one interpreter fleet)."""
     import polars as pl
 
-    h = pl.from_arrow(tbl.select(key_cols)).hash_rows(seed=0)
+    keys = pa.Table.from_arrays(
+        [
+            tbl.column(c).cast(_normalize_key_type(tbl.schema.field(c).type))
+            for c in key_cols
+        ],
+        names=key_cols,
+    )
+    h = pl.from_arrow(keys).hash_rows(seed=0)
     return pa.array((h % np.uint64(num_buckets)).cast(pl.Int32).to_list(), pa.int32())
 
 
@@ -97,9 +118,21 @@ def hash_join_bucketed(
         side = group.column("__side")
         left_tbl = group.filter(pc.equal(side, pa.scalar(0, pa.int8()))).select(left_names)
         right_tbl = group.filter(pc.equal(side, pa.scalar(1, pa.int8()))).select(right_keep)
+        # arrow's hash join requires identical key types on both sides
+        kt = _normalize_key_type(left_tbl.schema.field(left_on).type)
+        left_tbl = left_tbl.set_column(
+            left_tbl.schema.get_field_index(left_on), left_on, left_tbl.column(left_on).cast(kt)
+        )
+        right_tbl = right_tbl.set_column(
+            right_tbl.schema.get_field_index(right_on), right_on, right_tbl.column(right_on).cast(kt)
+        )
         if left_tbl.num_rows == 0:
             return pa.Table.from_arrays(
-                [pa.nulls(0, schema.field(c).type) for c in out_cols], names=out_cols
+                [
+                    pa.nulls(0, kt if c == left_on else schema.field(c).type)
+                    for c in out_cols
+                ],
+                names=out_cols,
             )
         joined = left_tbl.join(
             right_tbl,

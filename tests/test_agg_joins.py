@@ -200,3 +200,20 @@ def test_compact_docs_stage(ray_session):
     compacted = _json.loads(out.compacted.iloc[0])
     assert compacted["name"] == "n"
     assert compacted["@id"] == "https://x/s"
+
+
+def test_hash_join_bucketed_mixed_key_widths(ray_session):
+    """int32 keys on one side, int64 on the other: bucket assignment must
+    agree or matches silently vanish."""
+    from jsonld_ex_ray.ops.joins import hash_join_bucketed
+
+    left = pa.table({"lk": pa.array([1, 2, 3], pa.int32()), "lv": ["a", "b", "c"]})
+    right = pa.table({"rk": pa.array([1, 2, 3], pa.int64()), "rv": ["x", "y", "z"]})
+    out = (
+        hash_join_bucketed(
+            _ds(left), _ds(right), left_on="lk", right_on="rk", right_cols=["rv"], num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("lk")
+    )
+    assert len(out) == 3 and out.rv.tolist() == ["x", "y", "z"]
