@@ -322,6 +322,29 @@ def _q_events_sliding(sf_dir: str):
     )
 
 
+def _q_events_value_quantiles(sf_dir: str):
+    """Exact quantile_cont without a global sort: histogram-refinement in
+    three streaming passes; only the target bins' values reach the
+    driver."""
+    import ray.data
+    from jsonld_ex_ray.ops.agg import exact_quantiles
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    return exact_quantiles(ds, "value", [0.25, 0.5, 0.9])
+
+
+def _q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (30-minute inactivity gap): one bounded
+    shuffle on hash(user), vectorized sort+diff+cumsum per bucket."""
+    import ray.data
+    from jsonld_ex_ray.ops.window import sessionize
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return sessionize(ds, "ts", "user_id", 1800).sort(["user_id", "session_seq"])
+
+
 def _q_events_asof_view(sf_dir: str):
     """As-of join with TWO large sides: the right side ('view' events) is
     a filtered subset of the same big table, derived as a streaming Ray
@@ -634,6 +657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": _q_events_props_extract,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "events_sessions": _q_events_sessions,
         "events_asof_view": _q_events_asof_view,
         "events_value_bands": _q_events_value_bands,
         "doc_dedup_exact": _q_doc_dedup_exact,
@@ -806,6 +831,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY window_start
             ORDER BY window_start
+        """,
+        "events_value_quantiles": """
+            SELECT round(quantile_cont(value, 0.25), 6) AS q25,
+                   round(quantile_cont(value, 0.50), 6) AS q50,
+                   round(quantile_cont(value, 0.90), 6) AS q90
+            FROM events
+        """,
+        "events_sessions": """
+            WITH flags AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sessions AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS session_seq
+              FROM flags
+            )
+            SELECT user_id, session_seq,
+                   count(*) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end
+            FROM sessions
+            GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
         "events_asof_view": """
             SELECT e.event_id, l.view_ts

@@ -280,6 +280,93 @@ def approx_distinct_hll(ds, col: str, precision: int = 12):
     return pd.DataFrame({"n_distinct_approx": [int(round(est))]})
 
 
+def exact_quantiles(ds, col: str, qs: list[float], bins: int = 8192, round_to: int = 6):
+    """EXACT ``quantile_cont`` values without a global sort and without
+    materializing the column: three streaming passes with tiny driver
+    state —
+
+    1. per-block (count, min, max) → driver combine;
+    2. per-block fixed-width histogram over [min, max] (``bins`` × 8
+       bytes per block) → driver sum locates each target order
+       statistic's bin;
+    3. stream ONLY the values inside the needed bins to the driver
+       (bounded by the occupancy of those bins — raise ``bins`` for
+       heavily skewed distributions) and interpolate exactly like SQL
+       ``quantile_cont``.
+
+    → pandas DataFrame with one ``q<percent>`` column per quantile."""
+    import pandas as pd
+
+    def stats(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"n": pa.array([0], pa.int64()), "lo": pa.array([np.inf]), "hi": pa.array([-np.inf])})
+        return pa.table(
+            {"n": pa.array([len(v)], pa.int64()), "lo": pa.array([v.min()]), "hi": pa.array([v.max()])}
+        )
+
+    st = ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n = int(st.n.sum())
+    if n == 0:
+        return pd.DataFrame({f"q{int(q * 100)}": [None] for q in qs})
+    lo, hi = float(st.lo.min()), float(st.hi.max())
+    if lo == hi:
+        return pd.DataFrame({f"q{int(q * 100)}": [round(lo, round_to)] for q in qs})
+    width = (hi - lo) / bins
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        counts = np.bincount(idx, minlength=bins).astype(np.int64)
+        return pa.table({"h": pa.array([counts.tobytes()], pa.binary())})
+
+    hb = ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    counts = np.zeros(bins, dtype=np.int64)
+    for blob in hb["h"]:
+        counts += np.frombuffer(blob, dtype=np.int64)
+    cum = np.cumsum(counts)
+
+    # order statistics needed for continuous interpolation
+    need_ranks: set[int] = set()
+    plan = []
+    for q in qs:
+        h = (n - 1) * q
+        k0 = int(np.floor(h))
+        k1 = min(k0 + 1, n - 1)
+        need_ranks.update((k0, k1))
+        plan.append((q, k0, k1, h - k0))
+    need_bins = sorted({int(np.searchsorted(cum, k, side="right")) for k in need_ranks})
+
+    def pick(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        keep = np.isin(idx, need_bins)
+        return pa.table({col: pa.array(v[keep])})
+
+    picked = np.sort(
+        ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()[col]
+        .to_numpy()
+    )
+    # ranks inside the collected bins: offset by counts below each bin
+    rank_of = {}
+    for k in need_ranks:
+        b = int(np.searchsorted(cum, k, side="right"))
+        below_collected = sum(counts[x] for x in need_bins if x < b)
+        below_total = int(cum[b - 1]) if b > 0 else 0
+        rank_of[k] = below_collected + (k - below_total)
+    out = {}
+    for q, k0, k1, frac in plan:
+        v0 = picked[rank_of[k0]]
+        v1 = picked[rank_of[k1]]
+        val = v0 + (v1 - v0) * frac
+        out[f"q{int(q * 100)}"] = [float(round_half_away(np.array([val]), round_to)[0])]
+    return pd.DataFrame(out)
+
+
 def topk(ds, sort_cols: list[str], descending: list[bool], k: int):
     """Global top-k without a full sort: per-block top-k, then sort+limit
     over the k×n_blocks survivors."""

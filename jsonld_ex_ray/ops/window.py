@@ -44,6 +44,76 @@ def tumbling_window_agg(
     return groupby_agg_lowcard(keyed, ["window_start", *extra_keys], aggs)
 
 
+def sessionize(
+    ds,
+    ts_col: str,
+    key_col: str,
+    gap_s: int,
+    *,
+    num_buckets: int = 64,
+):
+    """Session windows: per key, consecutive events whose gap exceeds
+    ``gap_s`` start a new session. One bounded shuffle on
+    ``hash(key) % num_buckets`` (every key's events land whole in one
+    bucket); inside each bucket the session assignment is a vectorized
+    sort + diff + cumsum. → Dataset(key, session_seq, n_events,
+    session_start, session_end) with ``session_seq`` numbered per key in
+    time order (deterministic, SQL-reproducible via lag/over)."""
+    import polars as pl
+
+    import numpy as np
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = pl.from_arrow(batch.select([key_col])).select(
+            pl.col(key_col).hash(seed=0) % np.uint64(num_buckets)
+        )[key_col]
+        return batch.append_column(
+            "__bucket",
+            pa.array(np.asarray(h.to_list(), dtype=np.int64).astype(np.int32)),
+        )
+
+    def sessions_in_bucket(group: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(group.drop_columns(["__bucket"]))
+            .sort([key_col, ts_col])
+            .with_columns(
+                (
+                    # microsecond precision: truncating to whole seconds
+                    # would merge sessions split by fractional-second gaps
+                    (
+                        pl.col(ts_col).diff().dt.total_microseconds().fill_null(
+                            (gap_s + 1) * 1_000_000
+                        )
+                        > gap_s * 1_000_000
+                    )
+                    | (pl.col(key_col) != pl.col(key_col).shift(1)).fill_null(True)
+                )
+                .cum_sum()
+                .alias("__sid")
+            )
+        )
+        out = (
+            df.group_by([key_col, "__sid"], maintain_order=True)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_events"),
+                pl.col(ts_col).min().alias("session_start"),
+                pl.col(ts_col).max().alias("session_end"),
+            )
+            .with_columns(
+                pl.col("__sid").rank("dense").over(key_col).cast(pl.Int64).alias("session_seq")
+            )
+            .drop("__sid")
+            .select([key_col, "session_seq", "n_events", "session_start", "session_end"])
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(sessions_in_bucket, batch_format="pyarrow")
+    )
+
+
 def sliding_window_agg(
     ds,
     ts_col: str,

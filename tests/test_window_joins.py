@@ -58,3 +58,67 @@ def test_asof_join_matches_pandas(ray_session):
     )
     pd.testing.assert_frame_equal(got, want)
     assert got.view_ts.notna().any()  # some events do have a prior view
+
+
+def test_sessionize_matches_pandas_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from jsonld_ex_ray.ops.window import sessionize
+
+    rng = np.random.RandomState(4)
+    n = 2000
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 40, n),
+            "ts": base + pd.to_timedelta(np.sort(rng.randint(0, 500_000, n)), unit="s"),
+        }
+    )
+    got = (
+        sessionize(ray.data.from_arrow(pa.Table.from_pandas(df)), "ts", "user_id", 1800)
+        .to_pandas()
+        .sort_values(["user_id", "session_seq"])
+        .reset_index(drop=True)
+    )
+    # reference: per-user gap > 1800s starts a session
+    ref = df.sort_values(["user_id", "ts"]).copy()
+    gap = ref.groupby("user_id")["ts"].diff().dt.total_seconds()
+    ref["new"] = (gap.isna() | (gap > 1800)).astype(int)
+    ref["sid"] = ref.groupby("user_id")["new"].cumsum()
+    want = (
+        ref.groupby(["user_id", "sid"])
+        .agg(n_events=("ts", "size"), session_start=("ts", "min"), session_end=("ts", "max"))
+        .reset_index()
+        .rename(columns={"sid": "session_seq"})
+        .sort_values(["user_id", "session_seq"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_seq", "n_events", "session_start", "session_end"]],
+        want[["user_id", "session_seq", "n_events", "session_start", "session_end"]],
+        check_dtype=False,
+    )
+
+
+def test_exact_quantiles_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import exact_quantiles
+
+    rng = np.random.RandomState(11)
+    # lognormal: heavy skew exercises the bin-refinement path
+    vals = rng.lognormal(0, 1.5, 30_000)
+    ds = ray.data.from_arrow(pa.table({"v": vals}))
+    out = exact_quantiles(ds, "v", [0.25, 0.5, 0.9], bins=512)
+    for q, colname in [(0.25, "q25"), (0.5, "q50"), (0.9, "q90")]:
+        want = round(float(np.quantile(vals, q, method="linear")), 6)
+        assert out[colname].iloc[0] == want, (q, out[colname].iloc[0], want)
+    # constant column edge
+    ds2 = ray.data.from_arrow(pa.table({"v": np.full(100, 7.25)}))
+    out2 = exact_quantiles(ds2, "v", [0.5])
+    assert out2.q50.iloc[0] == 7.25
