@@ -632,6 +632,19 @@ def _q_kg_frame(sf_dir: str):
     return frame_docs(docs, frame).sort("graph")
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Iterative PageRank over the KG's entity graph — each iteration is
+    two bounded bucketed shuffles (join + aggregate) built from the same
+    primitives as the rest of the engine; nothing driver-side but the
+    scalar dangling mass."""
+    from jsonld_ex_ray.ops.graph import pagerank, triples_to_edges
+    from jsonld_ex_ray.pipeline import build_triples, triples_only
+
+    triples = triples_only(build_triples(_corpus_for(sf_dir), concurrency=2))
+    ranks = pagerank(triples_to_edges(triples), iterations=5, num_buckets=16)
+    return ranks.sort("node")
+
+
 def _q_kg_entity_link(sf_dir: str):
     from jsonld_ex_ray.pipeline import build_triples, triples_only
     from jsonld_ex_ray.stages.linker import build_canonical_dictionary
@@ -685,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_link": _q_kg_entity_link,
         "kg_from_rdf": _q_kg_from_rdf,
         "kg_frame": _q_kg_frame,
+        "kg_pagerank": _q_kg_pagerank,
         "kg_mentions": _q_kg_mentions,
         "kg_error_stats": _q_kg_error_stats,
     }

@@ -1,0 +1,173 @@
+"""Iterative graph analytics over the triple table — the pattern for
+algorithms the Dataset API can't express in one pass: a bounded number of
+iterations, each built from the SAME bucketed-shuffle primitives as the
+rest of the engine (hash-bucketed join + bucketed aggregation), so every
+iteration is two bounded shuffles regardless of graph size.
+
+PageRank here is the standard damped formulation with dangling-mass
+redistribution; ranks sum to 1 every iteration (asserted in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def triples_to_edges(ds):
+    """Triple Dataset → (src, dst) edge Dataset (IRI/bnode objects only —
+    literals are not nodes)."""
+
+    def edges(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("obj_kind"), value_set=pa.array(["iri", "bnode"])
+        )
+        e = batch.filter(keep)
+        return pa.table({"src": e.column("subj"), "dst": e.column("obj")})
+
+    return ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pagerank(
+    edges_ds,
+    *,
+    iterations: int = 10,
+    damping: float = 0.85,
+    num_buckets: int = 32,
+):
+    """→ Dataset(node, rank). Each iteration:
+
+    1. contributions: edges bucket-joined with current ranks on ``src``
+       (broadcast is NOT assumed — ranks can be as large as the node
+       set), emitting ``rank/out_degree`` per edge;
+    2. bucketed sum by ``dst`` + damping + dangling-mass redistribution.
+
+    The rank table is re-broadcast per iteration ONLY in the sense of
+    being one side of a bucketed join — nothing materializes on the
+    driver except the scalar dangling mass."""
+    from .agg import groupby_agg_bucketed
+    from .joins import hash_join_bucketed
+
+    edges = edges_ds.materialize()  # reused every iteration
+
+    # node set = union of endpoints (bucketed distinct)
+    def endpoints(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [batch.column("src").combine_chunks(), batch.column("dst").combine_chunks()]
+        )
+        return pa.table({"node": pc.unique(both)})
+
+    import polars as pl
+
+    def add_node_bucket(batch: pa.Table) -> pa.Table:
+        h = pl.from_arrow(batch.select(["node"])).select(
+            pl.col("node").hash(seed=0) % np.uint64(num_buckets)
+        )["node"]
+        return batch.append_column(
+            "__bucket", pa.array(np.asarray(h.to_list(), dtype=np.int64).astype(np.int32))
+        )
+
+    def bucket_unique(group: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.unique(group.column("node").combine_chunks())})
+
+    nodes = (
+        edges.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_node_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(bucket_unique, batch_format="pyarrow")
+        .materialize()
+    )
+    n = nodes.count()
+
+    degrees = groupby_agg_bucketed(
+        edges, ["src"], [("dst", "count", "out_degree")], num_buckets=num_buckets
+    ).materialize()
+
+    # ranks start uniform; schema (node, rank)
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "rank": pa.array(np.full(batch.num_rows, 1.0 / n)),
+            }
+        )
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    for _ in range(iterations):
+        # rank + out_degree per node (left join: dangling nodes keep null degree)
+        with_deg = hash_join_bucketed(
+            ranks,
+            degrees,
+            left_on="node",
+            right_on="src",
+            right_cols=["out_degree"],
+            num_buckets=num_buckets,
+            join_type="left",
+        )
+
+        def split_mass(batch: pa.Table) -> pa.Table:
+            deg = batch.column("out_degree").to_numpy(zero_copy_only=False).astype(np.float64)
+            rank = batch.column("rank").to_numpy(zero_copy_only=False)
+            dangling = np.isnan(deg) | (deg == 0)
+            share = np.where(dangling, 0.0, rank / np.where(dangling, 1.0, deg))
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "share": pa.array(share),
+                    "dangling_mass": pa.array(np.where(dangling, rank, 0.0)),
+                }
+            )
+
+        mass = with_deg.map_batches(split_mass, batch_format="pyarrow", zero_copy_batch=True).materialize()
+        dangling_total = float(
+            mass.map_batches(
+                lambda b: pa.table({"s": pa.array([pc.sum(b.column("dangling_mass")).as_py() or 0.0])}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).to_pandas()["s"].sum()
+        )
+
+        contribs = hash_join_bucketed(
+            edges,
+            mass,
+            left_on="src",
+            right_on="node",
+            right_cols=["share"],
+            num_buckets=num_buckets,
+        )
+        summed = groupby_agg_bucketed(
+            contribs.map_batches(
+                lambda b: pa.table({"dst": b.column("dst"), "share": b.column("share")}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["dst"],
+            [("share", "sum", "incoming")],
+            num_buckets=num_buckets,
+        )
+        # nodes with no inbound edges need rank rows too → left join from nodes
+        joined = hash_join_bucketed(
+            nodes,
+            summed,
+            left_on="node",
+            right_on="dst",
+            right_cols=["incoming"],
+            num_buckets=num_buckets,
+            join_type="left",
+        )
+        base = (1.0 - damping) / n + damping * dangling_total / n
+
+        def apply_rank(batch: pa.Table) -> pa.Table:
+            inc = batch.column("incoming").to_numpy(zero_copy_only=False).astype(np.float64)
+            inc = np.nan_to_num(inc, nan=0.0)
+            return pa.table(
+                {"node": batch.column("node"), "rank": pa.array(base + damping * inc)}
+            )
+
+        ranks = joined.map_batches(
+            apply_rank, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    return ranks
