@@ -29,6 +29,127 @@ def triples_to_edges(ds):
     return ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def connected_components(
+    edges_ds,
+    *,
+    max_iterations: int = 25,
+    num_buckets: int = 32,
+):
+    """Min-label propagation → Dataset(node, component) where
+    ``component`` is the smallest node id in the connected component
+    (undirected). Each iteration is one bucketed join + one bucketed
+    min-aggregation; convergence is detected via a scalar changed-count.
+    The transitive closure of near-duplicate PAIRS into clusters —
+    pairwise keep-min alone misses chains (a~b, b~c but not a~c)."""
+    from .agg import groupby_agg_bucketed
+    from .joins import hash_join_bucketed
+
+    # symmetrize once: propagation must flow both ways
+    def sym(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").combine_chunks()
+        dst = batch.column("dst").combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([src.cast(pa.string()), dst.cast(pa.string())]),
+                "dst": pa.concat_arrays([dst.cast(pa.string()), src.cast(pa.string())]),
+            }
+        )
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch.column("src").combine_chunks())
+        return pa.table({"node": u, "component": u})
+
+    import polars as pl
+
+    def add_node_bucket(batch: pa.Table) -> pa.Table:
+        h = pl.from_arrow(batch.select(["node"])).select(
+            pl.col("node").hash(seed=0) % np.uint64(num_buckets)
+        )["node"]
+        return batch.append_column(
+            "__bucket", pa.array(np.asarray(h.to_list(), dtype=np.int64).astype(np.int32))
+        )
+
+    def bucket_first(group: pa.Table) -> pa.Table:
+        import polars as pl2
+
+        mask = (
+            pl2.from_arrow(group.select(["node"]))
+            .select(pl2.col("node").is_first_distinct())
+            .to_arrow()
+            .column(0)
+            .cast(pa.bool_())
+        )
+        return group.filter(mask).drop_columns(["__bucket"])
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_node_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(bucket_first, batch_format="pyarrow")
+        .materialize()
+    )
+
+    for _ in range(max_iterations):
+        # neighbor labels flow along edges; min per destination
+        flowed = hash_join_bucketed(
+            edges,
+            labels,
+            left_on="src",
+            right_on="node",
+            right_cols=["component"],
+            num_buckets=num_buckets,
+        )
+        incoming = groupby_agg_bucketed(
+            flowed.map_batches(
+                lambda b: pa.table({"node": b.column("dst"), "cand": b.column("component")}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["node"],
+            [("cand", "min", "cand_min")],
+            num_buckets=num_buckets,
+        )
+        merged = hash_join_bucketed(
+            labels,
+            incoming,
+            left_on="node",
+            right_on="node",
+            right_cols=["cand_min"],
+            num_buckets=num_buckets,
+            join_type="left",
+        )
+
+        def take_min(batch: pa.Table) -> pa.Table:
+            cur = batch.column("component")
+            cand = pc.fill_null(batch.column("cand_min").cast(pa.string()), "￿")
+            new = pc.if_else(pc.less(cand, cur), cand, cur)
+            changed = pc.not_equal(new, cur)
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "component": new,
+                    "__changed": changed.cast(pa.int64()),
+                }
+            )
+
+        updated = merged.map_batches(
+            take_min, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        n_changed = int(
+            updated.map_batches(
+                lambda b: pa.table({"s": pa.array([pc.sum(b.column("__changed")).as_py() or 0])}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).to_pandas()["s"].sum()
+        )
+        labels = updated.drop_columns(["__changed"]).materialize()
+        if n_changed == 0:
+            break
+    return labels
+
+
 def pagerank(
     edges_ds,
     *,

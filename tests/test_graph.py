@@ -69,3 +69,47 @@ def test_triples_to_edges_filters_literals(ray_session):
     )
     edges = triples_to_edges(ray.data.from_arrow(tbl)).to_pandas()
     assert len(edges) == 1 and edges.dst.iloc[0] == "o1"
+
+
+def test_connected_components_chain_and_clusters(ray_session):
+    from jsonld_ex_ray.ops.graph import connected_components
+
+    # chain a-b-c plus isolated pair x-y: transitive closure finds a for c
+    out = (
+        connected_components(_edges([("b", "a"), ("c", "b"), ("x", "y")]), num_buckets=4)
+        .to_pandas()
+        .set_index("node")["component"]
+    )
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["x"] == out["y"] == "x"
+
+    # star clusters bridged by one edge (diameter 4 -> few iterations),
+    # verified against a union-find reference
+    pairs = []
+    for h in range(4):
+        for leaf in range(5):
+            pairs.append((f"hub{h}", f"h{h}leaf{leaf}"))
+    pairs.append(("hub0", "hub1"))  # bridge two clusters
+    got = (
+        connected_components(_edges(pairs), num_buckets=4)
+        .to_pandas()
+        .set_index("node")["component"]
+    )
+    parent = {v: v for p in pairs for v in p}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_members = {}
+    for v in parent:
+        comp_members.setdefault(find(v), []).append(v)
+    want = {v: min(comp_members[find(v)]) for v in parent}
+    for v in parent:
+        assert got[v] == want[v], v
