@@ -250,7 +250,10 @@ class MediaDecoder:
                 meta_d = {}
             try:
                 dec = _decode(kind, payload, meta_d)
-            except (NotImplementedError, ValueError, EOFError):
+            except Exception:
+                # any malformed payload (truncated chunks, corrupt zlib
+                # streams, bad RIFF headers, ...) becomes an error ROW —
+                # a poisoned record must never kill the batch/task
                 dec = {"width": -1, "height": -1, "duration_ms": -1, "feature": [0.0] * FEATURE_DIM}
             out["media_id"].append(mid)
             out["kind"].append(kind)

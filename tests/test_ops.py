@@ -247,3 +247,44 @@ def test_minhash_distributed_verify_path(ray_session, monkeypatch):
     ).to_pandas()
     key = lambda df: sorted(map(tuple, df[["doc_id", "dup_of"]].values.tolist()))
     assert key(got) == key(want)
+
+
+def test_media_decode_survives_corrupt_payloads(ray_session):
+    """Truncated / bit-flipped / garbage payloads labeled as decodable
+    kinds must yield error rows, never a task crash."""
+    import numpy as np
+    import ray.data
+    from jsonld_ex_ray.ops.multimodal import (
+        _PNG_MAGIC,
+        _png_encode,
+        _wav_encode,
+        decode_media,
+    )
+
+    rng = np.random.RandomState(8)
+    px = rng.randint(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    good_png = _png_encode(px)
+    good_wav = _wav_encode(np.zeros(100), 8000)
+    corrupt = [
+        good_png[:20],                                   # truncated mid-IHDR
+        good_png[: len(good_png) // 2],                   # truncated mid-IDAT
+        _PNG_MAGIC + b"\x00" * 40,                        # magic + garbage
+        good_wav[:12],                                    # RIFF header only
+        b"RIFF" + rng.bytes(64),                           # fake RIFF
+        rng.bytes(128),                                    # pure noise
+    ]
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(len(corrupt) + 2), pa.int64()),
+            "kind": ["image", "image", "image", "audio", "audio", "image", "image", "audio"],
+            "payload": corrupt + [good_png, good_wav],
+            "meta": ["{}"] * (len(corrupt) + 2),
+        }
+    )
+    feats = decode_media(ray.data.from_arrow(tbl), concurrency=2, batch_size=4).to_pandas()
+    assert len(feats) == 8
+    bad = feats[feats.media_id < 6]
+    assert (bad.width == -1).all()
+    good = feats[feats.media_id >= 6].sort_values("media_id")
+    assert good.iloc[0].width == 6  # the intact PNG still decodes
+    assert good.iloc[1].duration_ms > 0  # the intact WAV still decodes
