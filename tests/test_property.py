@@ -119,9 +119,15 @@ def test_frame_wildcard_never_crashes_and_serializes(doc):
     trees (each tree re-embeds its children), so triple-set equality is
     NOT an invariant; what must hold: no crash, JSON output, and every
     named (non-blank) node id survives into the framed output."""
-    from jsonld_ex_ray.core import frame
+    from jsonld_ex_ray.core import JsonLdError, frame
 
-    out = frame(doc, {"@context": doc["@context"]})
+    try:
+        out = frame(doc, {"@context": doc["@context"]})
+    except JsonLdError as e:
+        # legitimate spec error: merging re-used @ids can give a node two
+        # @list values, which cannot compact under a @list container
+        assert e.code == "compaction to list of lists"
+        return
     json.dumps(out)
 
     def ids_of(element, acc):

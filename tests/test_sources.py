@@ -93,3 +93,38 @@ def test_nquads_roundtrip_via_reader(ray_session, tmp_path):
     src = pd.DataFrame(rows)
     back = back[src.columns]
     assert key(back) == key(src)
+
+
+def test_kg_export_reimport_roundtrip(ray_session, tmp_path):
+    """Full-pipeline integration: triples → N-Quads shards → re-imported
+    triples are the same quad multiset (the RDF interchange contract)."""
+    from jsonld_ex_ray.gen import write_corpus
+    from jsonld_ex_ray.pipeline import build_triples, triples_only
+    from jsonld_ex_ray.sources import read_nquads, write_nquads
+
+    corpus = str(tmp_path / "repos.parquet")
+    write_corpus(corpus, 120, seed=21)
+    triples = triples_only(build_triples(corpus, concurrency=1)).to_pandas()
+    out = str(tmp_path / "nq")
+
+    import ray.data
+    import pyarrow as pa
+
+    cols = ["subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang", "graph"]
+    write_nquads(ray.data.from_pandas(triples), out)
+    back = read_nquads(out).to_pandas()
+
+    def key(df):
+        return sorted(map(tuple, df[cols].fillna("").astype(str).values.tolist()))
+
+    src = triples[cols].copy()
+    # serialization canonicalizes the implicit xsd:string datatype
+    src["obj_datatype"] = src.apply(
+        lambda r: (
+            "http://www.w3.org/2001/XMLSchema#string"
+            if r.obj_kind == "literal" and not r.obj_datatype
+            else r.obj_datatype
+        ),
+        axis=1,
+    )
+    assert key(back) == key(src)
