@@ -32,10 +32,14 @@ _SUPPORTED = ("sum", "count", "mean", "min", "max")
 def round_half_away(x, nd: int):
     """Round half away from zero — bit-matches DuckDB/C++ ``round()``
     for oracle comparison (numpy's ``round`` is banker's, which differs
-    on exact-dyadic halves like 1/128 at 6 decimals)."""
+    on exact-dyadic halves like 1/128 at 6 decimals). Already-integer
+    scaled values pass through untouched: adding ±0.5 to an integer at
+    ≥2^52 is not representable and would bump a ULP."""
     p = 10.0 ** nd
     scaled = np.asarray(x, dtype=np.float64) * p
-    return np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / p
+    fl = np.floor(scaled)
+    shifted = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+    return np.where(scaled == fl, scaled, shifted) / p
 
 # partial column name -> how partials combine across blocks
 _COMBINE_SUM = "sum"

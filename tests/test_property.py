@@ -93,7 +93,7 @@ def test_expansion_json_serializable(doc):
     json.dumps(expand(doc))
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=400, deadline=None)
 @given(
     st.floats(
         allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
