@@ -116,6 +116,32 @@ def minhash_signature(text: str, num_perm: int = 64, shingle_k: int = 3, _params
     return vals.min(axis=1)
 
 
+def optimal_bands(threshold: float, num_perm: int = 64, fp_weight: float = 0.5) -> tuple[int, int]:
+    """(bands, rows_per_band) minimizing the weighted false-positive /
+    false-negative integrals of the LSH S-curve ``1-(1-s^r)^b`` around
+    ``threshold`` (the standard datasketch-style tuning, reimplemented).
+
+    NOTE: the engine's dedup defaults deliberately stay recall-heavy
+    (more, narrower bands than this optimum) because candidate pairs are
+    verified EXACTLY afterwards — false positives only cost shuffle
+    bytes, while a false negative is a missed duplicate. Use a higher
+    ``fp_weight`` when candidate volume (not recall) is the constraint."""
+    s = np.linspace(0.0, 1.0, 501)
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_perm + 1):
+        b = num_perm // r
+        if b < 1:
+            break
+        p = 1.0 - (1.0 - s**r) ** b
+        fp = np.trapz(np.where(s < threshold, p, 0.0), s)
+        fn = np.trapz(np.where(s >= threshold, 1.0 - p, 0.0), s)
+        e = fp_weight * fp + (1.0 - fp_weight) * fn
+        if best is None or e < best[0]:
+            best = (e, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def jaccard(text_a: str, text_b: str, shingle_k: int = 3) -> float:
     sa, sb = set(_shingles(text_a, shingle_k).tolist()), set(_shingles(text_b, shingle_k).tolist())
     if not sa and not sb:

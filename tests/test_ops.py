@@ -288,3 +288,21 @@ def test_media_decode_survives_corrupt_payloads(ray_session):
     good = feats[feats.media_id >= 6].sort_values("media_id")
     assert good.iloc[0].width == 6  # the intact PNG still decodes
     assert good.iloc[1].duration_ms > 0  # the intact WAV still decodes
+
+
+def test_optimal_bands_s_curve_midpoint():
+    """The tuned (b, r) put the LSH S-curve's 50% collision point near
+    the threshold, and a recall-weighted tuning collides near-certainly
+    ON near-duplicates."""
+    from jsonld_ex_ray.ops.dedup import optimal_bands
+
+    for t in (0.5, 0.7, 0.8, 0.9):
+        b, r = optimal_bands(t, 64)
+        assert b * r <= 64
+        midpoint = (1.0 / b) ** (1.0 / r)
+        assert abs(midpoint - t) < 0.15, (t, b, r, midpoint)
+    # recall-weighted: detection probability at J slightly above the
+    # threshold must be high
+    b, r = optimal_bands(0.8, 64, fp_weight=0.1)
+    p_detect = 1 - (1 - 0.9**r) ** b
+    assert p_detect > 0.95
