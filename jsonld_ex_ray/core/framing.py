@@ -519,6 +519,25 @@ def _frame_subjects(
                     defaults.append(d)
             output[p] = defaults
 
+        # @included: frame ALL subjects against each included subframe and
+        # attach the matches alongside the node (json-ld11-framing §3.1)
+        if "@included" in frame and isinstance(frame["@included"], list):
+            for inc_frame in frame["@included"]:
+                holder: list = []
+                # included matches are their own result trees (embedded
+                # False: fresh unique-embed space, full embedding even if
+                # the node already appears inside the main tree)
+                _frame_subjects(
+                    state,
+                    sorted(state.current_nodes().keys()),
+                    [inc_frame if isinstance(inc_frame, dict) else {}],
+                    holder,
+                    None,
+                    embedded=False,
+                )
+                if holder:
+                    output.setdefault("@included", []).extend(holder)
+
         # @reverse framing
         if "@reverse" in frame and isinstance(frame["@reverse"], dict):
             for rprop, rframe in frame["@reverse"].items():

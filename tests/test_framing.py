@@ -267,3 +267,19 @@ def test_frame_doc_omit_graph_flag():
     assert "@graph" in out
     out2 = frame(LIBRARY, {**LIBRARY_FRAME, "@omitGraph": True})
     assert out2["@type"] == "Library"
+
+
+def test_included_framing():
+    """@included in the frame attaches independently-matched nodes
+    alongside each result (json-ld11-framing @included handling)."""
+    f = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@type": "Library",
+        "@included": [{"@type": "Chapter"}],
+    }
+    out = frame(LIBRARY, f)
+    assert out["@type"] == "Library"
+    inc = out["@included"]
+    inc = inc if isinstance(inc, list) else [inc]
+    chapters = [n for n in inc if n.get("@type") == "Chapter"]
+    assert chapters and chapters[0]["title"] == "The Introduction"
