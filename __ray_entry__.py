@@ -335,14 +335,35 @@ def _q_events_value_quantiles(sf_dir: str):
 
 def _q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30-minute inactivity gap): one bounded
-    shuffle on hash(user), vectorized sort+diff+cumsum per bucket."""
+    shuffle on hash(user), vectorized sort+diff+cumsum per bucket.
+
+    Session bounds are emitted as epoch-microsecond BIGINTs
+    (``session_start_us``/``session_end_us``) so the driver's value hash
+    compares integers on both sides instead of engine-specific timestamp
+    dtypes (round-2 red row was representation-only — values equal)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data
     from jsonld_ex_ray.ops.window import sessionize
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
     )
-    return sessionize(ds, "ts", "user_id", 1800).sort(["user_id", "session_seq"])
+
+    def epoch_us(batch: pa.Table) -> pa.Table:
+        start = pc.cast(batch.column("session_start"), pa.int64())
+        end = pc.cast(batch.column("session_end"), pa.int64())
+        return (
+            batch.drop_columns(["session_start", "session_end"])
+            .append_column("session_start_us", start)
+            .append_column("session_end_us", end)
+        )
+
+    return (
+        sessionize(ds, "ts", "user_id", 1800)
+        .map_batches(epoch_us, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["user_id", "session_seq"])
+    )
 
 
 def _q_events_asof_view(sf_dir: str):
@@ -870,8 +891,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_seq,
                    count(*) AS n_events,
-                   min(ts) AS session_start,
-                   max(ts) AS session_end
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+                   CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us
             FROM sessions
             GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq

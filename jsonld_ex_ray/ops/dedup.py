@@ -243,12 +243,25 @@ def _band_rows(ds, *, num_perm: int, bands: int, shingle_k: int, text_col: str, 
     return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# collision runs at or below this size emit ALL pairs (exact recall of the
+# classic LSH candidate set); larger runs emit STAR pairs only — min-id
+# representative vs every other member. Star emission is O(run) instead of
+# O(run²): a boilerplate cluster of 10^6 identical docs emits 10^6-1 pairs
+# per band, not 5·10^11. Star pairs are sufficient for ``dup_of`` keep-min
+# semantics (cluster closure via ops.graph.connected_components); for
+# jaccard PAIR mining they under-report intra-run pairs beyond the cap,
+# which is the documented cap behaviour.
+_ALL_PAIRS_RUN_CAP = 32
+
+
 def _candidate_pairs(band_ds, *, id_col: str, num_buckets: int = 64):
     """Band-bucket collision mining with a BOUNDED shuffle: the groupby
     key is ``band_hash % num_buckets`` (≤ num_buckets Python group calls —
     NOT one per distinct band bucket, which is per-document cardinality);
     inside each bucket a vectorized pandas groupby finds the (band,
-    band_hash) collision runs and emits their pairs.
+    band_hash) collision runs and emits their pairs — all pairs for runs
+    ≤ ``_ALL_PAIRS_RUN_CAP``, star pairs (min-id vs rest) beyond it.
+    Ids keep their input dtype (int or string).
     → (doc_a, doc_b), doc_a < doc_b."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -258,21 +271,54 @@ def _candidate_pairs(band_ds, *, id_col: str, num_buckets: int = 64):
         )
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        sizes = df.groupby(["band", "band_hash"])[id_col].transform("size")
+        import pandas as pd
+
+        id_arr = group.column(id_col)
+        df = pd.DataFrame(
+            {
+                "band": group.column("band").to_pandas(),
+                "band_hash": group.column("band_hash").to_pandas(),
+                "__pos": np.arange(group.num_rows, dtype=np.int64),
+                "__id": id_arr.to_pandas(),
+            }
+        )
+        sizes = df.groupby(["band", "band_hash"])["__pos"].transform("size")
         coll = df[sizes > 1]
-        a_out, b_out = [], []
+        a_idx: list[int] = []
+        b_idx: list[int] = []
+        n_starred = 0
         for (_b, _h), sub in coll.groupby(["band", "band_hash"]):
-            ids = np.sort(sub[id_col].to_numpy())
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    if ids[x] != ids[y]:
-                        a_out.append(int(ids[x]))
-                        b_out.append(int(ids[y]))
+            sub = sub.sort_values("__id")
+            pos = sub["__pos"].to_numpy()
+            ids = sub["__id"].to_numpy()
+            # collapse duplicate-id rows (same doc in a run twice)
+            keep = np.ones(len(ids), dtype=bool)
+            keep[1:] = ids[1:] != ids[:-1]
+            pos, ids = pos[keep], ids[keep]
+            n = len(pos)
+            if n < 2:
+                continue
+            if n <= _ALL_PAIRS_RUN_CAP:
+                xs, ys = np.triu_indices(n, k=1)
+                a_idx.extend(pos[xs].tolist())
+                b_idx.extend(pos[ys].tolist())
+            else:
+                # star: representative (min id) vs every other member
+                n_starred += 1
+                a_idx.extend([int(pos[0])] * (n - 1))
+                b_idx.extend(pos[1:].tolist())
+        if n_starred:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "LSH: %d collision runs > %d members emitted star pairs only",
+                n_starred,
+                _ALL_PAIRS_RUN_CAP,
+            )
         return pa.table(
             {
-                "doc_a": pa.array(a_out, pa.int64()),
-                "doc_b": pa.array(b_out, pa.int64()),
+                "doc_a": id_arr.take(pa.array(a_idx, pa.int64())),
+                "doc_b": id_arr.take(pa.array(b_idx, pa.int64())),
             }
         )
 
@@ -283,15 +329,40 @@ def _candidate_pairs(band_ds, *, id_col: str, num_buckets: int = 64):
     )
 
 
-# above this many candidate pairs, exact verification distributes as a
-# map_batches over the pair rows (texts broadcast); below it the pairs
-# are verified in-process — same output, no extra Ray stage latency
+def _dedup_pairs(pairs_ds, *, num_buckets: int = 32):
+    """Distinct (doc_a, doc_b) rows without driver materialization: one
+    bounded shuffle on ``hash(doc_a) % num_buckets`` (a pair appears with
+    the same doc_a in every band, so all copies co-locate), vectorized
+    drop_duplicates inside each bucket."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", _id_buckets(batch.column("doc_a").to_pylist(), num_buckets)
+        )
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        return pa.Table.from_pandas(df.drop(columns="__bucket"), preserve_index=False)
+
+    return (
+        pairs_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+    )
+
+
+# at or below this many candidate pairs, exact verification runs in-hand
+# on the driver (pairs collected ONLY after a distributed count proves the
+# set small); above it, verification is a fully distributed two-sided
+# bucketed join of texts onto pairs — neither pairs nor texts ever land
+# on the driver.
 _DRIVER_VERIFY_MAX = 100_000
 
 
 def _fetch_texts(ds, ids: set, *, text_col: str, id_col: str) -> dict:
     """Texts for ONLY the candidate ids — a streaming filter over the
-    corpus collecting a result bounded by the candidate count."""
+    corpus collecting a result bounded by the candidate count. Driver-path
+    helper: callers gate on the (counted-small) candidate set first."""
     import ray
 
     ids_ref = ray.put(pa.array(sorted(ids)))
@@ -306,20 +377,69 @@ def _fetch_texts(ds, ids: set, *, text_col: str, id_col: str) -> dict:
     return dict(zip(picked[id_col], picked[text_col]))
 
 
-def _verify_pairs_distributed(cand_df, texts_ref, *, shingle_k: int, threshold: float):
-    """True shingle-Jaccard over the candidates as a distributed
-    map_batches (texts broadcast once — bounded by the candidate set)."""
-    import ray
-    import ray.data
+def _verify_pairs_driver(ds, cand_df, *, shingle_k, threshold, text_col, id_col):
+    """Counted-small path: verify pairs in-hand with a per-doc shingle
+    cache (clusters of dups create many pairs per doc — per-pair
+    re-shingling is quadratic work). → pandas (doc_a, doc_b, jaccard)."""
+    import pandas as pd
+
+    texts = _fetch_texts(
+        ds, set(cand_df.doc_a) | set(cand_df.doc_b), text_col=text_col, id_col=id_col
+    )
+    cache = {
+        i: set(_shingles(texts.get(i, ""), shingle_k).tolist())
+        for i in set(cand_df.doc_a) | set(cand_df.doc_b)
+    }
+
+    def j(a, b):
+        sa, sb = cache[a], cache[b]
+        if not sa and not sb:
+            return 1.0
+        return len(sa & sb) / len(sa | sb)
+
+    scores = [round(j(a, b), 6) for a, b in zip(cand_df.doc_a, cand_df.doc_b)]
+    out = cand_df[["doc_a", "doc_b"]].copy()
+    out["jaccard"] = scores
+    return out[pd.Series(scores, index=out.index) >= threshold]
+
+
+def _verify_pairs_joined(ds, pairs_ds, *, shingle_k, threshold, text_col, id_col):
+    """Scale path: attach both texts to each pair via two bucketed
+    two-large-sides joins (texts shuffled once per side, never collected),
+    then verify TRUE shingle-Jaccard per batch with an in-batch shingle
+    cache. → Dataset(doc_a, doc_b, jaccard)."""
+    from .joins import hash_join_bucketed
+
+    def texts_as(key: str, text_out: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {key: batch.column(id_col), text_out: batch.column(text_col)}
+            )
+
+        return fn
+
+    texts_a = ds.map_batches(
+        texts_as("__ja", "__text_a"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    texts_b = ds.map_batches(
+        texts_as("__jb", "__text_b"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    with_a = hash_join_bucketed(
+        pairs_ds, texts_a, left_on="doc_a", right_on="__ja", right_cols=["__text_a"]
+    )
+    with_ab = hash_join_bucketed(
+        with_a, texts_b, left_on="doc_b", right_on="__jb", right_cols=["__text_b"]
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
         a_ids = batch.column("doc_a").to_pylist()
         b_ids = batch.column("doc_b").to_pylist()
-        cache = {
-            i: set(_shingles(texts.get(i, ""), shingle_k).tolist())
-            for i in set(a_ids) | set(b_ids)
-        }
+        a_txt = batch.column("__text_a").to_pylist()
+        b_txt = batch.column("__text_b").to_pylist()
+        cache: dict = {}
+        for i, t in zip(a_ids + b_ids, a_txt + b_txt):
+            if i not in cache:
+                cache[i] = set(_shingles(t or "", shingle_k).tolist())
 
         def j(a, b):
             sa, sb = cache[a], cache[b]
@@ -328,46 +448,17 @@ def _verify_pairs_distributed(cand_df, texts_ref, *, shingle_k: int, threshold: 
             return len(sa & sb) / len(sa | sb)
 
         scores = [j(a, b) for a, b in zip(a_ids, b_ids)]
-        out = batch.append_column(
-            "jaccard", pa.array([round(s, 6) for s in scores], pa.float64())
+        keep = pa.array([s >= threshold for s in scores])
+        out = pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "jaccard": pa.array([round(s, 6) for s in scores], pa.float64()),
+            }
         )
-        return out.filter(pa.array([s >= threshold for s in scores]))
+        return out.filter(keep)
 
-    cand_ds = ray.data.from_pandas(cand_df[["doc_a", "doc_b"]])
-    return cand_ds.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def _verified_pairs(ds, cand_df, *, shingle_k, threshold, text_col, id_col):
-    """Candidate pairs → verified (doc_a, doc_b, jaccard) pandas frame
-    (driver path) or Dataset (distributed path beyond the size gate)."""
-    import pandas as pd
-
-    texts = _fetch_texts(
-        ds, set(cand_df.doc_a) | set(cand_df.doc_b), text_col=text_col, id_col=id_col
-    )
-    if len(cand_df) <= _DRIVER_VERIFY_MAX:
-        # shingle each candidate doc ONCE (clusters of dups create many
-        # pairs per doc — per-pair re-shingling is quadratic work)
-        cache = {
-            i: set(_shingles(texts.get(i, ""), shingle_k).tolist())
-            for i in set(cand_df.doc_a) | set(cand_df.doc_b)
-        }
-
-        def j(a, b):
-            sa, sb = cache[a], cache[b]
-            if not sa and not sb:
-                return 1.0
-            return len(sa & sb) / len(sa | sb)
-
-        scores = [round(j(a, b), 6) for a, b in zip(cand_df.doc_a, cand_df.doc_b)]
-        out = cand_df[["doc_a", "doc_b"]].copy()
-        out["jaccard"] = scores
-        return out[pd.Series(scores, index=out.index) >= threshold]
-    import ray
-
-    return _verify_pairs_distributed(
-        cand_df, ray.put(texts), shingle_k=shingle_k, threshold=threshold
-    )
+    return with_ab.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _min_dup_per_doc(pairs_ds, id_col: str, num_buckets: int = 32, keep_cols: list[str] | None = None):
@@ -405,26 +496,23 @@ def minhash_lsh_duplicates(
     smaller-id doc (verified TRUE shingle-Jaccard ≥ threshold).
 
     Stage 1 (map): signatures → id-only band rows. Stage 2 (bounded
-    shuffle): collision pairs. Stage 3: texts fetched for only the
-    candidate ids and pairs verified exactly. Stage 4: min-reduce per
-    doc."""
-    import pandas as pd
-
+    shuffle): collision pairs (star-capped runs), distinct-ed
+    distributively and materialized in the OBJECT STORE (never the
+    driver). Stage 3: a distributed count gates verification — in-hand
+    below ``_DRIVER_VERIFY_MAX`` pairs, bucketed text-join beyond.
+    Stage 4: min-reduce per doc."""
     band_ds = _band_rows(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, text_col=text_col, id_col=id_col
     )
-    # LSH survivors only — bounded by design; pair-dedupe in-hand
-    cand_df = (
-        _candidate_pairs(band_ds, id_col=id_col)
-        .to_pandas()
-        .drop_duplicates(["doc_a", "doc_b"])
-    )
-    if len(cand_df) == 0:
-        return _empty_dups(id_col)
-    verified = _verified_pairs(
-        ds, cand_df, shingle_k=shingle_k, threshold=threshold, text_col=text_col, id_col=id_col
-    )
-    if isinstance(verified, pd.DataFrame):
+    pairs = _dedup_pairs(_candidate_pairs(band_ds, id_col=id_col)).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return _empty_dups(ds, id_col)
+    if n_pairs <= _DRIVER_VERIFY_MAX:
+        verified = _verify_pairs_driver(
+            ds, pairs.to_pandas(), shingle_k=shingle_k, threshold=threshold,
+            text_col=text_col, id_col=id_col,
+        )
         out = (
             verified.rename(columns={"doc_b": id_col, "doc_a": "dup_of"})
             .sort_values([id_col, "dup_of"])
@@ -433,23 +521,32 @@ def minhash_lsh_duplicates(
         import ray.data
 
         if len(out) == 0:
-            return _empty_dups(id_col)
+            return _empty_dups(ds, id_col)
         return ray.data.from_pandas(out.reset_index(drop=True))
+
+    verified_ds = _verify_pairs_joined(
+        ds, pairs, shingle_k=shingle_k, threshold=threshold, text_col=text_col, id_col=id_col
+    )
 
     def as_dup(batch: pa.Table) -> pa.Table:
         return pa.table(
             {id_col: batch.column("doc_b"), "dup_of": batch.column("doc_a")}
         )
 
-    dups = verified.map_batches(as_dup, batch_format="pyarrow", zero_copy_batch=True)
+    dups = verified_ds.map_batches(as_dup, batch_format="pyarrow", zero_copy_batch=True)
     return _min_dup_per_doc(dups, id_col)
 
 
-def _empty_dups(id_col: str):
+def _empty_dups(ds, id_col: str):
+    """Empty (id, dup_of) result preserving the corpus id dtype."""
     import ray.data
 
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
     return ray.data.from_arrow(
-        pa.table({id_col: pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())})
+        pa.table({id_col: pa.array([], id_type), "dup_of": pa.array([], id_type)})
     )
 
 
@@ -467,41 +564,41 @@ def ngram_jaccard_pairs(
 
     Candidate generation via id-only MinHash banding (more bands than the
     dedup path → recall at lower thresholds), exact verification over
-    texts fetched for only the candidates.
+    texts joined (scale path) or fetched for only the candidates
+    (counted-small path). Runs beyond ``_ALL_PAIRS_RUN_CAP`` contribute
+    star pairs only (see ``_candidate_pairs``).
     → Dataset(doc_a, doc_b, jaccard), doc_a < doc_b."""
-    import pandas as pd
-
     import ray.data
 
     band_ds = _band_rows(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, text_col=text_col, id_col=id_col
     )
-    cand_df = (
-        _candidate_pairs(band_ds, id_col=id_col)
-        .to_pandas()
-        .drop_duplicates(["doc_a", "doc_b"])
-    )
-    if len(cand_df) == 0:
+    pairs = _dedup_pairs(_candidate_pairs(band_ds, id_col=id_col)).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        try:
+            id_type = ds.schema().base_schema.field(id_col).type
+        except Exception:
+            id_type = pa.int64()
         return ray.data.from_arrow(
             pa.table(
                 {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
+                    "doc_a": pa.array([], id_type),
+                    "doc_b": pa.array([], id_type),
                     "jaccard": pa.array([], pa.float64()),
                 }
             )
         )
-    verified = _verified_pairs(
-        ds, cand_df, shingle_k=shingle_k, threshold=threshold, text_col=text_col, id_col=id_col
-    )
-    if isinstance(verified, pd.DataFrame):
+    if n_pairs <= _DRIVER_VERIFY_MAX:
+        verified = _verify_pairs_driver(
+            ds, pairs.to_pandas(), shingle_k=shingle_k, threshold=threshold,
+            text_col=text_col, id_col=id_col,
+        )
         return ray.data.from_pandas(
             verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
         )
-    return verified.map_batches(
-        lambda b: b.select(["doc_a", "doc_b", "jaccard"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    return _verify_pairs_joined(
+        ds, pairs, shingle_k=shingle_k, threshold=threshold, text_col=text_col, id_col=id_col
     )
 
 
@@ -571,20 +668,49 @@ def simhash_duplicates(ds, *, max_hamming: int = 3, text_col: str = "text", id_c
             sub = sub.sort_values(id_col)
             ids = sub[id_col].to_numpy()
             sigs = sub["sig"].to_numpy().astype(np.uint64)
-            # vectorized pairwise hamming via XOR + popcount over byte views
-            xor = sigs[:, None] ^ sigs[None, :]
+            # drop duplicate-id rows (same doc emitted twice) so a doc
+            # never matches only itself and gets skipped
+            keep = np.ones(len(ids), dtype=bool)
+            keep[1:] = ids[1:] != ids[:-1]
+            ids, sigs = ids[keep], sigs[keep]
+            n = len(ids)
+            if n < 2:
+                continue
+            # Collapse identical signatures FIRST: a boilerplate cluster
+            # of k identical docs has 1 distinct sig, so the pairwise
+            # matrix is m×m over DISTINCT sigs (m ≪ n for skewed runs),
+            # not n×n over docs. min-id semantics are preserved exactly:
+            # the old per-doc "first earlier row within hamming" equals
+            # min over neighbor sigs of that sig's min id (rows are
+            # id-sorted, min_id(s) ≤ every id with sig s).
+            uniq, inv = np.unique(sigs, return_inverse=True)
+            m = len(uniq)
+            # first (== min-id) row position per distinct sig
+            _, first_pos = np.unique(inv, return_index=True)
+            xor = uniq[:, None] ^ uniq[None, :]
             ham = np.unpackbits(
-                xor.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2
+                xor.view(np.uint8).reshape(m, m, 8), axis=2
             ).sum(axis=2)
-            for i in range(1, len(ids)):
-                js = np.nonzero(ham[i, :i] <= max_hamming)[0]
-                if len(js) and ids[i] != ids[js[0]]:
-                    j = int(js[0])
-                    did.append(int(ids[i]))
-                    dof.append(int(ids[j]))
-                    out_h.append(int(ham[i, j]))
+            nbr = ham <= max_hamming
+            # per distinct sig: the earliest row position among neighbor
+            # sigs' representatives, and the hamming to that neighbor
+            posmat = np.where(nbr, first_pos[None, :], n)
+            best_pos = posmat.min(axis=1)
+            best_nbr = posmat.argmin(axis=1)
+            for i in range(1, n):
+                u = inv[i]
+                bp = int(best_pos[u])
+                if bp < i:
+                    did.append(ids[i])
+                    dof.append(ids[bp])
+                    out_h.append(int(ham[u, best_nbr[u]]))
+        id_type = group.schema.field(id_col).type
         return pa.table(
-            {id_col: pa.array(did, pa.int64()), "dup_of": pa.array(dof, pa.int64()), "hamming": pa.array(out_h, pa.int32())}
+            {
+                id_col: pa.array(did, id_type),
+                "dup_of": pa.array(dof, id_type),
+                "hamming": pa.array(out_h, pa.int32()),
+            }
         )
 
     pairs = (

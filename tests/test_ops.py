@@ -55,6 +55,52 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     assert 2 not in set(dups.doc_id)  # distinct doc untouched
 
 
+def test_lsh_boilerplate_cluster_bounded_pairs(ray_session):
+    """A planted 5k-member identical-doc cluster must emit star pairs —
+    ≤ bands·(run−1) candidates, not O(run²) — and still dedup every
+    member to the min-id representative."""
+    import ray.data
+    from jsonld_ex_ray.ops.dedup import (
+        _band_rows,
+        _candidate_pairs,
+        minhash_lsh_duplicates,
+    )
+
+    n, bands = 5000, 16
+    base = "the same boilerplate sentence repeated in every document " * 4
+    tbl = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "text": pa.array([base] * n)}
+    )
+    ds = ray.data.from_arrow(tbl)
+    band_ds = _band_rows(
+        ds, num_perm=64, bands=bands, shingle_k=3, text_col="text", id_col="doc_id"
+    )
+    raw_pairs = _candidate_pairs(band_ds, id_col="doc_id").count()
+    assert 0 < raw_pairs <= bands * (n - 1)  # star emission, not run²
+
+    dups = minhash_lsh_duplicates(ds, bands=bands, threshold=0.8).to_pandas()
+    assert len(dups) == n - 1
+    assert set(dups.dup_of) == {0}
+    assert set(dups.doc_id) == set(range(1, n))
+
+
+def test_minhash_string_ids(ray_session):
+    """id_col is configurable — string-keyed corpora must survive the
+    whole minhash path with ids untouched (no int casts)."""
+    import ray.data
+    from jsonld_ex_ray.ops.dedup import minhash_lsh_duplicates
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["doc-b", "doc-a", "doc-c"]),
+            "text": [base, base, "totally different content here " * 10],
+        }
+    )
+    dups = minhash_lsh_duplicates(ray.data.from_arrow(tbl), threshold=0.7).to_pandas()
+    assert set(zip(dups.doc_id, dups.dup_of)) == {("doc-b", "doc-a")}
+
+
 def test_simhash_duplicates(ray_session):
     import ray.data
     from jsonld_ex_ray.ops.dedup import simhash64, simhash_duplicates
@@ -69,6 +115,42 @@ def test_simhash_duplicates(ray_session):
     assert simhash64(base) == simhash64(base)
     dups = simhash_duplicates(ray.data.from_arrow(tbl), max_hamming=6).to_pandas()
     assert (11, 10) in set(zip(dups.doc_id, dups.dup_of))
+
+
+def test_simhash_duplicate_id_rows(ray_session):
+    """A doc whose nearest bucket neighbour is a row with ITS OWN id
+    (duplicate-id input) must still match the other distinct-id
+    candidate instead of being skipped."""
+    import ray.data
+    from jsonld_ex_ray.ops.dedup import simhash_duplicates
+
+    base = "one two three four five six seven eight nine ten " * 8
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([20, 21, 21], pa.int64()),
+            "text": [base, base, base],
+        }
+    )
+    dups = simhash_duplicates(ray.data.from_arrow(tbl), max_hamming=3).to_pandas()
+    assert set(zip(dups.doc_id, dups.dup_of)) == {(21, 20)}
+
+
+def test_simhash_boilerplate_cluster(ray_session):
+    """Identical-signature clusters collapse to one distinct sig before
+    the pairwise hamming matrix — a 3k identical cluster must finish
+    fast and mark every member dup_of the min id."""
+    import ray.data
+    from jsonld_ex_ray.ops.dedup import simhash_duplicates
+
+    n = 3000
+    base = "the same boilerplate sentence in every doc " * 5
+    tbl = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "text": pa.array([base] * n)}
+    )
+    dups = simhash_duplicates(ray.data.from_arrow(tbl), max_hamming=3).to_pandas()
+    assert len(dups) == n - 1
+    assert set(dups.dup_of) == {0}
+    assert (dups.hamming == 0).all()
 
 
 def test_brute_force_topk_matches_numpy(ray_session):
