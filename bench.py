@@ -147,7 +147,12 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     # timed separately so round-over-round walls stay apples-to-apples
     total = round(sum(results.values()), 3)
     extra_queries: dict[str, float] = {}
-    for name in ("events_sessions", "events_value_quantiles", "events_distinct_users"):
+    for name in (
+        "events_sessions",
+        "events_value_quantiles",
+        "events_distinct_users",
+        "events_sliding",
+    ):
         extra_queries[name] = _best_of(run_query(name))
 
     return {

@@ -247,7 +247,11 @@ def _filter_subject(state, subject: dict, frame: dict, require_all: bool) -> boo
         v = frame[prop]
         if prop == "@id":
             wildcard = False
-            if v == [] or v == [{}] or (isinstance(v, list) and {} in v):
+            if v == []:
+                # json-ld11-framing §2.2 match-none: every flattened node
+                # carries an @id, so an empty @id array matches nothing
+                return False
+            if v == [{}] or (isinstance(v, list) and {} in v):
                 matches_some = True
                 continue
             if subject.get("@id") in _as_array(v):

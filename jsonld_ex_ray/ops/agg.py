@@ -125,6 +125,37 @@ def _finalize_df(df, keys: list[str], aggs, partials, sort: bool):
     return result
 
 
+def _finalize_arrow(tbl: pa.Table, keys: list[str], aggs, partials) -> pa.Table:
+    """Arrow-native combine of partial rows → final aliased columns (the
+    per-bucket path of ``groupby_agg_bucketed`` — key columns stay in
+    arrow, no pandas conversion)."""
+    specs = [(name, comb) for name, (_spec, comb) in partials.items()]
+    out = tbl.group_by(keys).aggregate(specs)
+    rename = {f"{name}_{comb}": name for name, comb in specs}
+    out = out.rename_columns([rename.get(n, n) for n in out.schema.names])
+    cols: dict = {k: out.column(k) for k in keys}
+    for col, op, alias, nd in aggs:
+        if op == "count":
+            vals = out.column("__cnt_all")
+        elif op == "sum":
+            vals = out.column(f"__sum_{col}")
+        elif op == "mean":
+            vals = pc.divide(
+                pc.cast(out.column(f"__sum_{col}"), pa.float64()),
+                pc.cast(out.column(f"__cnt_{col}"), pa.float64()),
+            )
+        else:
+            vals = out.column(f"__{op}_{col}")
+        if nd is not None:
+            vals = pa.array(
+                round_half_away(
+                    pc.cast(vals, pa.float64()).to_numpy(zero_copy_only=False), nd
+                )
+            )
+        cols[alias] = vals
+    return pa.table(cols)
+
+
 def groupby_agg_lowcard(ds, keys: list[str], aggs):
     """aggs: [(column, op, alias[, round_digits])] with op in
     sum|count|mean|min|max. Returns a pandas DataFrame sorted by keys (the
@@ -147,24 +178,21 @@ def groupby_agg_bucketed(ds, keys: list[str], aggs, num_buckets: int = 64):
     arrow partials per block, bucket on a deterministic hash of the keys,
     ONE bounded shuffle (``num_buckets`` groups), vectorized per-bucket
     combine. → Dataset(keys + aliases), one row per distinct key."""
-    import polars as pl
+    from .hashing import bucket_ids
 
     aggs = _norm_aggs(aggs)
     partials = _plan_partials(aggs)
 
     def partial(batch: pa.Table) -> pa.Table:
         t = _partial_table(batch, keys, partials)
-        # deterministic multi-column hash (polars ahash, stable per process
-        # fleet of one interpreter version — bucket ids only need run-scope
-        # consistency, which retries of the same cluster satisfy)
-        h = pl.from_arrow(t.select(keys)).hash_rows(seed=0)
-        bucket = (h % np.uint64(num_buckets)).cast(pl.Int32)
-        return t.append_column("bucket", pa.array(bucket.to_list(), pa.int32()))
+        # version-stable vectorized hash: identical bucket ids on every
+        # worker even in a mixed-version cluster (ops/hashing.py)
+        return t.append_column("bucket", bucket_ids(t, keys, num_buckets, seed=0))
 
     def combine(group: pa.Table) -> pa.Table:
-        df = group.drop_columns(["bucket"]).to_pandas()
-        out = _finalize_df(df, keys, aggs, partials, sort=False)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # arrow-native combine+finalize: no pandas conversion on the
+        # wide path (strings never copied out of arrow)
+        return _finalize_arrow(group.drop_columns(["bucket"]), keys, aggs, partials)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -214,16 +242,12 @@ def distinct_count(ds, col: str, num_buckets: int = 64):
     ``hash(value) % num_buckets`` → per-bucket vectorized unique counts →
     tiny sum. → pandas DataFrame(n_distinct). SQL oracle:
     ``count(DISTINCT col)``."""
-    import polars as pl
+    from .hashing import bucket_ids
 
     def local_unique(batch: pa.Table) -> pa.Table:
         u = pc.unique(batch.column(col).combine_chunks())
         t = pa.table({col: u})
-        h = pl.from_arrow(t).select(pl.col(col).hash(seed=0))[col]
-        bucket = pa.array(
-            (np.asarray(h.to_list(), dtype=np.uint64) % np.uint64(num_buckets)).astype(np.int32)
-        )
-        return t.append_column("__bucket", bucket)
+        return t.append_column("__bucket", bucket_ids(t, [col], num_buckets, seed=0))
 
     def bucket_count(group: pa.Table) -> pa.Table:
         n = len(pc.unique(group.column(col).combine_chunks()))
@@ -246,17 +270,12 @@ def approx_distinct_hll(ds, col: str, precision: int = 12):
     — a few KB per block regardless of cardinality, the shape that
     replaces exact distinct at 100 TB. Standard HLL bias correction for
     the mid range. → pandas DataFrame(n_distinct_approx)."""
-    import polars as pl
+    from .hashing import hash_columns
 
     m = 1 << precision
 
     def local_registers(batch: pa.Table) -> pa.Table:
-        h = np.asarray(
-            pl.from_arrow(batch.select([col]))
-            .select(pl.col(col).hash(seed=7))[col]
-            .to_list(),
-            dtype=np.uint64,
-        )
+        h = hash_columns(batch.select([col]), [col], seed=7)
         idx = (h >> np.uint64(64 - precision)).astype(np.int64)
         rest = h << np.uint64(precision)  # remaining 64-p bits, top-aligned
         # rank = leading zeros of rest + 1 (capped); vectorized via log2

@@ -151,17 +151,16 @@ def jaccard(text_a: str, text_b: str, shingle_k: int = 3) -> float:
 
 def _id_buckets(ids, num_buckets: int) -> pa.Array:
     """Deterministic bucket per id (int or string) — Knuth multiplicative
-    hash for ints, blake2b for strings."""
+    hash for ints, the vectorized stable string hash otherwise (both
+    version-independent, see ops/hashing.py)."""
+    from .hashing import hash_strings
+
     arr = np.asarray(ids)
     if arr.dtype.kind in "iu":
         h = (arr.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(16)
         return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
-    vals = [
-        int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=4).digest(), "big")
-        % num_buckets
-        for v in ids
-    ]
-    return pa.array(vals, pa.int32())
+    h = hash_strings([str(v) for v in ids], seed=0)
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -172,34 +171,38 @@ def _id_buckets(ids, num_buckets: int) -> pa.Array:
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
     """Keep the min-id row per distinct text. Returns the surviving rows.
 
-    One bounded shuffle: the groupby key is ``int(sha[:8]) % num_buckets``
-    (≤ num_buckets Python group calls total), and the per-bucket dedup is
-    a vectorized sort + drop_duplicates — never one group per distinct
-    document."""
+    The dedup key is a 128-bit pair of independently-seeded vectorized
+    stable hashes of the text (ops/hashing.py — no per-row Python sha
+    loop; collision odds at 10^10 docs ≈ 10^-19). One bounded shuffle:
+    the groupby key is ``k1 % num_buckets`` (≤ num_buckets Python group
+    calls total), and the per-bucket dedup is a vectorized min-over-key
+    mask — never one group per distinct document."""
 
     import polars as pl
+
+    from .hashing import hash_strings
 
     def _min_id_mask(tbl: pa.Table) -> pa.Array:
         # keep rows whose id is the per-key minimum — vectorized window
         # expression, applied as an arrow filter (strings never copied)
-        m = pl.from_arrow(tbl.select(["__key", id_col])).select(
-            (pl.col(id_col) == pl.col(id_col).min().over("__key"))
+        m = pl.from_arrow(tbl.select(["__k1", "__k2", id_col])).select(
+            (pl.col(id_col) == pl.col(id_col).min().over(["__k1", "__k2"]))
         )
         return m.to_arrow().column(0).cast(pa.bool_())
 
     def add_key_and_local_min(batch: pa.Table) -> pa.Table:
-        keys, buckets = [], []
-        for t in batch.column(text_col).to_pylist():
-            k = hashlib.sha256((t or "").encode("utf-8")).hexdigest()
-            keys.append(k)
-            buckets.append(int(k[:8], 16) % num_buckets)
-        batch = batch.append_column("__key", pa.array(keys, pa.string()))
-        batch = batch.append_column("__bucket", pa.array(buckets, pa.int32()))
+        k1 = hash_strings(batch.column(text_col), seed=11)
+        k2 = hash_strings(batch.column(text_col), seed=12)
+        batch = batch.append_column("__k1", pa.array(k1, pa.uint64()))
+        batch = batch.append_column("__k2", pa.array(k2, pa.uint64()))
+        batch = batch.append_column(
+            "__bucket", pa.array((k1 % np.uint64(num_buckets)).astype(np.int32))
+        )
         # combiner: min-id row per key within the block before shuffling
         return batch.filter(_min_id_mask(batch))
 
     def bucket_min(group: pa.Table) -> pa.Table:
-        return group.filter(_min_id_mask(group)).drop_columns(["__key", "__bucket"])
+        return group.filter(_min_id_mask(group)).drop_columns(["__k1", "__k2", "__bucket"])
 
     return (
         ds.map_batches(add_key_and_local_min, batch_format="pyarrow", zero_copy_batch=True)

@@ -34,13 +34,21 @@ def connected_components(
     *,
     max_iterations: int = 25,
     num_buckets: int = 32,
+    stats: dict | None = None,
 ):
-    """Min-label propagation → Dataset(node, component) where
-    ``component`` is the smallest node id in the connected component
-    (undirected). Each iteration is one bucketed join + one bucketed
-    min-aggregation; convergence is detected via a scalar changed-count.
-    The transitive closure of near-duplicate PAIRS into clusters —
-    pairwise keep-min alone misses chains (a~b, b~c but not a~c)."""
+    """Min-label propagation WITH pointer doubling → Dataset(node,
+    component) where ``component`` is the smallest node id in the
+    connected component (undirected). Each iteration is (a) one min-label
+    propagation over edges (bucketed join + bucketed min-agg) and (b) one
+    path-shortcutting step ``label[v] ← label[label[v]]`` (a bucketed
+    self-join of the label table): propagation alone needs O(diameter)
+    rounds, while shortcutting compresses label chains geometrically, so
+    a length-L chain converges in ~log2(L) iterations — the property that
+    matters for long-chain graphs at corpus scale. Convergence is a
+    scalar changed-count. The transitive closure of near-duplicate PAIRS
+    into clusters — pairwise keep-min alone misses chains (a~b, b~c but
+    not a~c). Labels only decrease and every label is a member of the
+    node's own component, so the fixpoint is exactly min-of-component."""
     from .agg import groupby_agg_bucketed
     from .joins import hash_join_bucketed
 
@@ -61,14 +69,11 @@ def connected_components(
         u = pc.unique(batch.column("src").combine_chunks())
         return pa.table({"node": u, "component": u})
 
-    import polars as pl
-
     def add_node_bucket(batch: pa.Table) -> pa.Table:
-        h = pl.from_arrow(batch.select(["node"])).select(
-            pl.col("node").hash(seed=0) % np.uint64(num_buckets)
-        )["node"]
+        from .hashing import bucket_ids
+
         return batch.append_column(
-            "__bucket", pa.array(np.asarray(h.to_list(), dtype=np.int64).astype(np.int32))
+            "__bucket", bucket_ids(batch, ["node"], num_buckets, seed=0)
         )
 
     def bucket_first(group: pa.Table) -> pa.Table:
@@ -83,15 +88,33 @@ def connected_components(
         )
         return group.filter(mask).drop_columns(["__bucket"])
 
+    def with_zero_changed(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__changed", pa.array(np.zeros(batch.num_rows, np.int64))
+        )
+
     labels = (
         edges.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(add_node_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
         .map_groups(bucket_first, batch_format="pyarrow")
+        .map_batches(with_zero_changed, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
 
-    for _ in range(max_iterations):
+    # static schemas so the per-iteration joins never call Dataset.schema()
+    # (which triggers a full plan execution on lazy inputs — one extra
+    # execution per loop step)
+    edges_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    label_schema = pa.schema(
+        [("node", pa.string()), ("component", pa.string()), ("__changed", pa.int64())]
+    )
+    incoming_schema = pa.schema([("node", pa.string()), ("cand_min", pa.string())])
+    parent_schema = pa.schema([("__pnode", pa.string()), ("__pcomp", pa.string())])
+
+    for it in range(max_iterations):
+        if stats is not None:
+            stats["iterations"] = it + 1
         # neighbor labels flow along edges; min per destination
         flowed = hash_join_bucketed(
             edges,
@@ -100,6 +123,8 @@ def connected_components(
             right_on="node",
             right_cols=["component"],
             num_buckets=num_buckets,
+            left_schema=edges_schema,
+            right_schema=label_schema,
         )
         incoming = groupby_agg_bucketed(
             flowed.map_batches(
@@ -119,12 +144,16 @@ def connected_components(
             right_cols=["cand_min"],
             num_buckets=num_buckets,
             join_type="left",
+            left_schema=label_schema,
+            right_schema=incoming_schema,
         )
 
         def take_min(batch: pa.Table) -> pa.Table:
             cur = batch.column("component")
-            cand = pc.fill_null(batch.column("cand_min").cast(pa.string()), "￿")
-            new = pc.if_else(pc.less(cand, cur), cand, cur)
+            cand = batch.column("cand_min").cast(pa.string())
+            # null-aware elementwise min (no string sentinel: a label
+            # above U+FFFF would sort past one and corrupt the compare)
+            new = pc.min_element_wise(cand, cur, skip_nulls=True)
             changed = pc.not_equal(new, cur)
             return pa.table(
                 {
@@ -134,20 +163,76 @@ def connected_components(
                 }
             )
 
-        updated = merged.map_batches(
-            take_min, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
-        n_changed = int(
-            updated.map_batches(
-                lambda b: pa.table({"s": pa.array([pc.sum(b.column("__changed")).as_py() or 0])}),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ).to_pandas()["s"].sum()
+        # ONE materialization for the propagation chain: it feeds both
+        # sides of the shortcut self-join below (lazy lineage would
+        # execute the whole chain twice, once per union branch). The
+        # repartition BOUNDS the block count: each join unions its two
+        # inputs (blocks add) and the sort boundary preserves them, so
+        # without a coalesce the label table's block count would ~double
+        # every iteration — thousands of tiny blocks by iteration 10,
+        # per-task overhead dwarfing the (small) data.
+        prop = (
+            merged.map_batches(take_min, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(num_buckets)
+            .materialize()
         )
-        labels = updated.drop_columns(["__changed"]).materialize()
-        if n_changed == 0:
+
+        # pointer doubling: label[v] ← label[label[v]] — one bucketed
+        # self-join; compresses a depth-d label chain to ~d/2. The
+        # propagation step's __changed flag rides along so one scan at
+        # the end counts both phases.
+        parents = prop.map_batches(
+            lambda b: pa.table(
+                {"__pnode": b.column("node"), "__pcomp": b.column("component")}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        shortcut = hash_join_bucketed(
+            prop,
+            parents,
+            left_on="component",
+            right_on="__pnode",
+            right_cols=["__pcomp"],
+            num_buckets=num_buckets,
+            join_type="left",
+            left_schema=label_schema,
+            right_schema=parent_schema,
+        )
+
+        def apply_shortcut(batch: pa.Table) -> pa.Table:
+            cur = batch.column("component")
+            par = batch.column("__pcomp").cast(pa.string())
+            new = pc.min_element_wise(par, cur, skip_nulls=True)
+            changed = pc.not_equal(new, cur).cast(pa.int64())
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "component": new,
+                    "__changed": pc.add(batch.column("__changed"), changed),
+                }
+            )
+
+        labels = (
+            shortcut.map_batches(
+                apply_shortcut, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .repartition(num_buckets)  # bound blocks (see prop above)
+            .materialize()
+        )
+        if _sum_col(labels, "__changed") == 0:
             break
-    return labels
+    return labels.drop_columns(["__changed"])
+
+
+def _sum_col(ds, col: str) -> int:
+    return int(
+        ds.map_batches(
+            lambda b: pa.table({"s": pa.array([pc.sum(b.column(col)).as_py() or 0])}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()["s"].sum()
+    )
 
 
 def pagerank(
@@ -179,14 +264,11 @@ def pagerank(
         )
         return pa.table({"node": pc.unique(both)})
 
-    import polars as pl
-
     def add_node_bucket(batch: pa.Table) -> pa.Table:
-        h = pl.from_arrow(batch.select(["node"])).select(
-            pl.col("node").hash(seed=0) % np.uint64(num_buckets)
-        )["node"]
+        from .hashing import bucket_ids
+
         return batch.append_column(
-            "__bucket", pa.array(np.asarray(h.to_list(), dtype=np.int64).astype(np.int32))
+            "__bucket", bucket_ids(batch, ["node"], num_buckets, seed=0)
         )
 
     def bucket_unique(group: pa.Table) -> pa.Table:
@@ -241,7 +323,11 @@ def pagerank(
                 }
             )
 
-        mass = with_deg.map_batches(split_mass, batch_format="pyarrow", zero_copy_batch=True).materialize()
+        mass = (
+            with_deg.map_batches(split_mass, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(num_buckets)  # bound blocks: joins add their inputs'
+            .materialize()  # block counts each iteration (see CC loop)
+        )
         dangling_total = float(
             mass.map_batches(
                 lambda b: pa.table({"s": pa.array([pc.sum(b.column("dangling_mass")).as_py() or 0.0])}),
@@ -268,7 +354,9 @@ def pagerank(
             [("share", "sum", "incoming")],
             num_buckets=num_buckets,
         )
-        # nodes with no inbound edges need rank rows too → left join from nodes
+        # nodes with no inbound edges need rank rows too → left join from
+        # nodes (summed is lazy: pass its schema so the join doesn't
+        # trigger an extra execution just to read it)
         joined = hash_join_bucketed(
             nodes,
             summed,
@@ -277,6 +365,8 @@ def pagerank(
             right_cols=["incoming"],
             num_buckets=num_buckets,
             join_type="left",
+            left_schema=pa.schema([("node", pa.string())]),
+            right_schema=pa.schema([("dst", pa.string()), ("incoming", pa.float64())]),
         )
         base = (1.0 - damping) / n + damping * dangling_total / n
 
@@ -287,8 +377,10 @@ def pagerank(
                 {"node": batch.column("node"), "rank": pa.array(base + damping * inc)}
             )
 
-        ranks = joined.map_batches(
-            apply_rank, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
+        ranks = (
+            joined.map_batches(apply_rank, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(num_buckets)  # bound blocks (see CC loop)
+            .materialize()
+        )
 
     return ranks

@@ -36,19 +36,13 @@ def _normalize_key_type(t: pa.DataType) -> pa.DataType:
 
 
 def _bucket_array(tbl: pa.Table, key_cols: list[str], num_buckets: int) -> pa.Array:
-    """Deterministic per-row bucket id from the join key columns (polars
-    ahash — stable across worker processes of one interpreter fleet)."""
-    import polars as pl
+    """Deterministic per-row bucket id from the join key columns — the
+    version-stable vectorized hash (ops/hashing.py), identical on every
+    worker of a mixed-version cluster; key types are canonicalized inside
+    ``hash_columns`` so both join sides bucket the same."""
+    from .hashing import bucket_ids
 
-    keys = pa.Table.from_arrays(
-        [
-            tbl.column(c).cast(_normalize_key_type(tbl.schema.field(c).type))
-            for c in key_cols
-        ],
-        names=key_cols,
-    )
-    h = pl.from_arrow(keys).hash_rows(seed=0)
-    return pa.array((h % np.uint64(num_buckets)).cast(pl.Int32).to_list(), pa.int32())
+    return bucket_ids(tbl, key_cols, num_buckets, seed=0)
 
 
 def _pad_to_schema(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
@@ -82,12 +76,21 @@ def hash_join_bucketed(
     right_cols: list[str],
     num_buckets: int = 64,
     join_type: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Two-large-sides equi-join: tag-union both datasets, bucket by the
     hashed join key, join inside each bucket with the vectorized arrow
-    hash join. → Dataset(left columns + right_cols)."""
-    left_schema = left_ds.schema()
-    right_schema = right_ds.schema()
+    hash join. → Dataset(left columns + right_cols).
+
+    Pass ``left_schema``/``right_schema`` when the caller knows them:
+    ``Dataset.schema()`` on a lazy input triggers execution of its plan,
+    which iterative callers (connected_components, pagerank) would pay
+    once per loop step."""
+    if left_schema is None:
+        left_schema = left_ds.schema()
+    if right_schema is None:
+        right_schema = right_ds.schema()
     left_names = list(left_schema.names)
     schema = _union_schema(left_schema, right_schema, [right_on, *right_cols])
 

@@ -64,12 +64,10 @@ def sessionize(
     import numpy as np
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        h = pl.from_arrow(batch.select([key_col])).select(
-            pl.col(key_col).hash(seed=0) % np.uint64(num_buckets)
-        )[key_col]
+        from .hashing import bucket_ids
+
         return batch.append_column(
-            "__bucket",
-            pa.array(np.asarray(h.to_list(), dtype=np.int64).astype(np.int32)),
+            "__bucket", bucket_ids(batch, [key_col], num_buckets, seed=0)
         )
 
     def sessions_in_bucket(group: pa.Table) -> pa.Table:
@@ -132,19 +130,22 @@ def sliding_window_agg(
     extra_keys = extra_keys or []
 
     def expand_windows(batch: pa.Table) -> pa.Table:
-        secs = _epoch_seconds(batch.column(ts_col)).to_pylist()
-        n = len(secs)
-        starts: list[int] = []
-        take_idx: list[int] = []
-        for i, s in enumerate(secs):
-            last = (s // slide_s) * slide_s  # latest window containing s
-            for k in range(fanout):
-                w = last - k * slide_s
-                if s < w + window_s and s >= w:
-                    starts.append(w)
-                    take_idx.append(i)
+        import numpy as np
+
+        secs = np.asarray(
+            _epoch_seconds(batch.column(ts_col)).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        last = (secs // slide_s) * slide_s  # latest window containing s
+        # (n, fanout) candidate window starts; keep s ∈ [w, w+window_s) —
+        # fully vectorized (np.nonzero row-major preserves per-event order)
+        w = last[:, None] - np.arange(fanout, dtype=np.int64)[None, :] * slide_s
+        valid = (secs[:, None] >= w) & (secs[:, None] < w + window_s)
+        take_idx, kidx = np.nonzero(valid)
         out = batch.take(pa.array(take_idx, pa.int32()))
-        return out.append_column("window_start", pa.array(starts, pa.int64()))
+        return out.append_column(
+            "window_start", pa.array(w[take_idx, kidx], pa.int64())
+        )
 
     keyed = ds.map_batches(expand_windows, batch_format="pyarrow", zero_copy_batch=True)
     return groupby_agg_lowcard(keyed, ["window_start", *extra_keys], aggs)

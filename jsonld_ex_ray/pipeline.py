@@ -117,25 +117,23 @@ def _triple_key_cols(batch: pa.Table, num_buckets: int) -> pa.Table:
     """Append a compact 128-bit dedup key (two independently-seeded 64-bit
     vectorized hashes of the identity columns) + its shuffle bucket, so the
     shuffle moves 17 bytes/row instead of six wide string columns' worth of
-    group-by state — and the kernel is one vectorized pass, not a per-row
-    Python blake2b loop."""
-    import polars as pl
+    group-by state. The hash is the version-stable kernel from
+    ops/hashing.py — identical on every worker of a mixed-version
+    cluster, unlike library (polars/pandas) hashes."""
+    from .ops.hashing import hash_strings
 
     cols = ["graph", "subj", "pred", "obj", "obj_datatype", "obj_lang"]
-    joined = pl.from_arrow(batch.select(cols)).select(
-        pl.concat_str(
-            # \x00 keeps null distinct from empty string; \x1f guards
-            # column boundaries
-            [pl.col(c).fill_null("\x00") for c in cols],
-            separator="\x1f",
-        ).alias("k")
+    # \x00 keeps null distinct from empty string; \x1f guards boundaries
+    joined = pc.binary_join_element_wise(
+        *[pc.fill_null(batch.column(c).cast(pa.string()), "\x00") for c in cols],
+        "\x1f",
     )
-    k1 = joined.select(pl.col("k").hash(seed=1)).to_series()
-    k2 = joined.select(pl.col("k").hash(seed=2)).to_series()
-    bucket = (k1 % np.uint64(num_buckets)).cast(pl.Int32)
-    batch = batch.append_column("tk1", pa.array(k1.to_list(), pa.uint64()))
-    batch = batch.append_column("tk2", pa.array(k2.to_list(), pa.uint64()))
-    return batch.append_column("bucket", pa.array(bucket.to_list(), pa.int32()))
+    k1 = hash_strings(joined, seed=1)
+    k2 = hash_strings(joined, seed=2)
+    bucket = (k1 % np.uint64(num_buckets)).astype(np.int32)
+    batch = batch.append_column("tk1", pa.array(k1, pa.uint64()))
+    batch = batch.append_column("tk2", pa.array(k2, pa.uint64()))
+    return batch.append_column("bucket", pa.array(bucket, pa.int32()))
 
 
 def dedup_triples(ds, num_buckets: int = 64):
@@ -233,12 +231,12 @@ def canonicalize_bnodes(ds, num_buckets: int = 64):
     groups at corpus scale)."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        buckets = [
-            int.from_bytes(hashlib.blake2b(d.encode(), digest_size=4).digest(), "big")
-            % num_buckets
-            for d in batch.column("doc_id").to_pylist()
-        ]
-        return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
+        from .ops.hashing import hash_strings
+
+        h = hash_strings(batch.column("doc_id"), seed=0)
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
 
     def relabel_bucket(group: pa.Table) -> pa.Table:
         group = group.drop_columns(["__bucket"]).combine_chunks()
@@ -274,24 +272,21 @@ def materialize_graph(ds, salt_buckets: int = 16, num_buckets: int = 64):
     """
 
     def add_keys(batch: pa.Table) -> pa.Table:
-        subjs = batch.column("subj").to_pylist()
-        preds = batch.column("pred").to_pylist()
-        objs = batch.column("obj").to_pylist()
-        # deterministic across processes/retries (hash() is seeded per
-        # interpreter — kernels must be retry-idempotent, SURVEY.md §4)
-        buckets = []
-        for s, p, o in zip(subjs, preds, objs):
-            salt = (
-                int.from_bytes(
-                    hashlib.blake2b(f"{p}\x1f{o}".encode(), digest_size=4).digest(), "big"
-                )
-                % salt_buckets
-            )
-            h = int.from_bytes(
-                hashlib.blake2b(f"{s}\x1f{salt}".encode(), digest_size=4).digest(), "big"
-            )
-            buckets.append(h % num_buckets)
-        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+        from .ops.hashing import combine_hashes, hash_int64, hash_strings
+
+        # deterministic across processes/versions/retries (kernels must be
+        # retry-idempotent, SURVEY.md §4) — one vectorized pass, no
+        # per-row Python hashing
+        po = pc.binary_join_element_wise(
+            pc.fill_null(batch.column("pred").cast(pa.string()), "\x00"),
+            pc.fill_null(batch.column("obj").cast(pa.string()), "\x00"),
+            "\x1f",
+        )
+        salt = hash_strings(po, seed=5) % np.uint64(salt_buckets)
+        h = combine_hashes(hash_strings(batch.column("subj"), seed=6), hash_int64(salt, 6))
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
 
     def bucket_partials(group: pa.Table) -> pa.Table:
         # arrow sort + run slicing; only the per-subject JSON dump stays
@@ -320,12 +315,12 @@ def materialize_graph(ds, salt_buckets: int = 16, num_buckets: int = 64):
         )
 
     def add_merge_bucket(batch: pa.Table) -> pa.Table:
-        buckets = [
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(), "big")
-            % num_buckets
-            for s in batch.column("subj").to_pylist()
-        ]
-        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+        from .ops.hashing import hash_strings
+
+        h = hash_strings(batch.column("subj"), seed=0)
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
 
     def bucket_merge(group: pa.Table) -> pa.Table:
         g = group.select(["subj", "adjacency"]).combine_chunks().sort_by(
@@ -396,12 +391,17 @@ def triples_to_jsonld(ds, num_shards: int = 32):
     ``{"@id"}`` reference nodes are never emitted — see
     core/rdf_serialization.py:232), so:
 
-    - graphs WITHOUT list structure shard by ``hash(subj) % num_shards``
-      and each shard serializes independently (exact: every node's output
-      is a function of its own triples);
-    - graphs WITH rdf:first/rest route whole to one group (list chains
-      cross subjects; assumption: list-bearing graphs are individually
-      bounded — they are documents, not the default-graph union);
+    - every subject OUTSIDE the list closure shards by
+      ``hash(subj) % num_shards`` and serializes independently (exact:
+      its output is a function of its own triples);
+    - only the LIST CLOSURE of each graph routes whole to that graph's
+      shard 0: the rdf:first/rest chain nodes plus every subject holding
+      a reference to one (the referencing subject's full triple set must
+      co-serialize so reference counts and @list inlining are exact).
+      A list IN THE DEFAULT GRAPH therefore no longer drags the whole
+      cross-document union into one group — only its chain + referrers.
+      Partitioning assumption: the list closure is a small fraction of
+      the corpus (lists are document-structure, not bulk data);
     - a final bucketed merge combines the ≤ num_shards node-array parts
       per graph.
 
@@ -412,46 +412,11 @@ def triples_to_jsonld(ds, num_shards: int = 32):
     document. Graphs are looped INSIDE each bucket. The default graph
     holding 90%+ of the corpus never lands in a single call either (its
     subject shards spread across buckets)."""
-    import polars as pl
-
     from .core.options import JsonLdOptions
-    from .core.rdf_generation import RDF_FIRST, RDF_REST
     from .core.rdf_serialization import serialize_rdf
 
-    t = triples_only(ds)
-
-    # tiny driver-side set: names of graphs that contain list structure
-    def graphs_with_lists(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column("pred"), value_set=pa.array([RDF_FIRST, RDF_REST]))
-        g = pc.fill_null(batch.filter(mask).column("graph").cast(pa.string()), "")
-        return pa.table({"graph": pc.unique(g)})
-
-    lg_df = t.map_batches(
-        graphs_with_lists, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    list_graphs = set(lg_df["graph"]) if len(lg_df) else set()
-
     num_buckets = num_shards * 2
-
-    def add_shard(batch: pa.Table) -> pa.Table:
-        g = pc.fill_null(batch.column("graph").cast(pa.string()), "")
-        h = pl.from_arrow(batch.select(["subj"])).select(
-            pl.col("subj").hash(seed=0) % np.uint64(num_shards)
-        )["subj"]
-        shard = np.asarray(h.to_list(), dtype=np.int64)
-        if list_graphs:
-            in_lg = pc.is_in(g, value_set=pa.array(sorted(list_graphs)))
-            shard = np.where(in_lg.to_numpy(zero_copy_only=False), 0, shard)
-        gh = np.asarray(
-            pl.from_arrow(pa.table({"g": g}))
-            .select(pl.col("g").hash(seed=3))["g"]
-            .to_list(),
-            dtype=np.uint64,
-        )
-        bucket = ((gh * np.uint64(num_shards) + shard.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
-        batch = batch.append_column("__g", g)
-        batch = batch.append_column("__shard", pa.array(shard.astype(np.int32), pa.int32()))
-        return batch.append_column("__bucket", pa.array(bucket, pa.int32()))
+    sharded = _sharded_triples(ds, num_shards)
 
     def build_shards(group: pa.Table) -> pa.Table:
         # loop the distinct (graph, shard) cells INSIDE the bounded bucket
@@ -479,11 +444,11 @@ def triples_to_jsonld(ds, num_shards: int = 32):
         )
 
     def add_merge_bucket(batch: pa.Table) -> pa.Table:
-        gh = pl.from_arrow(batch.select(["graph"])).select(
-            pl.col("graph").hash(seed=3) % np.uint64(num_buckets)
-        )["graph"]
+        from .ops.hashing import hash_strings
+
+        gh = hash_strings(batch.column("graph"), seed=3)
         return batch.append_column(
-            "__bucket", pa.array(np.asarray(gh.to_list(), dtype=np.int64).astype(np.int32))
+            "__bucket", pa.array((gh % np.uint64(num_buckets)).astype(np.int32))
         )
 
     def merge_graphs(group: pa.Table) -> pa.Table:
@@ -510,16 +475,94 @@ def triples_to_jsonld(ds, num_shards: int = 32):
             }
         )
 
-    parts = (
-        t.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__bucket")
-        .map_groups(build_shards, batch_format="pyarrow")
-    )
+    parts = sharded.groupby("__bucket").map_groups(build_shards, batch_format="pyarrow")
     return (
         parts.map_batches(add_merge_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
         .map_groups(merge_graphs, batch_format="pyarrow")
     )
+
+
+def _sharded_triples(ds, num_shards: int):
+    """Shard assignment for ``triples_to_jsonld`` (split out for direct
+    testing): → Dataset(triple columns + __g, __shard, __bucket)."""
+    from .core.rdf_generation import RDF_FIRST, RDF_REST
+
+    t = triples_only(ds)
+
+    def _gkey(g: pa.Array, node: pa.Array) -> pa.Array:
+        # (graph, node) composite key — list semantics are per-graph
+        return pc.binary_join_element_wise(g, node, "\x00")
+
+    # Pass A — (graph, subj) keys of rdf:first/rest chain nodes. Small by
+    # assumption (list closure ≪ corpus); collected once, broadcast once.
+    def list_node_keys(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("pred"), value_set=pa.array([RDF_FIRST, RDF_REST]))
+        hit = batch.filter(mask)
+        g = pc.fill_null(hit.column("graph").cast(pa.string()), "")
+        return pa.table({"key": pc.unique(_gkey(g, hit.column("subj").cast(pa.string())))})
+
+    ln_df = t.map_batches(
+        list_node_keys, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    list_nodes = sorted(set(ln_df["key"])) if len(ln_df) else []
+
+    closure_keys: list = list_nodes
+    if list_nodes:
+        import ray as _ray
+
+        ln_ref = _ray.put(pa.array(list_nodes, pa.string()))
+
+        # Pass B — subjects holding a reference to a chain node: their
+        # FULL triple set must co-serialize with the chain (@list inlining
+        # and referenced-once counting read the referrer's node).
+        def referrer_keys(batch: pa.Table) -> pa.Table:
+            kind = batch.column("obj_kind")
+            is_node = pc.or_(
+                pc.equal(kind, pa.scalar("iri")), pc.equal(kind, pa.scalar("bnode"))
+            )
+            hit = batch.filter(pc.fill_null(is_node, False))
+            g = pc.fill_null(hit.column("graph").cast(pa.string()), "")
+            ok = pc.is_in(
+                _gkey(g, hit.column("obj").cast(pa.string())),
+                value_set=_ray.get(ln_ref),
+            )
+            hit = hit.filter(ok)
+            g2 = pc.fill_null(hit.column("graph").cast(pa.string()), "")
+            return pa.table(
+                {"key": pc.unique(_gkey(g2, hit.column("subj").cast(pa.string())))}
+            )
+
+        rf_df = t.map_batches(
+            referrer_keys, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        closure_keys = sorted(set(list_nodes) | set(rf_df["key"]))
+        closure_ref = _ray.put(pa.array(closure_keys, pa.string()))
+
+    num_buckets = num_shards * 2
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        from .ops.hashing import hash_strings
+
+        g = pc.fill_null(batch.column("graph").cast(pa.string()), "")
+        shard = (hash_strings(batch.column("subj"), seed=0) % np.uint64(num_shards)).astype(
+            np.int64
+        )
+        if closure_keys:
+            import ray as _ray
+
+            in_closure = pc.is_in(
+                _gkey(g, batch.column("subj").cast(pa.string())),
+                value_set=_ray.get(closure_ref),
+            )
+            shard = np.where(in_closure.to_numpy(zero_copy_only=False), 0, shard)
+        gh = hash_strings(g, seed=3)
+        bucket = ((gh * np.uint64(num_shards) + shard.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+        batch = batch.append_column("__g", g)
+        batch = batch.append_column("__shard", pa.array(shard.astype(np.int32), pa.int32()))
+        return batch.append_column("__bucket", pa.array(bucket, pa.int32()))
+
+    return t.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def compact_docs(ds, context: dict, *, doc_col: str = "doc", options=None):
@@ -567,20 +610,7 @@ def frame_docs(ds, frame_doc: dict, *, doc_col: str = "doc", options=None):
 # ---------------------------------------------------------------------------
 
 
-def run_checkpointed(
-    input_files: list[str],
-    out_dir: str,
-    *,
-    shard_size: int = 1,
-    context_registry: dict | None = None,
-    concurrency: int | tuple[int, int] = (2, 8),
-) -> dict:
-    """Process input files in shards of ``shard_size`` files; each shard
-    writes ``out/triples/shard={i}/`` + a manifest line. A killed run
-    resumes by skipping shards already marked done. Returns run metrics."""
-    state_dir = os.path.join(out_dir, "_state")
-    os.makedirs(state_dir, exist_ok=True)
-    manifest_path = os.path.join(state_dir, "manifest.jsonl")
+def _read_done_shards(manifest_path: str) -> set[int]:
     done: set[int] = set()
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -588,6 +618,112 @@ def run_checkpointed(
                 rec = json.loads(line)
                 if rec.get("status") == "done":
                     done.add(rec["shard"])
+    return done
+
+
+def _claim_shard(state_dir: str, shard: int, token: str) -> bool:
+    """Exclusive per-shard claim so concurrent writers on one host never
+    double-process a shard: O_CREAT|O_EXCL creation wins the claim; a
+    stale claim (its writer pid is dead — e.g. kill -9 mid-shard) is
+    broken and taken over. ``token`` is ``pid:uuid`` per run_checkpointed
+    call — liveness is judged by the pid alone, so two writer THREADS of
+    one process see each other's claims as live instead of "stale own
+    pid". At multi-node scale each node owns a disjoint shard list (the
+    driver partitions the inputs), so host-local claim semantics are the
+    deliberate design point here."""
+    claim = os.path.join(state_dir, f"shard={shard}.claim")
+    for _ in range(2):
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, token.encode())
+            os.close(fd)
+            return True
+        except FileExistsError:
+            content = _read_claim(claim)
+            if content == token:
+                return True  # already ours (re-entry)
+            pid = _claim_pid(content)
+            if pid and _pid_alive(pid):
+                return False  # live concurrent writer (process OR thread)
+            # stale claim from a killed run: break it and retry the create
+            try:
+                os.unlink(claim)
+            except FileNotFoundError:
+                pass
+    return False
+
+
+def _read_claim(path: str) -> str:
+    try:
+        return open(path).read().strip()
+    except OSError:
+        return ""
+
+
+def _claim_pid(content: str) -> int:
+    try:
+        return int(content.split(":", 1)[0] or "0")
+    except ValueError:
+        return 0
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
+def _sweep_stale_claims(state_dir: str) -> None:
+    """Unlink claim files whose writer died (kill -9 leaves them behind)."""
+    for name in os.listdir(state_dir):
+        if not name.endswith(".claim"):
+            continue
+        path = os.path.join(state_dir, name)
+        pid = _claim_pid(_read_claim(path))
+        if not pid or not _pid_alive(pid):
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+
+
+def _release_claim(state_dir: str, shard: int) -> None:
+    try:
+        os.unlink(os.path.join(state_dir, f"shard={shard}.claim"))
+    except FileNotFoundError:
+        pass
+
+
+def run_checkpointed(
+    input_files: list[str],
+    out_dir: str,
+    *,
+    shard_size: int = 1,
+    context_registry: dict | None = None,
+    concurrency: int | tuple[int, int] = (2, 8),
+    max_error_rate: float | None = None,
+) -> dict:
+    """Process input files in shards of ``shard_size`` files; each shard
+    writes ``out/triples/shard={i}/`` + a manifest line. A killed run
+    resumes by skipping shards already marked done (partial shard dirs
+    from a kill -9 are cleared before rewrite, so rows never double
+    count); concurrent writers on the same out_dir coordinate through
+    per-shard claim files. ``max_error_rate`` is the errors-budget gate:
+    when the cumulative error-row fraction exceeds it, the run raises
+    after recording the finished shard — a corrupted input corpus fails
+    fast instead of burning the cluster. Returns run metrics."""
+    import uuid
+
+    state_dir = os.path.join(out_dir, "_state")
+    os.makedirs(state_dir, exist_ok=True)
+    manifest_path = os.path.join(state_dir, "manifest.jsonl")
+    token = f"{os.getpid()}:{uuid.uuid4().hex}"  # per-call claim identity
+    _sweep_stale_claims(state_dir)
+    done = _read_done_shards(manifest_path)
 
     shards = [
         input_files[i : i + shard_size] for i in range(0, len(input_files), shard_size)
@@ -596,37 +732,65 @@ def run_checkpointed(
     for i, files in enumerate(shards):
         if i in done:
             continue
-        t0 = time.monotonic()
-        ds = build_triples(
-            files, context_registry=context_registry, concurrency=concurrency
-        )
-        shard_dir = os.path.join(out_dir, "triples", f"shard={i}")
-        if os.path.isdir(shard_dir):
-            # a previous attempt died mid-write: clear the partial shard or
-            # the rerun's UUID-named files would double-count rows
-            import shutil
+        # re-read the manifest so shards completed by a CONCURRENT writer
+        # since this run started are skipped, not reprocessed
+        if i in _read_done_shards(manifest_path):
+            metrics["shards_skipped"] += 1
+            continue
+        if not _claim_shard(state_dir, i, token):
+            metrics["shards_skipped"] += 1
+            continue
+        try:
+            if i in _read_done_shards(manifest_path):
+                # completed between the manifest check and the claim
+                metrics["shards_skipped"] += 1
+                continue
+            t0 = time.monotonic()
+            ds = build_triples(
+                files, context_registry=context_registry, concurrency=concurrency
+            )
+            shard_dir = os.path.join(out_dir, "triples", f"shard={i}")
+            if os.path.isdir(shard_dir):
+                # a previous attempt died mid-write: clear the partial shard or
+                # the rerun's UUID-named files would double-count rows
+                import shutil
 
-            shutil.rmtree(shard_dir)
-        ds.write_parquet(shard_dir)
-        # cheap driver-side stats from the written shard footers
-        import pyarrow.dataset as pads
+                shutil.rmtree(shard_dir)
+            ds.write_parquet(shard_dir)
+            # cheap driver-side stats from the written shard footers
+            import pyarrow.dataset as pads
 
-        written = pads.dataset(shard_dir)
-        n = written.count_rows()
-        n_err = written.count_rows(filter=pads.field("pred").is_null())
-        metrics["triples"] += n - n_err
-        metrics["errors"] += n_err
-        rec = {
-            "shard": i,
-            "status": "done",
-            "files": files,
-            "rows": n,
-            "triples": n - n_err,
-            "errors": n_err,
-            "wall_ms": int((time.monotonic() - t0) * 1000),
-        }
-        with open(manifest_path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+            written = pads.dataset(shard_dir)
+            n = written.count_rows()
+            n_err = written.count_rows(filter=pads.field("pred").is_null())
+            metrics["triples"] += n - n_err
+            metrics["errors"] += n_err
+            rec = {
+                "shard": i,
+                "status": "done",
+                "files": files,
+                "rows": n,
+                "triples": n - n_err,
+                "errors": n_err,
+                "error_rate": round(n_err / n, 6) if n else 0.0,
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+            }
+            with open(manifest_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        finally:
+            _release_claim(state_dir, i)
+        total_rows = metrics["triples"] + metrics["errors"]
+        if (
+            max_error_rate is not None
+            and total_rows
+            and metrics["errors"] / total_rows > max_error_rate
+        ):
+            _write_metrics_parquet(manifest_path, state_dir)
+            raise RuntimeError(
+                f"error budget exceeded: {metrics['errors']}/{total_rows} rows "
+                f"({metrics['errors'] / total_rows:.4f} > {max_error_rate}) — "
+                f"finished shards are checkpointed; fix inputs and resume"
+            )
     _write_metrics_parquet(manifest_path, state_dir)
     return metrics
 
@@ -648,6 +812,13 @@ def _write_metrics_parquet(manifest_path: str, state_dir: str) -> None:
             "rows": pa.array([r["rows"] for r in recs], pa.int64()),
             "triples": pa.array([r["triples"] for r in recs], pa.int64()),
             "errors": pa.array([r["errors"] for r in recs], pa.int64()),
+            "error_rate": pa.array(
+                [
+                    r.get("error_rate", (r["errors"] / r["rows"]) if r["rows"] else 0.0)
+                    for r in recs
+                ],
+                pa.float64(),
+            ),
             "wall_ms": pa.array([r["wall_ms"] for r in recs], pa.int64()),
         }
     )

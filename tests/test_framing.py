@@ -182,6 +182,19 @@ def test_id_match():
     assert out["title"] == "The Republic"
 
 
+def test_id_match_none_empty_array():
+    """json-ld11-framing §2.2: an empty @id array is match-NONE — every
+    flattened node carries an @id, so nothing may match."""
+    out = frame(
+        LIBRARY,
+        {"@context": {"@vocab": "http://example.org/"}, "@id": []},
+    )
+    graph = out.get("@graph", [])
+    assert graph == [] or graph == [{}] or not any(
+        isinstance(n, dict) and n.get("@id") for n in (graph if isinstance(graph, list) else [graph])
+    )
+
+
 def test_value_pattern_language_match():
     doc = {
         "@context": {"@vocab": "http://ex/"},
@@ -283,3 +296,250 @@ def test_included_framing():
     inc = inc if isinstance(inc, list) else [inc]
     chapters = [n for n in inc if n.get("@type") == "Chapter"]
     assert chapters and chapters[0]["title"] == "The Introduction"
+
+
+# --------------------------------------------------------------------------
+# Additional ported spec examples (json-ld11-framing §2.x/§3.x worked
+# examples, round-3 coverage expansion — the official frame suite is not
+# vendored in the reference checkout)
+# --------------------------------------------------------------------------
+
+
+def test_embed_always_duplicates_shared_node():
+    """@embed: @always re-embeds a node at every reference (spec §2.1.1
+    example set): two parents both embed the shared child in full."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/", "child": {"@type": "@id"}},
+        "@graph": [
+            {"@id": "http://example.org/p1", "@type": "Parent", "child": "http://example.org/c"},
+            {"@id": "http://example.org/p2", "@type": "Parent", "child": "http://example.org/c"},
+            {"@id": "http://example.org/c", "@type": "Child", "name": "shared"},
+        ],
+    }
+    f = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@type": "Parent",
+        "@embed": "@always",
+    }
+    out = frame(doc, f)
+    parents = out["@graph"]
+    assert len(parents) == 2
+    for p in parents:
+        assert p["child"]["name"] == "shared"  # embedded everywhere
+
+
+def test_embed_once_resets_per_top_level_node():
+    """@embed: @once dedups WITHIN one result tree (see
+    test_embed_once_deduplicates) but the unique-embeds map resets per
+    top-level matched node (the 1.1 ``embedded``-flag revision), so two
+    independent top-level parents each embed the shared child — output
+    must not depend on arbitrary top-level ordering."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/", "child": {"@type": "@id"}},
+        "@graph": [
+            {"@id": "http://example.org/p1", "@type": "Parent", "child": "http://example.org/c"},
+            {"@id": "http://example.org/p2", "@type": "Parent", "child": "http://example.org/c"},
+            {"@id": "http://example.org/c", "@type": "Child", "name": "shared"},
+        ],
+    }
+    f = {"@context": {"@vocab": "http://example.org/"}, "@type": "Parent"}
+    out = frame(doc, f)
+    parents = out["@graph"]
+    assert all(p["child"].get("name") == "shared" for p in parents)
+
+
+def test_duck_typing_property_presence():
+    """Frames match on property presence without @type (spec 'duck
+    typing' example): {"location": {}} selects only nodes carrying a
+    location."""
+    f = {"@context": {"@vocab": "http://example.org/"}, "location": {}}
+    out = frame(LIBRARY, f)
+    assert out["@id"] == "http://example.org/library"
+    assert out["location"] == "Athens"
+
+
+def test_multiple_id_match_array():
+    """An @id array matches any listed id (spec §2.2 multiple-id
+    example)."""
+    f = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@id": [
+            "http://example.org/library/the-republic",
+            "http://example.org/library/the-republic#introduction",
+        ],
+    }
+    out = frame(LIBRARY, f)
+    nodes = out["@graph"]
+    assert {n["@id"] for n in nodes} == {
+        "http://example.org/library/the-republic",
+        "http://example.org/library/the-republic#introduction",
+    }
+
+
+def test_requireall_false_matches_any_property():
+    """@requireAll: false (default): a node matches when ANY frame
+    property matches."""
+    f = {
+        "@context": {"@vocab": "http://example.org/"},
+        "location": {},
+        "creator": {},
+    }
+    out = frame(LIBRARY, f)
+    ids = {n["@id"] for n in out["@graph"]}
+    assert "http://example.org/library" in ids  # has location
+    assert "http://example.org/library/the-republic" in ids  # has creator
+
+
+def test_requireall_true_needs_every_property():
+    f = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@requireAll": True,
+        "creator": {},
+        "title": {},
+    }
+    out = frame(LIBRARY, f)
+    got = out.get("@graph", out)
+    nodes = got if isinstance(got, list) else [got]
+    nodes = [n for n in nodes if n.get("@id")]
+    assert {n["@id"] for n in nodes} == {"http://example.org/library/the-republic"}
+
+
+def test_list_framing_preserves_list():
+    """Framing a document whose property is an @list keeps the list
+    container and frames its members (spec list-framing example)."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@id": "http://example.org/list-holder",
+        "@type": "Holder",
+        "items": {"@list": [{"@value": "a"}, {"@value": "b"}]},
+    }
+    f = {"@context": {"@vocab": "http://example.org/"}, "@type": "Holder"}
+    out = frame(doc, f)
+    items = out["items"]
+    lst = items["@list"] if isinstance(items, dict) else items
+    assert lst == ["a", "b"]
+
+
+def test_value_pattern_wildcard_value():
+    """{"@value": {}} matches any literal of the property."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@graph": [
+            {"@id": "http://example.org/n1", "label": {"@value": "hi", "@language": "en"}},
+            {"@id": "http://example.org/n2", "other": "x"},
+        ],
+    }
+    f = {
+        "@context": {"@vocab": "http://example.org/"},
+        "label": {"@value": {}},
+    }
+    out = frame(doc, f)
+    got = out.get("@graph", out)
+    nodes = got if isinstance(got, list) else [got]
+    assert {n["@id"] for n in nodes if n.get("@id")} == {"http://example.org/n1"}
+
+
+def test_default_fills_missing_property():
+    """@default supplies a value for nodes lacking the property (spec
+    §2.4 example)."""
+    f = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@type": "Book",
+        "edition": {"@default": "first"},
+    }
+    out = frame(LIBRARY, f)
+    assert out["edition"] == "first"
+
+
+def test_reverse_framing_spec_example():
+    """@reverse in the frame attaches reverse-referencing nodes."""
+    f = {
+        "@context": {"@vocab": "http://example.org/", "contains": {"@type": "@id"}},
+        "@id": "http://example.org/library/the-republic",
+        "@reverse": {"contains": {}},
+    }
+    out = frame(LIBRARY, f)
+    rev = out["@reverse"]["contains"]
+    rev_nodes = rev if isinstance(rev, list) else [rev]
+    assert any(n.get("@id") == "http://example.org/library" for n in rev_nodes)
+
+
+def test_named_graph_framing():
+    """A frame with @graph recurses into named graphs (spec §2.5)."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@graph": [
+            {
+                "@id": "http://example.org/g1",
+                "@graph": [
+                    {"@id": "http://example.org/inner", "@type": "Thing", "name": "inside"}
+                ],
+            }
+        ],
+    }
+    f = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@type": "Thing",
+    }
+    out = frame(doc, f)
+    found = []
+
+    def walk(x):
+        if isinstance(x, dict):
+            if x.get("name") == "inside":
+                found.append(x)
+            for v in x.values():
+                walk(v)
+        elif isinstance(x, list):
+            for v in x:
+                walk(v)
+
+    walk(out)
+    assert found
+
+
+def test_type_match_with_array_of_types():
+    """A node with several types matches a frame naming any of them."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@id": "http://example.org/multi",
+        "@type": ["A", "B"],
+        "name": "both",
+    }
+    f = {"@context": {"@vocab": "http://example.org/"}, "@type": "B"}
+    out = frame(doc, f)
+    assert out["name"] == "both"
+
+
+def test_explicit_keeps_id_and_type():
+    """@explicit: true drops unframed properties but never @id/@type."""
+    f = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@explicit": True,
+        "@type": "Book",
+        "title": {},
+    }
+    out = frame(LIBRARY, f)
+    assert out["title"] == "The Republic"
+    assert out["@id"] == "http://example.org/library/the-republic"
+    assert "creator" not in out
+
+
+def test_omit_default_suppresses_property():
+    f = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@type": "Book",
+        "edition": {"@default": "first", "@omitDefault": True},
+    }
+    out = frame(LIBRARY, f)
+    assert "edition" not in out
+
+
+def test_empty_frame_matches_everything():
+    out = frame(LIBRARY, {"@context": {"@vocab": "http://example.org/"}})
+    got = out.get("@graph", out)
+    nodes = got if isinstance(got, list) else [got]
+    # all three top-level-reachable nodes survive (possibly embedded)
+    text = str(out)
+    for t in ("The Republic", "The Introduction", "Athens"):
+        assert t in text

@@ -113,3 +113,25 @@ def test_connected_components_chain_and_clusters(ray_session):
     want = {v: min(comp_members[find(v)]) for v in parent}
     for v in parent:
         assert got[v] == want[v], v
+
+
+def test_connected_components_long_chain_logarithmic(ray_session):
+    """Pointer doubling: a 256-node chain (diameter 255) must converge
+    in ~log2(n) iterations (≤ 11), not O(diameter), with every node
+    labeled by the chain head. (Chain length is test-sized — each CC
+    iteration is 4 bucketed shuffles whose fixed Ray overhead dominates
+    on the 4-CPU test session; convergence-round growth is logarithmic,
+    so 10k/1M chains add only ~5/12 more rounds.)"""
+    from jsonld_ex_ray.ops.graph import connected_components
+
+    n = 256
+    pairs = [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(n - 1)]
+    stats: dict = {}
+    out = (
+        connected_components(_edges(pairs), num_buckets=4, max_iterations=20, stats=stats)
+        .to_pandas()
+        .set_index("node")["component"]
+    )
+    assert stats["iterations"] <= 11, stats
+    assert len(out) == n
+    assert set(out) == {"n00000"}

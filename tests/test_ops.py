@@ -388,3 +388,38 @@ def test_optimal_bands_s_curve_midpoint():
     b, r = optimal_bands(0.8, 64, fp_weight=0.1)
     p_detect = 1 - (1 - 0.9**r) ** b
     assert p_detect > 0.95
+
+
+def test_stable_hash_golden_constants():
+    """Shuffle-bucket hashes must be identical on every worker of a
+    mixed-version cluster: the kernels depend only on numpy wrapping
+    uint64 arithmetic, pinned here against golden constants."""
+    from jsonld_ex_ray.ops.hashing import bucket_ids, hash_int64, hash_strings
+
+    assert [int(x) for x in hash_strings(pa.array(["graft", "probe", ""]), 0)] == [
+        8058121720394971366,
+        1432833758119935655,
+        2558736989570252433,
+    ]
+    assert [int(x) for x in hash_int64(np.array([0, 1, -1, 12345]), 0)] == [
+        12035550249420947055,
+        627405149472732430,
+        3303439293501059696,
+        8814202233882078983,
+    ]
+    t32 = pa.table(
+        {"k": pa.array([1, 2, None, -5], pa.int32()), "s": pa.array(["a", "b", "c", None])}
+    )
+    assert bucket_ids(t32, ["k", "s"], 64).to_pylist() == [14, 10, 31, 51]
+    # key-type canonicalization: int32 and int64 sides bucket identically
+    t64 = pa.table(
+        {"k": pa.array([1, 2, None, -5], pa.int64()), "s": pa.array(["a", "b", "c", None])}
+    )
+    assert bucket_ids(t64, ["k", "s"], 64).to_pylist() == bucket_ids(t32, ["k", "s"], 64).to_pylist()
+    # slices, chunked arrays and large_string hash identically
+    strs = pa.array(["", "alpha", None, "beta", "x" * 4000])
+    base = [int(x) for x in hash_strings(strs, 3)]
+    assert [int(x) for x in hash_strings(strs.slice(1, 3), 3)] == base[1:4]
+    chunked = pa.chunked_array([strs.slice(0, 2), strs.slice(2)])
+    assert [int(x) for x in hash_strings(chunked, 3)] == base
+    assert [int(x) for x in hash_strings(strs.cast(pa.large_string()), 3)] == base

@@ -280,14 +280,75 @@ def test_triples_to_jsonld_default_graph_sharded(ray_session):
     # shard spread: the subjects of the big graph hash to many shards, so
     # no single serializer group saw more than a fraction of the triples
     import numpy as np
-    import polars as pl
 
-    h = pl.DataFrame({"subj": rows["subj"]}).select(
-        pl.col("subj").hash(seed=0) % np.uint64(num_shards)
-    )["subj"].to_list()
-    counts = np.bincount(np.asarray(h, dtype=np.int64), minlength=num_shards)
+    from jsonld_ex_ray.pipeline import _sharded_triples
+
+    sharded = _sharded_triples(ray.data.from_arrow(tbl), num_shards).to_pandas()
+    counts = sharded.groupby("__shard").size().reindex(range(num_shards), fill_value=0)
     assert (counts > 0).sum() >= num_shards - 1
     assert counts.max() < n  # never one group holding the whole graph
+
+
+def test_triples_to_jsonld_default_graph_list_closure_only(ray_session):
+    """A list in the DEFAULT graph must route only its closure (chain
+    nodes + the referencing subject) to shard 0 — the other 10k subjects
+    of the same graph keep spreading over shards, so no serializer group
+    sees more than a bounded slice of the corpus."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data
+
+    from jsonld_ex_ray.core.options import JsonLdOptions
+    from jsonld_ex_ray.core.rdf_serialization import serialize_rdf
+    from jsonld_ex_ray.pipeline import _quads_of, _sharded_triples, triples_to_jsonld
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    XS = "http://www.w3.org/2001/XMLSchema#string"
+    n = 10_000
+    rows = [
+        (f"https://x.example/s{i}", "https://x.example/p", f"v{i}", "literal", XS)
+        for i in range(n)
+    ]
+    closure = [
+        ("https://x.example/s0", "https://x.example/items", "_:l0", "bnode", None),
+        ("_:l0", RDF + "first", "a", "literal", XS),
+        ("_:l0", RDF + "rest", "_:l1", "bnode", None),
+        ("_:l1", RDF + "first", "b", "literal", XS),
+        ("_:l1", RDF + "rest", RDF + "nil", "iri", None),
+    ]
+    rows += closure
+    tbl = pa.table(
+        {
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj": [r[2] for r in rows],
+            "obj_kind": [r[3] for r in rows],
+            "obj_datatype": [r[4] for r in rows],
+            "obj_lang": [None] * len(rows),
+            "graph": [None] * len(rows),  # the default graph — the union
+            "doc_id": ["d"] * len(rows),
+        }
+    )
+    num_shards = 16
+    sharded = _sharded_triples(ray.data.from_arrow(tbl), num_shards).to_pandas()
+    cell_sizes = sharded.groupby(["__g", "__shard"]).size()
+    assert cell_sizes.max() < len(rows) // 4  # no group holds the graph
+    # the closure landed whole in shard 0
+    closure_subjects = {"https://x.example/s0", "_:l0", "_:l1"}
+    in_closure = sharded[sharded.subj.isin(closure_subjects)]
+    assert set(in_closure.__shard) == {0}
+
+    out = triples_to_jsonld(ray.data.from_arrow(tbl), num_shards=num_shards).to_pandas()
+    assert len(out) == 1
+    got = _json.loads(out.doc.iloc[0])
+    want = serialize_rdf(_quads_of(tbl), JsonLdOptions(ordered=True))
+    want.sort(key=lambda node: node["@id"])
+    assert got == _json.loads(_json.dumps(want, sort_keys=True))
+    s0 = [nd for nd in got if nd["@id"] == "https://x.example/s0"][0]
+    assert s0["https://x.example/items"] == [
+        {"@list": [{"@value": "a"}, {"@value": "b"}]}
+    ]
 
 
 def test_triples_to_jsonld_list_graph_routes_whole(ray_session):
