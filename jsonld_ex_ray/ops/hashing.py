@@ -52,25 +52,33 @@ def hash_int64(vals: np.ndarray, seed: int = 0) -> np.ndarray:
 
 
 def _powers(n: int, base: np.uint64) -> np.ndarray:
+    """[base^0 .. base^n] mod 2^64 by doubling-fill: each step multiplies a
+    whole slice by a scalar (SIMD-vectorizable), unlike cumprod whose
+    serial carry chain caps throughput."""
     pw = np.empty(n + 1, np.uint64)
     pw[0] = 1
-    if n:
-        np.cumprod(np.full(n, base, np.uint64), out=pw[1:])
+    step, val = 1, int(base)
+    while step <= n:
+        end = min(2 * step, n + 1)
+        np.multiply(pw[: end - step], np.uint64(val), out=pw[step:end])
+        val = (val * val) & 0xFFFFFFFFFFFFFFFF
+        step *= 2
     return pw
 
 
-def _hash_string_block(off: np.ndarray, data: np.ndarray, seed: int) -> np.ndarray:
+def _hash_string_block(
+    off: np.ndarray, data: np.ndarray, seed: int, pw: np.ndarray, ipw: np.ndarray
+) -> np.ndarray:
     """Polynomial prefix hash of the strings spanned by ``off`` (absolute
-    offsets into ``data``)."""
+    offsets into ``data``). ``pw``/``ipw`` are shared power tables at
+    least one longer than the block's byte span."""
     lo, hi = int(off[0]), int(off[-1])
     n = hi - lo
     seg = data[lo:hi].astype(np.uint64) + np.uint64(1)  # +1: NUL-byte ≠ end
-    pw = _powers(n, _P)
-    ipw = _powers(n, _PINV)
     s = np.empty(n + 1, np.uint64)
     s[0] = 0
     if n:
-        np.cumsum(seg * pw[:-1], out=s[1:])
+        np.cumsum(seg * pw[:n], out=s[1:])
     starts = (off[:-1] - lo).astype(np.int64)
     ends = (off[1:] - lo).astype(np.int64)
     h = (s[ends] - s[starts]) * ipw[starts]
@@ -92,14 +100,23 @@ def _hash_string_array(a: pa.Array, seed: int) -> np.ndarray:
         np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
     )
     out = np.empty(len(a), np.uint64)
-    # row-chunk so the O(bytes) temporaries stay bounded
+    # row-chunk so the O(bytes) temporaries stay bounded; block ends via
+    # searchsorted (no per-row loop). Power tables are computed once for
+    # the largest block and shared across blocks.
+    n_rows = len(a)
+    max_block = 0
     i = 0
-    while i < len(a):
-        j = i + 1
-        while j < len(a) and off[j + 1] - off[i] <= _CHUNK_BYTES:
-            j += 1
-        out[i:j] = _hash_string_block(off[i : j + 1], data, seed)
+    bounds = []
+    while i < n_rows:
+        j = int(np.searchsorted(off, off[i] + _CHUNK_BYTES, side="right")) - 1
+        j = max(j, i + 1)  # a single over-budget string is its own block
+        bounds.append((i, j))
+        max_block = max(max_block, int(off[j] - off[i]))
         i = j
+    pw = _powers(max_block, _P)
+    ipw = _powers(max_block, _PINV)
+    for i, j in bounds:
+        out[i:j] = _hash_string_block(off[i : j + 1], data, seed, pw, ipw)
     if a.null_count:
         mask = np.asarray(a.is_null())
         out[mask] = _splitmix64(np.full(int(mask.sum()), _NULL_SALT) ^ _seed_mix(seed))
