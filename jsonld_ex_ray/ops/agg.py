@@ -206,14 +206,10 @@ def sample_per_group(ds, group_col: str, id_col: str, n: int):
     with the smallest ``md5(id)`` — reproducible across runs/retries and
     oracle-checkable (unlike RNG sampling). Map-side per-group top-n
     (combiner) → tiny grouped final selection."""
-    import hashlib
+    from .hashing import md5_hex
 
     def add_rank_key(batch: pa.Table) -> pa.Table:
-        keys = [
-            hashlib.md5(str(v).encode()).hexdigest()
-            for v in batch.column(id_col).to_pylist()
-        ]
-        return batch.append_column("__rk", pa.array(keys, pa.string()))
+        return batch.append_column("__rk", md5_hex(batch.column(id_col)))
 
     def local_topn(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

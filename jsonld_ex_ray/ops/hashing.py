@@ -8,14 +8,16 @@ silently breaking joins and dedup. These kernels depend only on numpy's
 wrapping uint64 arithmetic, which is fixed by the platform, and are
 asserted against golden constants in tests/test_ops.py.
 
-String hashing is a polynomial rolling hash evaluated with the prefix
-trick over the Arrow string buffer — O(total bytes) fully vectorized, no
-per-row Python:
+String hashing is a polynomial over 8-byte little-endian words
 
-    H(s[a:b]) = (S[b] - S[a]) · P^-a   where  S[i] = Σ_{j<i} (c_j+1)·P^j
+    H(s) = Σ_j (w_j + 1) · Q^j      (mod 2^64)
 
-(all mod 2^64; P odd ⇒ invertible), finished with a splitmix64 avalanche
-mixed with the length and seed.
+where w_j packs bytes 8j..8j+7 of the string (zero-padded tail; the
+length is mixed into the splitmix64 finisher, so tail padding cannot
+collide with explicit NUL bytes). Working at word granularity does 8×
+fewer uint64 operations than a byte polynomial and replaces the
+buffer-long serial prefix chain with one word-level cumsum — measured
+several-GB/s-class instead of ~100 MB/s.
 """
 
 from __future__ import annotations
@@ -24,12 +26,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_P = np.uint64(0x9E3779B185EBCA87)  # odd ⇒ invertible mod 2^64
-_PINV = np.uint64(pow(0x9E3779B185EBCA87, -1, 1 << 64))
+_Q = np.uint64(0x9E3779B185EBCA87)  # odd ⇒ full-period word weight
 _NULL_SALT = np.uint64(0x9AE16A3B2F90404F)
-# row-chunk byte budget: the prefix arrays are ~5 uint64 temporaries of
-# total-bytes length, so 1 MiB of string data peaks around 40 MiB
-_CHUNK_BYTES = 1 << 20
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -40,7 +38,7 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def _seed_mix(seed: int) -> np.ndarray:
-    return _splitmix64(np.full(1, seed, np.uint64) * _P)
+    return _splitmix64(np.full(1, seed, np.uint64) * _Q)
 
 
 def hash_int64(vals: np.ndarray, seed: int = 0) -> np.ndarray:
@@ -66,26 +64,6 @@ def _powers(n: int, base: np.uint64) -> np.ndarray:
     return pw
 
 
-def _hash_string_block(
-    off: np.ndarray, data: np.ndarray, seed: int, pw: np.ndarray, ipw: np.ndarray
-) -> np.ndarray:
-    """Polynomial prefix hash of the strings spanned by ``off`` (absolute
-    offsets into ``data``). ``pw``/``ipw`` are shared power tables at
-    least one longer than the block's byte span."""
-    lo, hi = int(off[0]), int(off[-1])
-    n = hi - lo
-    seg = data[lo:hi].astype(np.uint64) + np.uint64(1)  # +1: NUL-byte ≠ end
-    s = np.empty(n + 1, np.uint64)
-    s[0] = 0
-    if n:
-        np.cumsum(seg * pw[:n], out=s[1:])
-    starts = (off[:-1] - lo).astype(np.int64)
-    ends = (off[1:] - lo).astype(np.int64)
-    h = (s[ends] - s[starts]) * ipw[starts]
-    lens = (ends - starts).view(np.uint64)
-    return _splitmix64(h ^ _splitmix64(lens + _seed_mix(seed)))
-
-
 def _hash_string_array(a: pa.Array, seed: int) -> np.ndarray:
     if len(a) == 0:
         return np.empty(0, np.uint64)
@@ -99,24 +77,44 @@ def _hash_string_array(a: pa.Array, seed: int) -> np.ndarray:
     data = (
         np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
     )
-    out = np.empty(len(a), np.uint64)
-    # row-chunk so the O(bytes) temporaries stay bounded; block ends via
-    # searchsorted (no per-row loop). Power tables are computed once for
-    # the largest block and shared across blocks.
-    n_rows = len(a)
-    max_block = 0
-    i = 0
-    bounds = []
-    while i < n_rows:
-        j = int(np.searchsorted(off, off[i] + _CHUNK_BYTES, side="right")) - 1
-        j = max(j, i + 1)  # a single over-budget string is its own block
-        bounds.append((i, j))
-        max_block = max(max_block, int(off[j] - off[i]))
-        i = j
-    pw = _powers(max_block, _P)
-    ipw = _powers(max_block, _PINV)
-    for i, j in bounds:
-        out[i:j] = _hash_string_block(off[i : j + 1], data, seed, pw, ipw)
+
+    starts = off[:-1]
+    lens = off[1:] - starts
+    nwords = (lens + 7) >> 3  # 8-byte words per row, zero-padded tail
+    wstart = np.empty(len(a) + 1, np.int64)
+    wstart[0] = 0
+    np.cumsum(nwords, out=wstart[1:])
+    total = int(wstart[-1])
+
+    if total:
+        # flat word table: local word index + absolute byte position per word
+        local = np.arange(total, dtype=np.int64) - np.repeat(wstart[:-1], nwords)
+        pos = np.repeat(starts, nwords) + (local << 3)
+        # one unaligned little-endian uint64 gather per word (zero padding
+        # guards tail reads past the buffer); byte-stride view keeps it a
+        # single fancy-index pass instead of 8 byte-lane gathers
+        padded = np.concatenate([data, np.zeros(8, np.uint8)])
+        unaligned = np.ndarray(
+            shape=(len(padded) - 7,), dtype=np.dtype("<u8"), buffer=padded.data, strides=(1,)
+        )
+        w = unaligned[pos]
+        # zero the bytes beyond each row's end in its tail word
+        rem = (lens & 7).astype(np.uint64)
+        tail = wstart[1:] - 1
+        sel = (rem != 0).nonzero()[0]  # rem==0 ⇒ full tail word, no mask
+        if len(sel):
+            mask = (np.uint64(1) << (rem[sel] << np.uint64(3))) - np.uint64(1)
+            w[tail[sel]] &= mask
+        w += np.uint64(1)  # distinguish all-zero words from absent words
+        w *= _powers(int(nwords.max()) - 1, _Q)[local]
+        csum = np.empty(total + 1, np.uint64)
+        csum[0] = 0
+        np.cumsum(w, out=csum[1:])
+        rowsum = csum[wstart[1:]] - csum[wstart[:-1]]
+    else:
+        rowsum = np.zeros(len(a), np.uint64)
+
+    out = _splitmix64(rowsum ^ _splitmix64(lens.view(np.uint64) + _seed_mix(seed)))
     if a.null_count:
         mask = np.asarray(a.is_null())
         out[mask] = _splitmix64(np.full(int(mask.sum()), _NULL_SALT) ^ _seed_mix(seed))
@@ -137,7 +135,7 @@ def hash_strings(arr, seed: int = 0) -> np.ndarray:
 
 def combine_hashes(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Order-sensitive combine of two hash columns."""
-    return _splitmix64((a * _P) ^ b)
+    return _splitmix64((a * _Q) ^ b)
 
 
 def _hash_column(col, seed: int) -> np.ndarray:
@@ -179,3 +177,33 @@ def bucket_ids(tbl: pa.Table, cols: list[str], num_buckets: int, seed: int = 0) 
     """Int32 shuffle-bucket column from the key columns."""
     h = hash_columns(tbl, cols, seed)
     return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+
+
+_DUCK = None
+
+
+def md5_hex(col, null_as: str = "None") -> pa.ChunkedArray:
+    """Vectorized md5 hex digests of a string column (DuckDB's C kernel —
+    no per-row Python loop). Used where the engine's outputs are defined
+    as SQL ``md5()`` (fingerprints, split assignment, deterministic
+    sampling ranks). Nulls are digested as ``null_as`` (default "None",
+    matching the previous per-row ``str(v)`` behaviour; fingerprints pass
+    ""). One lazily-built connection per worker process, pinned to a
+    single thread so Ray's ``num_cpus`` accounting stays honest."""
+    global _DUCK
+    import duckdb
+
+    if _DUCK is None:
+        _DUCK = duckdb.connect()
+        _DUCK.execute("SET threads TO 1")
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(col)
+    if not pa.types.is_string(col.type):
+        col = pc.cast(col, pa.string())
+    tbl = pa.table({"v": pc.fill_null(col, null_as)})
+    _DUCK.register("__md5_in", tbl)
+    try:
+        out = _DUCK.execute("SELECT md5(v) AS h FROM __md5_in").arrow().column("h")
+    finally:
+        _DUCK.unregister("__md5_in")
+    return out

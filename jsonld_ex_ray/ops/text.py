@@ -8,7 +8,6 @@ module import — once per worker process, zero per-batch setup.
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import pyarrow as pa
@@ -125,32 +124,44 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """doc_id, fp_md5 (content hash — matches SQL md5()), fp_rolling
     (64-bit polynomial rolling hash over words, order-sensitive:
-    Σ wh_i · P^(n-1-i) mod 2^64, computed vectorized per document from
-    cached word hashes)."""
+    Σ wh_i · P^(n-1-i) mod 2^64). Fully vectorized: DuckDB's md5 kernel
+    plus one whitespace-split / word-hash / segmented-polynomial pass
+    over the whole batch — no per-document Python loop."""
     import numpy as np
 
-    from .dedup import _word_hashes
+    from .hashing import _powers, hash_strings, md5_hex
 
     _P = np.uint64(1099511628211)
-    texts = batch.column("text").to_pylist()
-    md5s, rolls = [], []
-    for t in texts:
-        data = (t or "").encode("utf-8")
-        md5s.append(hashlib.md5(data).hexdigest())
-        words = (t or "").split()
-        if not words:
-            rolls.append(0)
-            continue
-        wh = _word_hashes(words)
-        # powers P^(n-1), ..., P^0 (wrapping uint64 cumprod)
-        powers = np.full(len(wh), _P, dtype=np.uint64)
-        powers[0] = np.uint64(1)
-        powers = np.cumprod(powers, dtype=np.uint64)[::-1]
-        rolls.append(int((wh * powers).sum(dtype=np.uint64)))
+    text = pc.fill_null(batch.column("text"), "")
+    md5s = md5_hex(text, null_as="")
+
+    # Python str.split() semantics: Arrow's split emits empty tokens at
+    # leading/trailing whitespace — drop them, then re-count per doc
+    words = pc.utf8_split_whitespace(text)
+    flat = pc.list_flatten(words)
+    parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    wh = hash_strings(flat.filter(keep))
+    counts = np.bincount(parents[keep_np], minlength=batch.num_rows).astype(np.int64)
+
+    total = int(counts.sum())
+    rolls = np.zeros(batch.num_rows, np.uint64)
+    if total:
+        starts = np.empty(batch.num_rows + 1, np.int64)
+        starts[0] = 0
+        np.cumsum(counts, out=starts[1:])
+        local = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], counts)
+        pos_from_end = np.repeat(counts - 1, counts) - local
+        wh *= _powers(int(counts.max()) - 1, _P)[pos_from_end]
+        csum = np.empty(total + 1, np.uint64)
+        csum[0] = 0
+        np.cumsum(wh, out=csum[1:])
+        rolls = csum[starts[1:]] - csum[starts[:-1]]
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "fp_md5": pa.array(md5s, pa.string()),
+            "fp_md5": md5s,
             "fp_rolling": pa.array(rolls, pa.uint64()),
         }
     )
@@ -161,7 +172,7 @@ def assign_splits(ds, id_col: str = "doc_id", boundaries: list[tuple[str, str]] 
     md5 of the id against hex-lexicographic boundaries — stable across
     runs, machines and retries (never RNG). Default: train <'c0' (75%),
     val <'e0' (12.5%), test otherwise (12.5%)."""
-    import hashlib as _hashlib
+    from .hashing import md5_hex
 
     boundaries = boundaries or [("c0", "train"), ("e0", "val"), ("￿", "test")]
 
@@ -170,16 +181,12 @@ def assign_splits(ds, id_col: str = "doc_id", boundaries: list[tuple[str, str]] 
     # silently shortening the column (length-mismatch crash downstream)
 
     def assign(batch: pa.Table) -> pa.Table:
-        splits = []
-        for v in batch.column(id_col).to_pylist():
-            h = _hashlib.md5(str(v).encode()).hexdigest()
-            for bound, name in boundaries:
-                if h < bound:
-                    splits.append(name)
-                    break
-            else:
-                splits.append(fallback)
-        return batch.append_column("split", pa.array(splits, pa.string()))
+        h = md5_hex(batch.column(id_col))
+        # successive vectorized boundary comparisons, narrowest bound wins
+        split = pa.array([fallback] * batch.num_rows, pa.string())
+        for bound, name in reversed(boundaries):
+            split = pc.if_else(pc.less(h, bound), pa.scalar(name), split)
+        return batch.append_column("split", split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split)
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
