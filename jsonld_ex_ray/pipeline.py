@@ -259,34 +259,22 @@ def canonicalize_bnodes(ds, num_buckets: int = 64):
     )
 
 
-def materialize_graph(ds, salt_buckets: int = 16, num_buckets: int = 64):
-    """Graph materialize: adjacency per subject with salt-based skew
-    splitting (SURVEY.md §2.5), shuffled on ``hash(subj, salt) % B`` so the
-    group count is bounded and in-group work is batched. Two phases:
+def materialize_graph(ds, num_buckets: int = 64):
+    """Graph materialize: adjacency per subject (SURVEY.md §2.5) as a
+    map-side combine + ONE bounded shuffle.
 
-    1. partial adjacency per (subj, salt) computed inside each bucket —
-       hot subjects split across ``salt_buckets`` salts land in different
-       buckets, so no single reducer gets a mega-subject;
-    2. merge partials per subj (second bucketed shuffle over the far
-       smaller partial rows).
+    Phase 1 is shuffle-free: each input block locally sorts its triples
+    and emits one partial-adjacency row per (block, subj) — the classic
+    map-side combiner, so the only all-to-all exchange moves the far
+    smaller partial rows, never the raw triples. Phase 2 merges partials
+    per subj inside ``hash(subj) % num_buckets`` groups (bounded group
+    count, vectorized in-group merge). A hot subject's phase-1 work is
+    naturally split across the blocks that contain it, and its phase-2
+    merge concatenates pre-built lists — the same skew posture the
+    earlier salt-split design had (whose second phase also merged all
+    salts of a subject into one row), minus one full shuffle of the
+    triples.
     """
-
-    def add_keys(batch: pa.Table) -> pa.Table:
-        from .ops.hashing import combine_hashes, hash_int64, hash_strings
-
-        # deterministic across processes/versions/retries (kernels must be
-        # retry-idempotent, SURVEY.md §4) — one vectorized pass, no
-        # per-row Python hashing
-        po = pc.binary_join_element_wise(
-            pc.fill_null(batch.column("pred").cast(pa.string()), "\x00"),
-            pc.fill_null(batch.column("obj").cast(pa.string()), "\x00"),
-            "\x1f",
-        )
-        salt = hash_strings(po, seed=5) % np.uint64(salt_buckets)
-        h = combine_hashes(hash_strings(batch.column("subj"), seed=6), hash_int64(salt, 6))
-        return batch.append_column(
-            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
-        )
 
     def bucket_partials(group: pa.Table) -> pa.Table:
         # arrow sort + run slicing; only the per-subject JSON dump stays
@@ -348,10 +336,9 @@ def materialize_graph(ds, salt_buckets: int = 16, num_buckets: int = 64):
             }
         )
 
-    ds = triples_only(ds).map_batches(
-        add_keys, batch_format="pyarrow", zero_copy_batch=True
+    partials = triples_only(ds).map_batches(
+        bucket_partials, batch_format="pyarrow", zero_copy_batch=True
     )
-    partials = ds.groupby("bucket").map_groups(bucket_partials, batch_format="pyarrow")
     partials = partials.map_batches(
         add_merge_bucket, batch_format="pyarrow", zero_copy_batch=True
     )

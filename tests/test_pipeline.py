@@ -87,7 +87,7 @@ def test_canonicalize_bnodes_deterministic(ray_session, corpus):
 
 
 def test_materialize_graph_merges_hot_subjects(ray_session, corpus):
-    adj = materialize_graph(build_triples(corpus, concurrency=1), salt_buckets=4).to_pandas()
+    adj = materialize_graph(build_triples(corpus, concurrency=1), num_buckets=4).to_pandas()
     # one row per subject even for salted hot subjects
     assert adj.subj.is_unique
     flat = triples_only(build_triples(corpus, concurrency=1)).to_pandas()
