@@ -60,6 +60,198 @@ def _word_hashes(words: list[str]) -> np.ndarray:
     return out
 
 
+def _batch_word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(word_hashes_flat, words_per_doc) for a whole Arrow string column.
+
+    Tokenization is one Arrow ``utf8_split_whitespace`` pass (Python
+    ``str.split()`` semantics: empty tokens from edge whitespace dropped);
+    per-word hashing runs the cached blake2b only over the batch's
+    DISTINCT words (dictionary encode), then fans out by indices — values
+    are bit-identical to the per-doc ``_word_hashes`` path."""
+    import pyarrow.compute as pc
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(texts, pa.string())
+    t = pc.fill_null(texts, "")
+    words = pc.utf8_split_whitespace(t)
+    flat = pc.list_flatten(words)
+    parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(keep)
+    counts = np.bincount(
+        parents[keep.to_numpy(zero_copy_only=False)], minlength=len(t)
+    ).astype(np.int64)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    enc = flat.dictionary_encode()
+    uniq_h = _word_hashes(enc.dictionary.to_pylist())
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    return uniq_h[idx], counts
+
+
+def _segment_shingles(
+    wh: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling k-gram hashes for every document of a batch in one pass.
+
+    Returns ``(shingles_flat, shingles_per_doc)`` with per-doc semantics
+    identical to ``_shingles``: a doc with no words contributes the single
+    shingle 0; a doc with fewer than ``k`` words contributes one shingle
+    over all its words; duplicates within a doc are NOT removed here (the
+    min-hash reduction is duplicate-invariant)."""
+    n_docs = len(counts)
+    eff_k = np.minimum(counts, k)  # per-doc gram width (0 for empty docs)
+    n_sh = np.maximum(counts - eff_k + 1, 1)  # ≥1: empty docs emit shingle 0
+    total = int(n_sh.sum())
+    out = np.zeros(total, np.uint64)
+
+    wstart = np.empty(n_docs + 1, np.int64)
+    wstart[0] = 0
+    np.cumsum(counts, out=wstart[1:])
+    sstart = np.empty(n_docs + 1, np.int64)
+    sstart[0] = 0
+    np.cumsum(n_sh, out=sstart[1:])
+
+    # local shingle index + absolute word position of each shingle's start
+    local = np.arange(total, dtype=np.int64) - np.repeat(sstart[:-1], n_sh)
+    base = np.repeat(wstart[:-1], n_sh) + local
+    ek = np.repeat(eff_k, n_sh)
+    # acc = Σ_j wh[base+j]·P^(eff_k-1-j): j-loop is over the tiny gram
+    # width only; docs whose gram is shorter than the global k simply stop
+    # accumulating (mask), so variable-width docs ride the same pass
+    for j in range(int(eff_k.max()) if n_docs else 0):
+        m = ek > j
+        out[m] = out[m] * _GRAM_PRIME + wh[base[m] + j]
+    return out, n_sh
+
+
+# chunk width: (num_perm × chunk) uint64 scratch ×4 ≈ 2 MB — the whole
+# working set stays in L2/L3; large chunks measured 2-4× SLOWER (every
+# elementwise pass round-trips DRAM and reallocates 100 MB temporaries)
+_MINHASH_CHUNK_SHINGLES = 1000
+
+_U3, _U29, _U32, _U61 = (np.uint64(v) for v in (3, 29, 32, 61))
+_MASK29 = np.uint64((1 << 29) - 1)
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def _minhash_chunk(a_hi, a_lo, b, x_hi, x_lo, out, s1, s3):
+    """out = ((a·x) mod 2^61-1 + b) fully reduced, elementwise over the
+    broadcast (num_perm, chunk) matrix with every operation writing into
+    preallocated scratch — zero allocations per chunk, the dominant cost
+    of the naive temporary-per-op version. ``x_hi``/``x_lo`` are the
+    1-D 32-bit limbs of the shingle row (computed once, broadcast into
+    the row-wise multiplies). Same 32-bit-limb / 2^64 ≡ 8 decomposition
+    as ``_mulmod61`` (docstring there), with the one unnecessary fold
+    dropped: ``t2_lo << 32 < 2^61`` needs none."""
+    np.multiply(a_hi, x_hi, out=out)  # t1 = a_hi·x_hi < 2^61
+    np.left_shift(out, _U3, out=out)  # t1·8 (2^64 ≡ 8)
+    np.right_shift(out, _U61, out=s3)
+    np.bitwise_and(out, _MERSENNE61, out=out)
+    np.add(out, s3, out=out)  # fold61(t1·8)
+    np.multiply(a_hi, x_lo, out=s3)
+    np.multiply(a_lo, x_hi, out=s1)
+    np.add(s3, s1, out=s3)  # t2 = a_hi·x_lo + a_lo·x_hi
+    np.right_shift(s3, _U29, out=s1)
+    np.add(out, s1, out=out)  # + t2_hi
+    np.bitwise_and(s3, _MASK29, out=s1)
+    np.left_shift(s1, _U32, out=s1)
+    np.add(out, s1, out=out)  # + t2_lo·2^32 (< 2^61, no fold)
+    np.multiply(a_lo, x_lo, out=s3)  # t3 = a_lo·x_lo
+    np.right_shift(s3, _U61, out=s1)
+    np.bitwise_and(s3, _MERSENNE61, out=s3)
+    np.add(out, s3, out=out)
+    np.add(out, s1, out=out)  # + fold61(t3); total < 2^63
+    np.add(out, b, out=out)  # + b, still < 2^63
+    for _ in range(2):
+        np.right_shift(out, _U61, out=s1)
+        np.bitwise_and(out, _MERSENNE61, out=out)
+        np.add(out, s1, out=out)
+    np.subtract(out, _MERSENNE61, out=out, where=out >= _MERSENNE61)
+
+
+def minhash_signatures_batch(
+    texts, num_perm: int = 64, shingle_k: int = 3
+) -> np.ndarray:
+    """(n_docs, num_perm) minhash signature matrix for a whole batch —
+    bit-identical to calling ``minhash_signature`` per document, computed
+    with zero per-document Python: one Arrow tokenize pass, one segmented
+    rolling-shingle pass, then cache-sized chunks of the
+    ``(num_perm × shingles)`` universal-hash matrix (fused in-place
+    kernel) with a ``np.minimum.reduceat`` per-doc min."""
+    a, b = _perm_params_cached(num_perm)
+    wh, counts = _batch_word_hashes(texts)
+    sh_flat, n_sh = _segment_shingles(wh, counts, shingle_k)
+    sh_flat = _fold61(sh_flat)
+    n_docs = len(counts)
+    sstart = np.empty(n_docs + 1, np.int64)
+    sstart[0] = 0
+    np.cumsum(n_sh, out=sstart[1:])
+
+    a_hi = (a >> _U32)[:, None]
+    a_lo = (a & _MASK32)[:, None]
+    b_col = b[:, None]
+    W = _MINHASH_CHUNK_SHINGLES
+    scratch = [np.empty((num_perm, W), np.uint64) for _ in range(3)]
+    # fixed-width windows over the flat shingle array (never doc-aligned:
+    # partial-width scratch views are non-contiguous and lose SIMD); a doc
+    # spanning windows min-combines its partials into the accumulator
+    sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, np.uint64)
+    total = int(sstart[-1])
+    for w0 in range(0, total, W):
+        w1 = min(w0 + W, total)
+        m = w1 - w0
+        out, s1, s3 = (s[:, :m] for s in scratch) if m < W else scratch
+        seg = sh_flat[w0:w1]
+        x_hi = (seg >> _U32)[None, :]
+        x_lo = (seg & _MASK32)[None, :]
+        _minhash_chunk(a_hi, a_lo, b_col, x_hi, x_lo, out, s1, s3)
+        d0 = int(np.searchsorted(sstart, w0, "right")) - 1
+        d1 = int(np.searchsorted(sstart, w1, "left"))  # docs d0..d1-1 touched
+        starts = np.maximum(sstart[d0:d1] - w0, 0).astype(np.int64)
+        partial = np.minimum.reduceat(out, starts, axis=1).T
+        np.minimum(sig[d0:d1], partial, out=sig[d0:d1])
+    return sig
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """uint64 simhash per document for a whole batch — same values as
+    ``simhash64`` per doc, one segmented ±1 bit-sum (``np.add.reduceat``)
+    instead of a per-document loop. Empty docs hash to 0."""
+    wh, counts = _batch_word_hashes(texts)
+    n_docs = len(counts)
+    out = np.zeros(n_docs, np.uint64)
+    nonempty = counts > 0
+    if not nonempty.any():
+        return out
+    wstart = np.empty(n_docs + 1, np.int64)
+    wstart[0] = 0
+    np.cumsum(counts, out=wstart[1:])
+    ne_idx = np.flatnonzero(nonempty)
+    ne_starts = wstart[:-1][nonempty]
+    # chunk by word budget so the (words × 64) bit matrix stays ~100 MB
+    budget = 200_000
+    lo = 0
+    while lo < len(ne_idx):
+        hi = int(np.searchsorted(ne_starts, ne_starts[lo] + budget, "right"))
+        hi = max(hi, lo + 1)
+        w_lo = ne_starts[lo]
+        w_hi = wstart[ne_idx[hi - 1] + 1]
+        bits = ((wh[w_lo:w_hi, None] >> _BITS64[None, :]) & np.uint64(1)).astype(np.int32)
+        acc = np.add.reduceat(2 * bits - 1, (ne_starts[lo:hi] - w_lo), axis=0)
+        out[ne_idx[lo:hi]] = ((acc > 0).astype(np.uint64) << _BITS64[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        lo = hi
+    return out
+
+
+def _perm_params_cached(num_perm: int, _params={}):
+    if num_perm not in _params:
+        _params[num_perm] = _perm_params(num_perm)
+    return _params[num_perm]
+
+
 def _shingles(text: str, k: int) -> np.ndarray:
     """Unique 64-bit hashes of the word k-grams — vectorized rolling
     combination of per-word hashes (no per-gram string building)."""
@@ -222,24 +414,30 @@ def _band_rows(ds, *, num_perm: int, bands: int, shingle_k: int, text_col: str, 
     rows_per_band = num_perm // bands
 
     def emit(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        for d, t in zip(ids, texts):
-            sig = minhash_signature(t, num_perm, shingle_k)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
-                )
-                out_band.append(b)
-                out_hash.append(h)
-                out_id.append(d)
+        from .hashing import combine_hashes, hash_int64
+
+        sig = minhash_signatures_batch(
+            batch.column(text_col), num_perm, shingle_k
+        )  # (n, num_perm), zero per-doc Python
+        n = sig.shape[0]
+        # vectorized band hash: seeded mix-chain over the band's rows —
+        # equality iff the sig chunk is equal (mod 64-bit collisions),
+        # which is all band_hash is for
+        hashes = np.empty((bands, n), np.uint64)
+        for b in range(bands):
+            h = hash_int64(sig[:, b * rows_per_band], seed=b + 1)
+            for r in range(1, rows_per_band):
+                h = combine_hashes(h, sig[:, b * rows_per_band + r])
+            hashes[b] = h
+        ids = batch.column(id_col)
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.uint64()),
-                id_col: pa.array(out_id),
+                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+                "band_hash": pa.array(hashes.reshape(-1), pa.uint64()),
+                id_col: pa.concat_arrays(
+                    [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids]
+                    * bands
+                ),
             }
         )
 
@@ -633,8 +831,7 @@ def simhash_duplicates(ds, *, max_hamming: int = 3, text_col: str = "text", id_c
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        sigs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+        sigs = simhash64_batch(batch.column(text_col))
         n = len(ids)
         out_chunk = np.repeat(np.arange(n_chunks, dtype=np.int32), n)
         out_ids = np.tile(np.asarray(ids), n_chunks)
