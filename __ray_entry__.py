@@ -503,6 +503,43 @@ def _q_doc_quality_filter(sf_dir: str):
     return filter_quality(_read(sf_dir, "documents"), min_quality=0.51).sort("doc_id")
 
 
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals per document (dup-word and
+    top-word fractions), oracle-checked against the same word-frequency
+    math in SQL."""
+    from jsonld_ex_ray.ops.text import repetition_stats_batch
+
+    ds = _read(sf_dir, "documents")
+    return ds.map_batches(
+        repetition_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
+def _q_doc_repetition_filter(sf_dir: str):
+    """Repetition gate (Gopher rules): drop documents whose duplicate-word
+    fraction exceeds 0.62 or whose single most frequent word covers more
+    than 12% of the text (both thresholds sit inside the corpus' observed
+    spread — medians 0.54 / 0.09 — so each rule actually fires)."""
+    from jsonld_ex_ray.ops.text import filter_repetition
+
+    return filter_repetition(
+        _read(sf_dir, "documents"), max_dup_word_frac=0.62, max_top_word_frac=0.12
+    ).sort("doc_id")
+
+
+def _q_decontaminate(sf_dir: str):
+    """Cross-split decontamination: flag train-split documents sharing any
+    word 5-gram with the (deterministically assigned) test split —
+    broadcast test-gram set, shuffle-free scoring pass."""
+    from jsonld_ex_ray.ops.dedup import decontaminate
+    from jsonld_ex_ray.ops.text import assign_splits
+
+    docs = assign_splits(_read(sf_dir, "documents"))
+    train = docs.filter(expr="split == 'train'")
+    test = docs.filter(expr="split == 'test'")
+    return decontaminate(train, test, ngram=5).sort("doc_id")
+
+
 def _q_lang_id(sf_dir: str):
     from jsonld_ex_ray.ops.text import lang_id_batch
 
@@ -702,6 +739,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
         "doc_quality_filter": _q_doc_quality_filter,
+        "doc_repetition": _q_doc_repetition,
+        "doc_repetition_filter": _q_doc_repetition_filter,
+        "decontaminate": _q_decontaminate,
         "lang_id": _q_lang_id,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -943,6 +983,86 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "doc_repetition": """
+            WITH words AS (
+              SELECT doc_id, w
+              FROM documents, unnest(string_split_regex(text, '\\s+')) AS t(w)
+              WHERE len(w) > 0
+            ),
+            per_word AS (
+              SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_words,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(max(cnt) AS BIGINT) AS top_cnt
+              FROM per_word GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_words, 0) AS n_words,
+                   round((COALESCE(a.n_words, 0) - COALESCE(a.n_distinct, 0))
+                         / GREATEST(COALESCE(a.n_words, 0), 1), 6) AS dup_word_frac,
+                   round(COALESCE(a.top_cnt, 0)
+                         / GREATEST(COALESCE(a.n_words, 0), 1), 6) AS top_word_frac
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
+        """,
+        "doc_repetition_filter": """
+            WITH words AS (
+              SELECT doc_id, w
+              FROM documents, unnest(string_split_regex(text, '\\s+')) AS t(w)
+              WHERE len(w) > 0
+            ),
+            per_word AS (
+              SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_words,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(max(cnt) AS BIGINT) AS top_cnt
+              FROM per_word GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            WHERE round((COALESCE(a.n_words, 0) - COALESCE(a.n_distinct, 0))
+                        / GREATEST(COALESCE(a.n_words, 0), 1), 6) <= 0.62
+              AND round(COALESCE(a.top_cnt, 0)
+                        / GREATEST(COALESCE(a.n_words, 0), 1), 6) <= 0.12
+            ORDER BY d.doc_id
+        """,
+        "decontaminate": """
+            WITH docs2 AS (
+              SELECT doc_id,
+                     CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c0' THEN 'train'
+                          WHEN md5(CAST(doc_id AS VARCHAR)) < 'e0' THEN 'val'
+                          ELSE 'test' END AS split,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 w -> len(w) > 0) AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, split,
+                     array_to_string(ws[CAST(i.g AS BIGINT):CAST(i.g + 4 AS BIGINT)], ' ') AS gram
+              FROM docs2, unnest(range(1, len(ws) - 3)) AS i(g)
+              WHERE len(ws) >= 5
+            ),
+            test_grams AS (SELECT DISTINCT gram FROM grams WHERE split = 'test'),
+            hits AS (
+              SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM grams g JOIN test_grams t ON g.gram = t.gram
+              WHERE g.split = 'train'
+              GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN len(d.ws) >= 5 THEN len(d.ws) - 4 ELSE 0 END AS BIGINT) AS n_ngrams,
+                   COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_contaminated,
+                   COALESCE(h.n_hits, 0) >= 1 AS contaminated
+            FROM docs2 d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.split = 'train'
+            ORDER BY d.doc_id
+        """,
         "doc_splits": """
             SELECT doc_id,
                    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c0' THEN 'train'

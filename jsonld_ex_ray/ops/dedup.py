@@ -804,6 +804,81 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Cross-split decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train_ds,
+    test_ds,
+    *,
+    ngram: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-train-document contamination report against a held-out set:
+    how many of the doc's word ``ngram``-grams also appear in ANY test
+    document, and whether that reaches ``min_hits`` (the standard
+    n-gram-overlap decontamination rule used for pre-training corpora).
+
+    Ray shape: the test side's distinct n-gram hashes are built once,
+    sorted, and BROADCAST via ``ray.put`` (read per task, never re-shipped
+    per batch); the train side streams through one ``map_batches`` doing a
+    segmented shingle pass + ``np.searchsorted`` membership — no shuffle
+    at all. Partitioning assumption: the held-out set is small relative
+    to the corpus (the normal case — benchmarks vs a 100-TB crawl); a
+    huge test side would need the bucketed-join variant instead.
+
+    → Dataset(doc_id, n_ngrams, n_contaminated, contaminated:bool).
+    """
+    import ray
+    import ray.data  # noqa: F401
+
+    def test_grams(batch: pa.Table) -> pa.Table:
+        wh, counts = _batch_word_hashes(batch.column(text_col))
+        sh, n_sh = _segment_shingles(wh, counts, ngram)
+        sh = sh[np.repeat(counts >= ngram, n_sh)]  # drop short-doc sentinels
+        return pa.table({"g": pa.array(np.unique(sh), pa.uint64())})
+
+    gram_refs = test_ds.map_batches(
+        test_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()
+    gram_tbls = ray.get(gram_refs)
+    arrays = [t.column("g").to_numpy(zero_copy_only=False) for t in gram_tbls if t.num_rows]
+    test_set = (
+        np.unique(np.concatenate(arrays)) if arrays else np.empty(0, np.uint64)
+    )
+    ref = ray.put(test_set)  # one object-store copy, zero per-batch reships
+
+    def score(batch: pa.Table) -> pa.Table:
+        grams = ray.get(ref)
+        wh, counts = _batch_word_hashes(batch.column(text_col))
+        sh, n_sh = _segment_shingles(wh, counts, ngram)
+        # docs shorter than the gram width have no real n-grams: their
+        # single truncated shingle must not count, nor the empty-doc 0
+        real = np.repeat(counts >= ngram, n_sh)
+        hit = np.zeros(len(sh), bool)
+        if len(grams):
+            idx = np.searchsorted(grams, sh)
+            idx[idx == len(grams)] = 0
+            hit = (grams[idx] == sh) & real
+        starts = np.r_[0, np.cumsum(n_sh)][:-1]
+        n_hits = np.add.reduceat(hit.astype(np.int64), starts) if len(sh) else np.zeros(0, np.int64)
+        n_grams = np.where(counts >= ngram, counts - ngram + 1, 0)
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col),
+                "n_ngrams": pa.array(n_grams, pa.int64()),
+                "n_contaminated": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array(n_hits >= min_hits),
+            }
+        )
+
+    return train_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dedup
 # ---------------------------------------------------------------------------
 

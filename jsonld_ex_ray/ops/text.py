@@ -199,3 +199,71 @@ def filter_quality(ds, min_quality: float = 0.5):
         return batch.filter(pc.greater_equal(q.column("quality"), pa.scalar(min_quality)))
 
     return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021's
+    repetition family, word-granularity): ``n_words``, ``dup_word_frac``
+    (1 − distinct/total) and ``top_word_frac`` (most frequent word's
+    share). Fully vectorized: one Arrow whitespace tokenize, dictionary
+    encode, then a single lexsort over (doc, word-code) gives per-(doc,
+    word) run lengths — distinct counts and per-doc max frequency fall
+    out of run masks with zero per-document Python. Fractions are
+    half-away-rounded to 6 dp to bit-match the DuckDB oracle."""
+    import numpy as np
+
+    from .agg import round_half_away
+
+    n = batch.num_rows
+    text = pc.fill_null(batch.column("text"), "")
+    words = pc.utf8_split_whitespace(text)
+    flat = pc.list_flatten(words)
+    parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    par = parents[keep.to_numpy(zero_copy_only=False)]
+    codes = flat.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+
+    counts = np.bincount(par, minlength=n).astype(np.int64)
+    order = np.lexsort((codes, par))
+    pd_, cd_ = par[order], codes[order]
+    newrun = np.r_[True, (pd_[1:] != pd_[:-1]) | (cd_[1:] != cd_[:-1])] if len(pd_) else np.empty(0, bool)
+    run_len = np.diff(np.r_[np.flatnonzero(newrun), len(pd_)]) if len(pd_) else np.empty(0, np.int64)
+    run_doc = pd_[newrun] if len(pd_) else np.empty(0, np.int64)
+    distinct = np.bincount(run_doc, minlength=n).astype(np.int64)
+
+    top = np.zeros(n, np.int64)
+    if len(run_len):
+        # runs are doc-sorted: per-doc max run length via one reduceat
+        doc_run_start = np.r_[0, np.cumsum(np.bincount(run_doc, minlength=n))][:-1]
+        nonempty = distinct > 0
+        top[nonempty] = np.maximum.reduceat(run_len, doc_run_start[nonempty])
+
+    denom = np.maximum(counts, 1).astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(counts, pa.int64()),
+            "dup_word_frac": pa.array(
+                round_half_away((counts - distinct) / denom, 6), pa.float64()
+            ),
+            "top_word_frac": pa.array(round_half_away(top / denom, 6), pa.float64()),
+        }
+    )
+
+
+def filter_repetition(ds, max_dup_word_frac: float = 0.9, max_top_word_frac: float = 0.3):
+    """Drop repetitive documents (Gopher-rule style gate); keeps the
+    original columns of the survivors."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        s = repetition_stats_batch(batch)
+        ok = pc.and_(
+            pc.less_equal(s.column("dup_word_frac"), pa.scalar(max_dup_word_frac)),
+            pc.less_equal(s.column("top_word_frac"), pa.scalar(max_top_word_frac)),
+        )
+        return batch.filter(ok)
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)

@@ -423,3 +423,66 @@ def test_stable_hash_golden_constants():
     chunked = pa.chunked_array([strs.slice(0, 2), strs.slice(2)])
     assert [int(x) for x in hash_strings(chunked, 3)] == base
     assert [int(x) for x in hash_strings(strs.cast(pa.large_string()), 3)] == base
+
+
+def test_repetition_stats_exact_fractions():
+    """Tiny docs with hand-computable word stats (incl. empty + short)."""
+    from jsonld_ex_ray.ops.text import repetition_stats_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a a a b",          # 4 words, 2 distinct, top=3
+                    "x y z",            # all distinct
+                    "",                 # empty
+                    "  spaced   out ",  # irregular whitespace: 2 words
+                ]
+            ),
+        }
+    )
+    out = repetition_stats_batch(batch)
+    assert out.column("n_words").to_pylist() == [4, 3, 0, 2]
+    assert out.column("dup_word_frac").to_pylist() == [0.5, 0.0, 0.0, 0.0]
+    assert out.column("top_word_frac").to_pylist() == [0.75, pytest.approx(0.333333), 0.0, 0.5]
+
+
+def test_repetition_filter_drops_planted(ray_session):
+    import ray.data
+    from jsonld_ex_ray.ops.text import filter_repetition
+
+    rows = [
+        {"doc_id": 1, "text": "spam " * 50},  # top_word_frac = 1.0
+        {"doc_id": 2, "text": " ".join(f"w{i}" for i in range(50))},  # clean
+    ]
+    ds = ray.data.from_items(rows)
+    kept = filter_repetition(ds, max_dup_word_frac=0.62, max_top_word_frac=0.12).to_pandas()
+    assert list(kept.doc_id) == [2]
+
+
+def test_decontaminate_flags_shared_ngram(ray_session):
+    import ray.data
+    from jsonld_ex_ray.ops.dedup import decontaminate
+
+    shared = "the quick brown fox jumps"  # the 5-gram planted in both splits
+    train = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": f"intro words {shared} trailing words here"},
+            {"doc_id": 2, "text": " ".join(f"t{i}" for i in range(12))},  # clean
+            {"doc_id": 3, "text": "too short"},  # < 5 words: zero n-grams
+        ]
+    )
+    test = ray.data.from_items(
+        [{"doc_id": 100, "text": f"held out doc with {shared} inside it"}]
+    )
+    out = (
+        decontaminate(train, test, ngram=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.doc_id) == [1, 2, 3]
+    assert list(out.contaminated) == [True, False, False]
+    assert out.n_ngrams.tolist() == [6, 8, 0]
+    assert out.n_contaminated.tolist()[0] == 1
