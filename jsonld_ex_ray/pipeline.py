@@ -610,7 +610,7 @@ def _read_done_shards(manifest_path: str) -> set[int]:
 
 def _claim_shard(state_dir: str, shard: int, token: str) -> bool:
     """Exclusive per-shard claim so concurrent writers on one host never
-    double-process a shard: O_CREAT|O_EXCL creation wins the claim; a
+    double-process a shard: an atomic hard-link wins the claim; a
     stale claim (its writer pid is dead — e.g. kill -9 mid-shard) is
     broken and taken over. ``token`` is ``pid:uuid`` per run_checkpointed
     call — liveness is judged by the pid alone, so two writer THREADS of
@@ -619,25 +619,38 @@ def _claim_shard(state_dir: str, shard: int, token: str) -> bool:
     driver partitions the inputs), so host-local claim semantics are the
     deliberate design point here."""
     claim = os.path.join(state_dir, f"shard={shard}.claim")
-    for _ in range(2):
-        try:
-            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, token.encode())
-            os.close(fd)
-            return True
-        except FileExistsError:
-            content = _read_claim(claim)
-            if content == token:
-                return True  # already ours (re-entry)
-            pid = _claim_pid(content)
-            if pid and _pid_alive(pid):
-                return False  # live concurrent writer (process OR thread)
-            # stale claim from a killed run: break it and retry the create
+    # the claim must never be visible without its token: a bare
+    # O_CREAT|O_EXCL + write leaves a window where a concurrent writer
+    # reads an EMPTY claim, parses pid 0, declares it stale and unlinks a
+    # live claim (observed as a double-processed shard under thread
+    # races). Write the token to a private temp file and hard-link it
+    # into place — link() is atomic and fails with EEXIST when held.
+    tmp = os.path.join(state_dir, f".claim-tmp-{token.replace(':', '-')}-{shard}")
+    with open(tmp, "w") as f:
+        f.write(token)
+    try:
+        for _ in range(2):
             try:
-                os.unlink(claim)
-            except FileNotFoundError:
-                pass
-    return False
+                os.link(tmp, claim)
+                return True
+            except FileExistsError:
+                content = _read_claim(claim)
+                if content == token:
+                    return True  # already ours (re-entry)
+                pid = _claim_pid(content)
+                if pid and _pid_alive(pid):
+                    return False  # live concurrent writer (process OR thread)
+                # stale claim from a killed run: break it and retry
+                try:
+                    os.unlink(claim)
+                except FileNotFoundError:
+                    pass
+        return False
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _read_claim(path: str) -> str:

@@ -149,3 +149,33 @@ def test_error_budget_gate(ray_session, tmp_path):
     metrics = pq.read_table(os.path.join(out_gate, "_state", "metrics.parquet"))
     assert "error_rate" in metrics.schema.names
     assert max(metrics.column("error_rate").to_pylist()) > 0
+
+
+def test_claim_never_stolen_while_live(tmp_path):
+    """Regression for the empty-claim race: many threads hammering
+    _claim_shard on ONE shard must yield exactly one winner per cycle —
+    the pre-fix window (claim visible before its token is written) let a
+    reader parse pid 0, declare the live claim stale and steal it."""
+    import threading
+    import uuid
+
+    from jsonld_ex_ray.pipeline import _claim_shard, _release_claim
+
+    state = str(tmp_path)
+    for _ in range(50):
+        winners = []
+        barrier = threading.Barrier(8)
+
+        def claimer():
+            token = f"{os.getpid()}:{uuid.uuid4().hex}"
+            barrier.wait()
+            if _claim_shard(state, 0, token):
+                winners.append(token)
+
+        threads = [threading.Thread(target=claimer) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(winners) == 1, winners
+        _release_claim(state, 0)
