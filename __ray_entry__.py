@@ -540,6 +540,61 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(train, test, ngram=5).sort("doc_id")
 
 
+def _q_top_bigrams(sf_dir: str):
+    """Global top-20 word bigrams of the corpus: per-batch value_counts
+    combiner -> one bounded bucket shuffle -> per-block top-k survivors."""
+    from jsonld_ex_ray.ops.text import top_ngrams
+
+    return top_ngrams(_read(sf_dir, "documents"), n=2, k=20)
+
+
+def _q_customer_redact(sf_dir: str):
+    """PII redaction: the synthetic customer table carries no contact
+    column, so the query derives one deterministically from the keys
+    (identically in the SQL oracle) — email, IPv4 and phone shapes that
+    the redaction pass must actually mask, around unmaskable text that
+    keeps rows distinguishable."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.text import redact_pii
+
+    def add_contact(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ck = pc.cast(batch.column("c_custkey"), pa.string())
+        nk = pc.cast(batch.column("c_nationkey"), pa.string())
+        ip4 = pc.cast(
+            pc.subtract(
+                batch.column("c_custkey"),
+                pc.multiply(pc.divide(batch.column("c_custkey"), 256), 256),
+            ),
+            pa.string(),
+        )
+        p3 = pc.utf8_lpad(
+            pc.cast(
+                pc.subtract(
+                    batch.column("c_custkey"),
+                    pc.multiply(pc.divide(batch.column("c_custkey"), 1000), 1000),
+                ),
+                pa.string(),
+            ),
+            3,
+            "0",
+        )
+        contact = pc.binary_join_element_wise(
+            "cust ", ck, ": user", ck, "@mail.example ip 10.", nk, ".0.", ip4,
+            " tel 40-555-", p3, "-0042", ""
+        )
+        return batch.append_column("contact", contact)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    ds = ds.map_batches(add_contact, batch_format="pyarrow", zero_copy_batch=True)
+    return redact_pii(ds, ["contact"]).sort("c_custkey").drop_columns(["c_nationkey"])
+
+
 def _q_lang_id(sf_dir: str):
     from jsonld_ex_ray.ops.text import lang_id_batch
 
@@ -742,6 +797,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_repetition_filter": _q_doc_repetition_filter,
         "decontaminate": _q_decontaminate,
+        "top_bigrams": _q_top_bigrams,
+        "customer_redact": _q_customer_redact,
         "lang_id": _q_lang_id,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -983,6 +1040,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "top_bigrams": """
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(text, '\\s+'),
+                                 w -> len(w) > 0) AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT array_to_string(ws[CAST(i.g AS BIGINT):CAST(i.g + 1 AS BIGINT)], ' ') AS gram
+              FROM toks, unnest(range(1, len(ws))) AS i(g)
+              WHERE len(ws) >= 2
+            )
+            SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+            FROM grams GROUP BY gram
+            ORDER BY cnt DESC, gram LIMIT 20
+        """,
+        "customer_redact": """
+            SELECT c_custkey, c_name,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     'cust ' || CAST(c_custkey AS VARCHAR) || ': user'
+                       || CAST(c_custkey AS VARCHAR) || '@mail.example ip 10.'
+                       || CAST(c_nationkey AS VARCHAR) || '.0.'
+                       || CAST(c_custkey % 256 AS VARCHAR)
+                       || ' tel 40-555-'
+                       || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-0042',
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\\b\\d{2,4}[- .]\\d{3}[- .]\\d{3}[- .]\\d{4}\\b', '<PHONE>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS contact
+            FROM customer ORDER BY c_custkey
+        """,
         "doc_repetition": """
             WITH words AS (
               SELECT doc_id, w

@@ -267,3 +267,90 @@ def filter_repetition(ds, max_dup_word_frac: float = 0.9, max_top_word_frac: flo
         return batch.filter(ok)
 
     return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_count_batch(batch: pa.Table, n: int, text_col: str = "text") -> pa.Table:
+    """Per-batch word n-gram combiner: tokenize (Arrow whitespace split,
+    empty tokens dropped), build gram strings by element-wise joining the
+    n shifted token arrays (grams never cross a document boundary), then
+    one ``pc.value_counts`` — the map-side partial for the global count.
+    → Table(gram:string, cnt:int64)."""
+    import numpy as np
+
+    text = pc.fill_null(batch.column(text_col), "")
+    words = pc.utf8_split_whitespace(text)
+    flat = pc.list_flatten(words)
+    parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    par = parents[keep.to_numpy(zero_copy_only=False)]
+
+    m = len(flat) - n + 1
+    if m <= 0:
+        return pa.table({"gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    # a window is a real n-gram iff its first and last token share a doc
+    same_doc = par[: m] == par[n - 1 :]
+    shifted = [flat.slice(i, m) for i in range(n)]
+    grams = pc.binary_join_element_wise(*shifted, " ")
+    grams = grams.filter(pa.array(same_doc))
+    vc = pc.value_counts(grams)
+    return pa.table(
+        {
+            "gram": vc.field("values"),
+            "cnt": vc.field("counts").cast(pa.int64()),
+        }
+    )
+
+
+def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text", num_buckets: int = 64):
+    """Global top-``k`` most frequent word ``n``-grams of the corpus —
+    the vocabulary/corpus-statistics pass of a training-data pipeline.
+
+    Ray shape: per-batch value_counts combiner (gram cardinality leaves
+    each block already aggregated) → ONE bounded bucket shuffle summing
+    per gram (``groupby_agg_bucketed``) → per-block top-k survivors →
+    tiny global sort+limit. Ties broken by gram text ascending, so the
+    result is deterministic and oracle-checkable."""
+    from .agg import groupby_agg_bucketed, topk
+
+    parts = ds.map_batches(
+        lambda b: ngram_count_batch(b, n, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    totals = groupby_agg_bucketed(parts, ["gram"], [("cnt", "sum", "cnt")], num_buckets)
+    return topk(totals, ["cnt", "gram"], [True, False], k)
+
+
+# email / phone / IPv4 patterns (RE2-safe: no backrefs/lookaround, so the
+# Arrow kernel and the DuckDB oracle compile the exact same regex family)
+_PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{2,4}[- .]\d{3}[- .]\d{3}[- .]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii_batch(batch: pa.Table, cols: list[str]) -> pa.Table:
+    """Mask emails, phone-shaped numbers and IPv4s in ``cols`` (other
+    columns pass through untouched). One Arrow RE2 pass per pattern per
+    column — vectorized, order fixed (email before phone so an address
+    containing digits is not half-masked)."""
+    out = batch
+    for col in cols:
+        # an all-null block arrives as type null: cast before fill so the
+        # regex kernel always sees a string column
+        arr = pc.fill_null(pc.cast(out.column(col), pa.string()), "")
+        for pat, repl in _PII_PATTERNS:
+            arr = pc.replace_substring_regex(arr, pat, repl)
+        out = out.set_column(out.schema.get_field_index(col), col, arr)
+    return out
+
+
+def redact_pii(ds, cols: list[str]):
+    """PII-redaction stage over any Dataset (see redact_pii_batch)."""
+    return ds.map_batches(
+        lambda b: redact_pii_batch(b, cols), batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -486,3 +486,39 @@ def test_decontaminate_flags_shared_ngram(ray_session):
     assert list(out.contaminated) == [True, False, False]
     assert out.n_ngrams.tolist() == [6, 8, 0]
     assert out.n_contaminated.tolist()[0] == 1
+
+
+def test_top_ngrams_counts(ray_session):
+    import ray.data
+    from jsonld_ex_ray.ops.text import top_ngrams
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "a b c a b"},
+            {"doc_id": 2, "text": "b c d"},
+            {"doc_id": 3, "text": "c"},  # too short for a bigram
+        ]
+    )
+    out = top_ngrams(ds, n=2, k=3, num_buckets=4).to_pandas()
+    # grams never cross document boundaries ("b b" must not appear)
+    assert list(out.gram) == ["a b", "b c", "c a"]
+    assert list(out.cnt) == [2, 2, 1]
+
+
+def test_redact_pii_masks_and_preserves(ray_session):
+    import ray.data
+    from jsonld_ex_ray.ops.text import redact_pii
+
+    ds = ray.data.from_items(
+        [
+            {"id": 1, "note": "mail a.b+c@x-y.co or 10.2.3.4 or 40-555-123-0042"},
+            {"id": 2, "note": "nothing to hide"},
+            {"id": 3, "note": None},
+        ]
+    )
+    out = redact_pii(ds, ["note"]).to_pandas().sort_values("id")
+    assert list(out.note) == [
+        "mail <EMAIL> or <IP> or <PHONE>",
+        "nothing to hide",
+        "",
+    ]
