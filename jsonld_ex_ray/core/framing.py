@@ -133,7 +133,10 @@ def _expand_frame_object(active: Context, frame: Any) -> Any:
             for v in _as_array(value):
                 if isinstance(v, dict):
                     dv.append(_expand_frame_object(active, v))
-                elif v is None:
+                elif v is None or v == "@null":
+                    # the @null keyword survives frame expansion verbatim
+                    # (json-ld11-framing: a @default of @null emits JSON
+                    # null in the framed output)
                     dv.append("@null")
                 else:
                     dv.append(expand_value(active, key, v))

@@ -543,3 +543,183 @@ def test_empty_frame_matches_everything():
     text = str(out)
     for t in ("The Republic", "The Introduction", "Athens"):
         assert t in text
+
+
+# Third batch of ported spec-derived cases: option-level flags, type
+# defaults, @null defaults, value patterns on @value, list framing with
+# literal members, requireAll + @id combinations (json-ld11-framing
+# §2.1/§2.3/§3.2 worked examples).
+
+
+def test_option_level_embed_never():
+    """@embed given as an API option (not inline) applies to every level."""
+    out = frame(
+        LIBRARY,
+        {"@context": {"@vocab": "http://example.org/"}, "@type": "Library"},
+        JsonLdOptions(embed="@never"),
+    )
+    assert out["contains"] == {"@id": "http://example.org/library/the-republic"}
+
+
+def test_option_level_explicit_true():
+    out = frame(
+        LIBRARY,
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "@type": "Library",
+            "location": {},
+        },
+        JsonLdOptions(explicit=True),
+    )
+    assert out["location"] == "Athens"
+    assert "contains" not in out  # explicit drops unframed properties
+
+
+def test_type_default_fills_output_type():
+    """A frame @type carrying {"@default": ...} matches any node and
+    stamps the default type on nodes that have none."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@id": "http://example.org/u1",
+        "name": "untyped node",
+    }
+    out = frame(
+        doc,
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "@type": {"@default": "Thing"},
+            "name": {},
+        },
+        JsonLdOptions(),
+    )
+    assert out["@type"] == "Thing"
+    assert out["name"] == "untyped node"
+
+
+def test_null_default_round_trips_as_null():
+    out = frame(
+        LIBRARY,
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "@type": "Chapter",
+            "publisher": {"@default": "@null"},
+        },
+        JsonLdOptions(),
+    )
+    assert out["publisher"] is None
+
+
+def test_value_pattern_exact_value_match():
+    """A frame value pattern with a concrete @value keeps only matching
+    literals."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@id": "http://example.org/m",
+        "tag": ["red", "green", "blue"],
+    }
+    out = frame(
+        doc,
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "tag": {"@value": "green"},
+        },
+        JsonLdOptions(),
+    )
+    assert out["tag"] == "green"
+
+
+def test_value_pattern_wildcard_language():
+    """@language: [] (match none) keeps only UNTAGGED literals."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@id": "http://example.org/m",
+        "label": [
+            {"@value": "chat", "@language": "fr"},
+            {"@value": "plain"},
+        ],
+    }
+    out = frame(
+        doc,
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "label": {"@value": {}, "@language": []},
+        },
+        JsonLdOptions(),
+    )
+    assert out["label"] == "plain"
+
+
+def test_list_framing_literal_members_preserved():
+    doc = {
+        "@context": {
+            "@vocab": "http://example.org/",
+            "scores": {"@container": "@list"},
+        },
+        "@id": "http://example.org/s",
+        "scores": [1, 2, 3],
+    }
+    out = frame(
+        doc,
+        {"@context": doc["@context"], "scores": {}},
+        JsonLdOptions(),
+    )
+    assert out["scores"] == [1, 2, 3]
+
+
+def test_requireall_id_and_property():
+    """@requireAll spanning @id and a property: the node must satisfy
+    both to match."""
+    docs = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@graph": [
+            {"@id": "http://example.org/a", "status": "active"},
+            {"@id": "http://example.org/b", "status": "active"},
+        ],
+    }
+    out = frame(
+        docs,
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "@requireAll": True,
+            "@id": "http://example.org/a",
+            "status": {},
+        },
+        JsonLdOptions(),
+    )
+    assert out["@id"] == "http://example.org/a"
+    assert "@graph" not in out
+
+
+def test_frame_on_expanded_input_document():
+    """Framing accepts already-expanded input (no @context on the doc)."""
+    expanded = [
+        {
+            "@id": "http://example.org/library",
+            "@type": ["http://example.org/Library"],
+            "http://example.org/location": [{"@value": "Athens"}],
+        }
+    ]
+    out = frame(
+        expanded,
+        {"@context": {"@vocab": "http://example.org/"}, "@type": "Library"},
+        JsonLdOptions(),
+    )
+    assert out["location"] == "Athens"
+
+
+def test_wildcard_property_value_object_any():
+    """A {} property frame matches value objects of any shape."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@id": "http://example.org/n",
+        "when": {"@value": "2024-01-01", "@type": "http://www.w3.org/2001/XMLSchema#date"},
+    }
+    out = frame(
+        doc,
+        {"@context": {"@vocab": "http://example.org/"}, "when": {}},
+        JsonLdOptions(),
+    )
+    assert out["when"] == {
+        "@value": "2024-01-01",
+        "@type": "http://www.w3.org/2001/XMLSchema#date",
+    }
