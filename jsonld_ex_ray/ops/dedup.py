@@ -347,11 +347,22 @@ def _id_buckets(ids, num_buckets: int) -> pa.Array:
     version-independent, see ops/hashing.py)."""
     from .hashing import hash_strings
 
-    arr = np.asarray(ids)
+    if isinstance(ids, (pa.Array, pa.ChunkedArray)):
+        t = ids.type
+        if pa.types.is_integer(t):
+            arr = ids.to_numpy(zero_copy_only=False)
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            # fully vectorized: no per-row str() materialization
+            h = hash_strings(ids, seed=0)
+            return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        else:
+            arr = np.asarray(ids.to_pylist())
+    else:
+        arr = np.asarray(ids)
     if arr.dtype.kind in "iu":
         h = (arr.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(16)
         return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
-    h = hash_strings([str(v) for v in ids], seed=0)
+    h = hash_strings([str(v) for v in arr], seed=0)
     return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
 
 
@@ -538,7 +549,7 @@ def _dedup_pairs(pairs_ds, *, num_buckets: int = 32):
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            "__bucket", _id_buckets(batch.column("doc_a").to_pylist(), num_buckets)
+            "__bucket", _id_buckets(batch.column("doc_a"), num_buckets)
         )
 
     def bucket_distinct(group: pa.Table) -> pa.Table:
@@ -668,7 +679,7 @@ def _min_dup_per_doc(pairs_ds, id_col: str, num_buckets: int = 32, keep_cols: li
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            "__bucket", _id_buckets(batch.column(id_col).to_pylist(), num_buckets)
+            "__bucket", _id_buckets(batch.column(id_col), num_buckets)
         )
 
     def bucket_min(group: pa.Table) -> pa.Table:
