@@ -540,6 +540,14 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(train, test, ngram=5).sort("doc_id")
 
 
+def _q_doc_top_tfidf(sf_dir: str):
+    """Per-document top TF-IDF term: DF table via one bounded bucket
+    shuffle, vocabulary broadcast once, one scoring stream over docs."""
+    from jsonld_ex_ray.ops.text import doc_top_tfidf
+
+    return doc_top_tfidf(_read(sf_dir, "documents")).sort("doc_id")
+
+
 def _q_top_bigrams(sf_dir: str):
     """Global top-20 word bigrams of the corpus: per-batch value_counts
     combiner -> one bounded bucket shuffle -> per-block top-k survivors."""
@@ -797,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_repetition_filter": _q_doc_repetition_filter,
         "decontaminate": _q_decontaminate,
+        "doc_top_tfidf": _q_doc_top_tfidf,
         "top_bigrams": _q_top_bigrams,
         "customer_redact": _q_customer_redact,
         "lang_id": _q_lang_id,
@@ -1040,6 +1049,31 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "doc_top_tfidf": """
+            WITH words AS (
+              SELECT doc_id, w
+              FROM documents, unnest(string_split_regex(text, '\\s+')) AS t(w)
+              WHERE len(w) > 0
+            ),
+            tf AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+            nw AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM tf GROUP BY doc_id),
+            df AS (SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS d
+                   FROM words GROUP BY w),
+            nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+            SELECT doc_id, w AS top_term, round((c / n) * ln(n_docs / d), 6) AS tfidf
+            FROM (
+              SELECT tf.doc_id, tf.w, tf.c, nw.n, df.d, nd.n_docs,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY (tf.c / nw.n) * ln(nd.n_docs / df.d) DESC, tf.w
+                     ) AS rn
+              FROM tf JOIN nw ON tf.doc_id = nw.doc_id
+                      JOIN df ON tf.w = df.w
+                      CROSS JOIN nd
+            )
+            WHERE rn = 1
+            ORDER BY doc_id
+        """,
         "top_bigrams": """
             WITH toks AS (
               SELECT list_filter(string_split_regex(text, '\\s+'),

@@ -354,3 +354,137 @@ def redact_pii(ds, cols: list[str]):
     return ds.map_batches(
         lambda b: redact_pii_batch(b, cols), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def doc_top_tfidf(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
+    """Per-document top TF-IDF term: the classic two-pass corpus job.
+
+    Pass 1 builds the document-frequency table — per-batch DISTINCT
+    (term) sets per doc (combiner) → ``groupby_agg_bucketed`` over terms
+    (ONE bounded shuffle) — plus the corpus doc count from the same pass.
+    The vocabulary is then BROADCAST once via ``ray.put`` (sorted term
+    hashes + df, a few MB for natural-language vocabularies; a corpus
+    with an unbounded vocabulary would use the bucketed-join variant
+    instead). Pass 2 streams documents once: per-(doc, term) counts via
+    the dictionary-encode + lexsort run-length kernel, tf·idf =
+    (count/n_words)·ln(N/df), per-doc argmax with lexicographic-term
+    tie-break so the result is deterministic and oracle-checkable.
+
+    → Dataset(doc_id, top_term, tfidf) over docs with ≥1 word.
+    """
+    import numpy as np
+    import ray
+
+    from .agg import groupby_agg_bucketed, round_half_away
+
+    def distinct_terms(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        text = pc.fill_null(batch.column(text_col), "")
+        words = pc.utf8_split_whitespace(text)
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat = flat.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        par = parents[keep.to_numpy(zero_copy_only=False)]
+        codes = flat.dictionary_encode()
+        ci = codes.indices.to_numpy(zero_copy_only=False)
+        pairs = par.astype(np.uint64) * np.uint64(len(codes.dictionary) + 1) + ci.astype(np.uint64)
+        uniq = np.unique(pairs)
+        term_idx = (uniq % np.uint64(len(codes.dictionary) + 1)).astype(np.int64)
+        terms = codes.dictionary.take(pa.array(term_idx))
+        vc = pc.value_counts(terms)
+        out = pa.table(
+            {"term": vc.field("values"), "df": vc.field("counts").cast(pa.int64())}
+        )
+        # ride the doc count through the same shuffle as a sentinel term
+        # (empty string never survives whitespace tokenization)
+        return pa.concat_tables(
+            [out, pa.table({"term": pa.array([""]), "df": pa.array([batch.num_rows], pa.int64())})]
+        )
+
+    parts = ds.map_batches(
+        distinct_terms, batch_format="pyarrow", zero_copy_batch=True
+    )
+    df_tbl = (
+        groupby_agg_bucketed(parts, ["term"], [("df", "sum", "df")], num_buckets)
+        .to_arrow_refs()
+    )
+    tbls = [t for t in ray.get(df_tbl) if t.num_rows]
+    vocab = pa.concat_tables(tbls) if tbls else pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    terms = vocab.column("term").to_pylist()
+    dfs = np.asarray(vocab.column("df").to_pylist(), dtype=np.float64)
+    n_docs = 0.0
+    order = np.argsort(np.asarray(terms, dtype=object))
+    terms_sorted = np.asarray(terms, dtype=object)[order]
+    dfs_sorted = dfs[order]
+    if len(terms_sorted) and terms_sorted[0] == "":
+        n_docs = float(dfs_sorted[0])
+        terms_sorted, dfs_sorted = terms_sorted[1:], dfs_sorted[1:]
+    ref = ray.put((terms_sorted.astype(str), dfs_sorted, n_docs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        tsort, dsort, nd = ray.get(ref)
+        n = batch.num_rows
+        text = pc.fill_null(batch.column(text_col), "")
+        words = pc.utf8_split_whitespace(text)
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat = flat.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        par = parents[keep.to_numpy(zero_copy_only=False)]
+        codes = flat.dictionary_encode()
+        ci = codes.indices.to_numpy(zero_copy_only=False)
+        n_words = np.bincount(par, minlength=n).astype(np.float64)
+
+        # per-(doc, term) run lengths
+        order2 = np.lexsort((ci, par))
+        pd_, cd_ = par[order2], ci[order2]
+        if len(pd_):
+            newrun = np.r_[True, (pd_[1:] != pd_[:-1]) | (cd_[1:] != cd_[:-1])]
+            starts = np.flatnonzero(newrun)
+            run_len = np.diff(np.r_[starts, len(pd_)]).astype(np.float64)
+            run_doc = pd_[newrun]
+            run_code = cd_[newrun]
+        else:
+            run_len = np.zeros(0)
+            run_doc = np.zeros(0, np.int64)
+            run_code = np.zeros(0, np.int64)
+
+        dict_terms = np.asarray(codes.dictionary.to_pylist(), dtype=object)
+        # map each run's term to its global df via the broadcast vocab
+        run_terms = dict_terms[run_code] if len(run_code) else np.zeros(0, object)
+        pos = np.searchsorted(tsort, run_terms.astype(str)) if len(run_terms) else np.zeros(0, np.int64)
+        pos = np.clip(pos, 0, max(len(tsort) - 1, 0))
+        run_df = dsort[pos] if len(tsort) else np.ones(len(run_terms))
+        tf = run_len / n_words[run_doc]
+        s = tf * np.log(nd / run_df)
+
+        # per-doc argmax with lexicographic tie-break: sort runs by
+        # (doc, -score, term) and take the first run of each doc
+        if len(s):
+            o3 = np.lexsort((run_terms.astype(str), -s, run_doc))
+            first = np.r_[True, run_doc[o3][1:] != run_doc[o3][:-1]]
+            sel = o3[first]
+            out_doc_idx = run_doc[sel]
+            out_terms = run_terms[sel]
+            out_scores = round_half_away(s[sel], 6)
+        else:
+            out_doc_idx = np.zeros(0, np.int64)
+            out_terms = np.zeros(0, object)
+            out_scores = np.zeros(0)
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col).take(pa.array(out_doc_idx, pa.int64())),
+                "top_term": pa.array(list(out_terms), pa.string()),
+                "tfidf": pa.array(out_scores, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

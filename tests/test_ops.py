@@ -522,3 +522,25 @@ def test_redact_pii_masks_and_preserves(ray_session):
         "nothing to hide",
         "",
     ]
+
+
+def test_doc_top_tfidf_hand_computed(ray_session):
+    """3-doc corpus with a hand-checkable top term: 'rare' appears only
+    in doc 1 (high idf), common words appear everywhere (idf 0)."""
+    import math
+
+    import ray.data
+    from jsonld_ex_ray.ops.text import doc_top_tfidf
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "common common rare"},
+            {"doc_id": 2, "text": "common solo"},
+            {"doc_id": 3, "text": "common"},
+        ]
+    )
+    out = doc_top_tfidf(ds, num_buckets=4).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out.doc_id) == [1, 2, 3]
+    assert list(out.top_term) == ["rare", "solo", "common"]
+    assert out.tfidf[0] == pytest.approx((1 / 3) * math.log(3 / 1), abs=1e-6)
+    assert out.tfidf[2] == pytest.approx(0.0, abs=1e-9)  # ln(3/3) = 0
