@@ -540,6 +540,20 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(train, test, ngram=5).sort("doc_id")
 
 
+def _q_doc_packing(sf_dir: str):
+    """Fixed-budget sequence packing: whitespace token counts → one
+    distributed exclusive prefix-sum in doc_id order → pack_id =
+    prefix // budget. The scan is the two-phase range scan (per-range
+    sums, driver prefixes ~256 numbers, offsets broadcast)."""
+    from jsonld_ex_ray.ops.agg import pack_sequences
+    from jsonld_ex_ray.ops.text import token_count_batch
+
+    toks = _read(sf_dir, "documents").map_batches(
+        token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).drop_columns(["n_tokens_bpe"])
+    return pack_sequences(toks, "n_tokens_ws", "doc_id", budget=2048).sort("doc_id")
+
+
 def _q_doc_top_tfidf(sf_dir: str):
     """Per-document top TF-IDF term: DF table via one bounded bucket
     shuffle, vocabulary broadcast once, one scoring stream over docs."""
@@ -805,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_repetition_filter": _q_doc_repetition_filter,
         "decontaminate": _q_decontaminate,
+        "doc_packing": _q_doc_packing,
         "doc_top_tfidf": _q_doc_top_tfidf,
         "top_bigrams": _q_top_bigrams,
         "customer_redact": _q_customer_redact,
@@ -1049,6 +1064,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "doc_packing": """
+            WITH t AS (
+              SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n_tokens_ws,
+                     COALESCE(sum(n_tokens_ws) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS pre
+              FROM t
+            )
+            SELECT doc_id, n_tokens_ws, CAST(pre // 2048 AS BIGINT) AS pack_id
+            FROM s ORDER BY doc_id
+        """,
         "doc_top_tfidf": """
             WITH words AS (
               SELECT doc_id, w

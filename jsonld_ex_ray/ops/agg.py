@@ -403,3 +403,106 @@ def topk(ds, sort_cols: list[str], descending: list[bool], k: int):
         .sort(sort_cols, descending=descending)
         .limit(k)
     )
+
+
+def ordered_prefix_sum(
+    ds,
+    order_col: str,
+    value_col: str,
+    *,
+    out_col: str = "prefix_sum",
+    num_ranges: int = 256,
+):
+    """Exclusive prefix sum of ``value_col`` in ``order_col`` order — the
+    distributed scan primitive (sequence packing, offset assignment,
+    watermarking all reduce to it).
+
+    Ray shape (textbook two-phase scan, no global sort): fixed-width id
+    ranges from one (min, max) aggregate → phase 1 computes per-range
+    sums with a map-side combiner + tiny shuffle (``num_ranges`` rows on
+    the driver — independent of data size) → driver prefixes the range
+    sums → offsets broadcast via ``ray.put`` → phase 2 streams each row
+    once: local in-range exclusive cumsum + its range's offset. Rows
+    within one range land in one group via a bounded ``map_groups`` (the
+    range widths bound group size; skewed ``order_col`` distributions
+    should pick ``num_ranges`` accordingly). ``order_col`` must be unique
+    per row (an id), making the result deterministic.
+    """
+    import ray  # noqa: F401
+    from ray.data.aggregate import Max, Min
+
+    lohi = ds.aggregate(Min(order_col), Max(order_col))
+    lo, hi = lohi[f"min({order_col})"], lohi[f"max({order_col})"]
+    width = max((int(hi) - int(lo)) // num_ranges + 1, 1)
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        rng = pc.cast(
+            pc.divide(pc.subtract(batch.column(order_col), pa.scalar(int(lo))), width),
+            pa.int32(),
+        )
+        return batch.append_column("__range", rng)
+
+    ranged = ds.map_batches(add_range, batch_format="pyarrow", zero_copy_batch=True)
+
+    def range_sums(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["__range"]).aggregate([(value_col, "sum")])
+        return t.rename_columns(["__range", "__rsum"])
+
+    sums = (
+        ranged.map_batches(range_sums, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__range")
+        .map_groups(
+            lambda g: pa.table(
+                {
+                    "__range": g.column("__range").slice(0, 1),
+                    "__rsum": pa.array(
+                        [pc.sum(g.column("__rsum")).as_py() or 0], pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("__range")
+    )
+    offsets = np.zeros(num_ranges + 2, np.int64)
+    idx = sums["__range"].to_numpy() + 1
+    offsets[idx] = sums["__rsum"].to_numpy()
+    np.cumsum(offsets, out=offsets)
+    import ray as _ray
+
+    off_ref = _ray.put(offsets)
+
+    def local_scan(group: pa.Table) -> pa.Table:
+        import ray as _r
+
+        offs = _r.get(off_ref)
+        order = pc.sort_indices(group, sort_keys=[(order_col, "ascending")])
+        g = group.take(order)
+        vals = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pre = np.r_[0, np.cumsum(vals)[:-1]]
+        rng = int(g.column("__range")[0].as_py())
+        pre += offs[rng]
+        return g.drop_columns(["__range"]).append_column(
+            out_col, pa.array(pre, pa.int64())
+        )
+
+    return ranged.groupby("__range").map_groups(local_scan, batch_format="pyarrow")
+
+
+def pack_sequences(ds, token_col: str, id_col: str, budget: int, **scan_kw):
+    """Assign each document to a fixed-token-budget pack: pack_id =
+    floor(exclusive_prefix_sum(tokens in id order) / budget) — the
+    deterministic contiguous-packing rule (documents may straddle pack
+    boundaries; a straddling doc belongs to the pack its first token
+    falls in). One distributed scan + one vectorized divide."""
+
+    scanned = ordered_prefix_sum(
+        ds, id_col, token_col, out_col="__pre", **scan_kw
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        pack = pc.cast(pc.divide(batch.column("__pre"), budget), pa.int64())
+        return batch.drop_columns(["__pre"]).append_column("pack_id", pack)
+
+    return scanned.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -544,3 +544,27 @@ def test_doc_top_tfidf_hand_computed(ray_session):
     assert list(out.top_term) == ["rare", "solo", "common"]
     assert out.tfidf[0] == pytest.approx((1 / 3) * math.log(3 / 1), abs=1e-6)
     assert out.tfidf[2] == pytest.approx(0.0, abs=1e-9)  # ln(3/3) = 0
+
+
+def test_ordered_prefix_sum_and_packing(ray_session):
+    """Distributed scan equals a serial cumsum; packs follow the
+    exclusive-prefix rule even when docs straddle boundaries."""
+    import ray.data
+    from jsonld_ex_ray.ops.agg import ordered_prefix_sum, pack_sequences
+
+    toks = [5, 3, 8, 2, 7, 1, 9, 4, 6, 2]
+    tbl = pa.table({"doc_id": pa.array(range(10), pa.int64()), "tok": pa.array(toks, pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    out = (
+        ordered_prefix_sum(ds, "doc_id", "tok", num_ranges=4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    expect = np.r_[0, np.cumsum(toks)[:-1]]
+    assert (out.prefix_sum.to_numpy() == expect).all()
+    packs = (
+        pack_sequences(ds, "tok", "doc_id", budget=10, num_ranges=4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert packs.pack_id.tolist() == (expect // 10).tolist()
