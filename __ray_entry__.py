@@ -540,6 +540,18 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(train, test, ngram=5).sort("doc_id")
 
 
+def _q_events_top_per_type(sf_dir: str):
+    """Grouped leaderboard: top-3 users per event_type by total value —
+    one bucketed (type,user) aggregate, per-block top-k prefilter, tiny
+    low-cardinality final head. Ranked on rounded sums for oracle
+    parity."""
+    from jsonld_ex_ray.ops.agg import top_per_group
+
+    return top_per_group(
+        _read(sf_dir, "events"), "event_type", "user_id", "value", 3, round_digits=2
+    ).sort(["event_type", "user_id"])
+
+
 def _q_doc_packing(sf_dir: str):
     """Fixed-budget sequence packing: whitespace token counts → one
     distributed exclusive prefix-sum in doc_id order → pack_id =
@@ -819,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_repetition_filter": _q_doc_repetition_filter,
         "decontaminate": _q_decontaminate,
+        "events_top_per_type": _q_events_top_per_type,
         "doc_packing": _q_doc_packing,
         "doc_top_tfidf": _q_doc_top_tfidf,
         "top_bigrams": _q_top_bigrams,
@@ -1064,6 +1077,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "events_top_per_type": """
+            SELECT event_type, user_id, sum_value FROM (
+              SELECT event_type, user_id,
+                     round(sum(value), 2) AS sum_value,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY round(sum(value), 2) DESC, user_id
+                     ) AS rn
+              FROM events GROUP BY event_type, user_id
+            ) WHERE rn <= 3
+            ORDER BY event_type, user_id
+        """,
         "doc_packing": """
             WITH t AS (
               SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws

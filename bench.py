@@ -152,6 +152,10 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
         "events_value_quantiles",
         "events_distinct_users",
         "events_sliding",
+        "doc_top_tfidf",
+        "doc_packing",
+        "decontaminate",
+        "top_bigrams",
     ):
         extra_queries[name] = _best_of(run_query(name))
 

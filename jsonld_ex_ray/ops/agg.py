@@ -506,3 +506,55 @@ def pack_sequences(ds, token_col: str, id_col: str, budget: int, **scan_kw):
         return batch.drop_columns(["__pre"]).append_column("pack_id", pack)
 
     return scanned.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_per_group(
+    ds,
+    group_col: str,
+    agg_key: str,
+    value_col: str,
+    k: int,
+    *,
+    agg: str = "sum",
+    num_buckets: int = 64,
+    round_digits: int | None = None,
+):
+    """Top-``k`` ``agg_key`` rows per ``group_col`` by ``agg(value_col)``
+    (e.g. top-3 users per event_type by total value) — the grouped-leaderboard
+    pattern.
+
+    Ray shape: one bucketed high-cardinality aggregate over (group,
+    key) — map-side partials, ONE bounded shuffle — then a per-block
+    top-k-per-group pre-filter and a final low-cardinality ``map_groups``
+    head (≤ distinct groups Python calls, each over ≤ k·n_blocks rows).
+    Ties broken by ``agg_key`` ascending for determinism; pass
+    ``round_digits`` so ranking happens on the ROUNDED aggregate (float
+    partial sums add in a different order than a serial oracle — ranking
+    on rounded values keeps the selection oracle-stable).
+    → Dataset(group_col, agg_key, alias) with alias = ``{agg}_{value_col}``."""
+    alias = f"{agg}_{value_col}"
+    spec = (
+        (value_col, agg, alias, round_digits)
+        if round_digits is not None
+        else (value_col, agg, alias)
+    )
+    totals = groupby_agg_bucketed(ds, [group_col, agg_key], [spec], num_buckets)
+
+    def local_head(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[
+                (group_col, "ascending"),
+                (alias, "descending"),
+                (agg_key, "ascending"),
+            ],
+        )
+        t = batch.take(idx)
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        pos = np.arange(len(g))
+        starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1] if len(g) else np.zeros(0, np.int64)
+        rank = pos - np.repeat(starts, np.diff(np.r_[starts, len(g)])) if len(g) else pos
+        return t.filter(pa.array(rank < k))
+
+    pre = totals.map_batches(local_head, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby(group_col).map_groups(local_head, batch_format="pyarrow")

@@ -568,3 +568,34 @@ def test_ordered_prefix_sum_and_packing(ray_session):
         .sort_values("doc_id")
     )
     assert packs.pack_id.tolist() == (expect // 10).tolist()
+
+
+def test_top_per_group_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+    from jsonld_ex_ray.ops.agg import top_per_group
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 200),
+            "k": rng.randint(0, 20, 200),
+            "v": rng.randint(1, 100, 200).astype("int64"),
+        }
+    )
+    got = (
+        top_per_group(ray.data.from_pandas(df), "g", "k", "v", 3, num_buckets=8)
+        .to_pandas()
+        .sort_values(["g", "k"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["g", "k"], as_index=False)["v"].sum()
+        .rename(columns={"v": "sum_v"})
+        .sort_values(["g", "sum_v", "k"], ascending=[True, False, True])
+        .groupby("g")
+        .head(3)
+        .sort_values(["g", "k"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
