@@ -716,13 +716,19 @@ def minhash_lsh_duplicates(
     band_ds = _band_rows(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, text_col=text_col, id_col=id_col
     )
-    pairs = _dedup_pairs(_candidate_pairs(band_ds, id_col=id_col)).materialize()
-    n_pairs = pairs.count()
+    # gate on the RAW (pre-distinct) pair count — an upper bound, so the
+    # driver path is only ever taken for provably small sets, and the
+    # distributed distinct shuffle is paid ONLY on the large path (the
+    # small path dedups in-hand on rows it collected anyway)
+    raw_pairs = _candidate_pairs(band_ds, id_col=id_col).materialize()
+    n_pairs = raw_pairs.count()
     if n_pairs == 0:
         return _empty_dups(ds, id_col)
     if n_pairs <= _DRIVER_VERIFY_MAX:
         verified = _verify_pairs_driver(
-            ds, pairs.to_pandas(), shingle_k=shingle_k, threshold=threshold,
+            ds,
+            raw_pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"]),
+            shingle_k=shingle_k, threshold=threshold,
             text_col=text_col, id_col=id_col,
         )
         out = (
@@ -737,7 +743,8 @@ def minhash_lsh_duplicates(
         return ray.data.from_pandas(out.reset_index(drop=True))
 
     verified_ds = _verify_pairs_joined(
-        ds, pairs, shingle_k=shingle_k, threshold=threshold, text_col=text_col, id_col=id_col
+        ds, _dedup_pairs(raw_pairs), shingle_k=shingle_k, threshold=threshold,
+        text_col=text_col, id_col=id_col,
     )
 
     def as_dup(batch: pa.Table) -> pa.Table:
@@ -785,8 +792,10 @@ def ngram_jaccard_pairs(
     band_ds = _band_rows(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, text_col=text_col, id_col=id_col
     )
-    pairs = _dedup_pairs(_candidate_pairs(band_ds, id_col=id_col)).materialize()
-    n_pairs = pairs.count()
+    # same raw-count gate as minhash_lsh_duplicates: distinct shuffle only
+    # on the large path, in-hand drop_duplicates on the small one
+    raw_pairs = _candidate_pairs(band_ds, id_col=id_col).materialize()
+    n_pairs = raw_pairs.count()
     if n_pairs == 0:
         try:
             id_type = ds.schema().base_schema.field(id_col).type
@@ -803,14 +812,17 @@ def ngram_jaccard_pairs(
         )
     if n_pairs <= _DRIVER_VERIFY_MAX:
         verified = _verify_pairs_driver(
-            ds, pairs.to_pandas(), shingle_k=shingle_k, threshold=threshold,
+            ds,
+            raw_pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"]),
+            shingle_k=shingle_k, threshold=threshold,
             text_col=text_col, id_col=id_col,
         )
         return ray.data.from_pandas(
             verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
         )
     return _verify_pairs_joined(
-        ds, pairs, shingle_k=shingle_k, threshold=threshold, text_col=text_col, id_col=id_col
+        ds, _dedup_pairs(raw_pairs), shingle_k=shingle_k, threshold=threshold,
+        text_col=text_col, id_col=id_col,
     )
 
 
