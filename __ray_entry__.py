@@ -540,6 +540,15 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(train, test, ngram=5).sort("doc_id")
 
 
+def _q_dedup_lines(sf_dir: str):
+    """C4-style corpus-global line dedup: each distinct line survives
+    only at its first (doc_id, line_no) occurrence; docs rebuilt from
+    surviving lines, fully-deduped docs dropped."""
+    from jsonld_ex_ray.ops.dedup import dedup_lines
+
+    return dedup_lines(_read(sf_dir, "documents")).sort("doc_id")
+
+
 def _q_events_top_per_type(sf_dir: str):
     """Grouped leaderboard: top-3 users per event_type by total value —
     one bucketed (type,user) aggregate, per-block top-k prefilter, tiny
@@ -831,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_repetition_filter": _q_doc_repetition_filter,
         "decontaminate": _q_decontaminate,
+        "dedup_lines": _q_dedup_lines,
         "events_top_per_type": _q_events_top_per_type,
         "doc_packing": _q_doc_packing,
         "doc_top_tfidf": _q_doc_top_tfidf,
@@ -1077,6 +1087,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "dedup_lines": """
+            WITH lines AS (
+              SELECT doc_id, CAST(i.g AS BIGINT) AS line_no, ws[CAST(i.g AS BIGINT)] AS ln
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ws FROM documents),
+                   unnest(range(1, len(ws) + 1)) AS i(g)
+            ),
+            win AS (
+              SELECT ln, min(doc_id * 4294967296 + line_no) AS w
+              FROM lines GROUP BY ln
+            )
+            SELECT l.doc_id,
+                   string_agg(l.ln, chr(10) ORDER BY l.line_no) AS text
+            FROM lines l JOIN win ON l.ln = win.ln
+                 AND l.doc_id * 4294967296 + l.line_no = win.w
+            GROUP BY l.doc_id
+            ORDER BY l.doc_id
+        """,
         "events_top_per_type": """
             SELECT event_type, user_id, sum_value FROM (
               SELECT event_type, user_id,

@@ -1018,3 +1018,102 @@ def simhash_duplicates(ds, *, max_hamming: int = 3, text_col: str = "text", id_c
         .map_groups(verify_bucket, batch_format="pyarrow")
     )
     return _min_dup_per_doc(pairs, id_col)
+
+
+# ---------------------------------------------------------------------------
+# C4-style global line dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(ds, *, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
+    """Corpus-global line deduplication (the C4 rule): every distinct
+    line is kept only at its FIRST occurrence — ordered by (doc_id,
+    line_no) — and documents are rebuilt from their surviving lines
+    (documents whose every line lost are dropped).
+
+    Ray shape: explode to line rows → ONE bounded shuffle on
+    ``hash(line) % num_buckets`` (all occurrences of a line co-locate;
+    winners decided by EXACT string compare inside the bucket, the hash
+    only routes) → ONE bounded shuffle back on ``hash(doc) %
+    num_buckets`` reassembling surviving lines in order. Line text rides
+    both shuffles — inherent to line-level dedup (the corpus itself must
+    move); at 100 TB budget this op like a full repartition ×2.
+    Packing assumption: doc ids and per-doc line counts fit 32 bits each
+    (the (doc, line_no) order key is one packed uint64 min).
+    → Dataset(doc_id, text) of surviving documents.
+    """
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_col), "")
+        lines = pc.split_pattern(text, "\n")
+        flat = lines.values if isinstance(lines, pa.ListArray) else pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines)
+        n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        # per-line ordinal within its doc
+        starts = np.r_[0, np.cumsum(n_lines)][:-1]
+        line_no = np.arange(int(n_lines.sum()), dtype=np.int64) - np.repeat(starts, n_lines)
+        ids = batch.column(id_col).take(parents)
+        from .hashing import hash_strings
+
+        h = hash_strings(flat, seed=7)
+        return pa.table(
+            {
+                "__doc": ids,
+                "__line_no": pa.array(line_no, pa.int64()),
+                "__line": flat,
+                "__bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+            }
+        )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        doc = group.column("__doc").to_numpy(zero_copy_only=False).astype(np.uint64)
+        lno = group.column("__line_no").to_numpy(zero_copy_only=False).astype(np.uint64)
+        packed = (doc << np.uint64(32)) | lno
+        import polars as pl
+
+        df = pl.DataFrame(
+            {
+                "line": pl.Series(group.column("__line").to_pandas(), dtype=pl.Utf8),
+                "packed": packed,
+            }
+        )
+        winner = df.group_by("line").agg(pl.col("packed").min().alias("w"))
+        joined = df.join(winner, on="line", how="left")
+        mask = (joined["packed"] == joined["w"]).to_numpy()
+        return group.drop_columns(["__bucket"]).filter(pa.array(mask))
+
+    lines = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    survivors = lines.groupby("__bucket").map_groups(keep_first, batch_format="pyarrow")
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", _id_buckets(batch.column("__doc"), num_buckets))
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("__doc", "ascending"), ("__line_no", "ascending")]
+        )
+        t = group.take(idx)
+        doc = t.column("__doc").to_numpy(zero_copy_only=False)
+        newdoc = np.r_[True, doc[1:] != doc[:-1]] if len(doc) else np.zeros(0, bool)
+        starts = np.flatnonzero(newdoc)
+        counts = np.diff(np.r_[starts, len(doc)])
+        lines_arr = t.column("__line")
+        if isinstance(lines_arr, pa.ChunkedArray):
+            lines_arr = lines_arr.combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.r_[starts, len(doc)], pa.int32()), lines_arr
+        )
+        joined = pc.binary_join(lists, "\n")
+        return pa.table(
+            {
+                id_col: t.column("__doc").take(pa.array(starts, pa.int64())),
+                text_col: joined,
+            }
+        )
+
+    return (
+        survivors.map_batches(add_doc_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )

@@ -599,3 +599,26 @@ def test_top_per_group_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dedup_lines_c4_rule(ray_session):
+    """Global first-occurrence line dedup: shared lines survive only in
+    the earliest (doc_id, line_no) position; fully-deduped docs drop;
+    within-doc line order is preserved."""
+    import ray.data
+    from jsonld_ex_ray.ops.dedup import dedup_lines
+
+    docs = [
+        {"doc_id": 1, "text": "alpha\nbeta\ngamma"},
+        {"doc_id": 2, "text": "beta\ndelta"},
+        {"doc_id": 3, "text": "alpha"},
+        {"doc_id": 4, "text": "epsilon\nalpha\nzeta"},
+    ]
+    out = (
+        dedup_lines(ray.data.from_items(docs), num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.doc_id) == [1, 2, 4]
+    assert list(out.text) == ["alpha\nbeta\ngamma", "delta", "epsilon\nzeta"]
