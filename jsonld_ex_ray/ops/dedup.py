@@ -371,15 +371,27 @@ def _id_buckets(ids, num_buckets: int) -> pa.Array:
 # ---------------------------------------------------------------------------
 
 
+# above this many LOSER ids the anti-filter falls back to the
+# carry-rows shuffle (a pathological corpus that is mostly duplicates);
+# below it the loser set is broadcast once and the corpus never moves
+_DEDUP_LOSER_BROADCAST_MAX = 2_000_000
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
     """Keep the min-id row per distinct text. Returns the surviving rows.
 
     The dedup key is a 128-bit pair of independently-seeded vectorized
     stable hashes of the text (ops/hashing.py — no per-row Python sha
-    loop; collision odds at 10^10 docs ≈ 10^-19). One bounded shuffle:
-    the groupby key is ``k1 % num_buckets`` (≤ num_buckets Python group
-    calls total), and the per-bucket dedup is a vectorized min-over-key
-    mask — never one group per distinct document."""
+    loop; collision odds at 10^10 docs ≈ 10^-19).
+
+    Scale shape: the CORPUS NEVER SHUFFLES. Only (k1, k2, id) key rows —
+    ~24 bytes each, pre-combined to distinct keys per block — take the
+    one bounded shuffle; each bucket emits the ids that LOSE their key
+    (id ≠ per-key min). The loser set (small whenever the duplicate rate
+    is sane) is broadcast once via ``ray.put`` and the documents stream
+    through a vectorized anti-filter. A mostly-duplicate corpus (losers
+    > ``_DEDUP_LOSER_BROADCAST_MAX``) falls back to shuffling the
+    surviving rows themselves."""
 
     import polars as pl
 
@@ -393,15 +405,70 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
         )
         return m.to_arrow().column(0).cast(pa.bool_())
 
+    def _keys(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        return (
+            hash_strings(batch.column(text_col), seed=11),
+            hash_strings(batch.column(text_col), seed=12),
+        )
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        k1, k2 = _keys(batch)
+        t = pa.table(
+            {
+                "__k1": pa.array(k1, pa.uint64()),
+                "__k2": pa.array(k2, pa.uint64()),
+                id_col: batch.column(id_col),
+                "__bucket": pa.array((k1 % np.uint64(num_buckets)).astype(np.int32)),
+            }
+        )
+        # every row flows (a block-local loser is already a global loser —
+        # its block's min id bounds the global min — and must be REPORTED,
+        # not silently dropped); no combiner here, the rows are 24 bytes
+        return t
+
+    def bucket_losers(group: pa.Table) -> pa.Table:
+        keep = _min_id_mask(group)
+        import pyarrow.compute as pc
+
+        return group.filter(pc.invert(keep)).select([id_col])
+
+    losers = (
+        ds.map_batches(key_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(bucket_losers, batch_format="pyarrow")
+        .materialize()
+    )
+    n_losers = losers.count()
+
+    if n_losers == 0:
+        return ds
+
+    if n_losers <= _DEDUP_LOSER_BROADCAST_MAX:
+        import ray
+        import pyarrow.compute as pc
+
+        tbls = [t for t in ray.get(losers.to_arrow_refs()) if t.num_rows]
+        loser_ids = pa.concat_tables(tbls).column(id_col).combine_chunks()
+        ref = ray.put(loser_ids)
+
+        def anti_filter(batch: pa.Table) -> pa.Table:
+            import ray as _r
+
+            ids = _r.get(ref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column(id_col), value_set=ids))
+            )
+
+        return ds.map_batches(anti_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    # pathological fallback: most rows are duplicates — shuffle survivors
     def add_key_and_local_min(batch: pa.Table) -> pa.Table:
-        k1 = hash_strings(batch.column(text_col), seed=11)
-        k2 = hash_strings(batch.column(text_col), seed=12)
+        k1, k2 = _keys(batch)
         batch = batch.append_column("__k1", pa.array(k1, pa.uint64()))
         batch = batch.append_column("__k2", pa.array(k2, pa.uint64()))
         batch = batch.append_column(
             "__bucket", pa.array((k1 % np.uint64(num_buckets)).astype(np.int32))
         )
-        # combiner: min-id row per key within the block before shuffling
         return batch.filter(_min_id_mask(batch))
 
     def bucket_min(group: pa.Table) -> pa.Table:

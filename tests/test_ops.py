@@ -622,3 +622,27 @@ def test_dedup_lines_c4_rule(ray_session):
     )
     assert list(out.doc_id) == [1, 2, 4]
     assert list(out.text) == ["alpha\nbeta\ngamma", "delta", "epsilon\nzeta"]
+
+
+def test_exact_dedup_loser_paths_equivalent(ray_session, monkeypatch):
+    """Planted duplicates: the loser-broadcast path (corpus never
+    shuffles) and the carry-rows fallback must select identical
+    survivors."""
+    import ray.data
+    from jsonld_ex_ray.ops import dedup as dd
+
+    texts = [f"unique text {i}" for i in range(300)] + ["copied boilerplate"] * 50
+    ids = list(range(350))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+
+    def run():
+        return sorted(
+            dd.exact_dedup(ray.data.from_arrow(tbl)).to_pandas().doc_id.tolist()
+        )
+
+    got_broadcast = run()  # 49 losers → broadcast path
+    monkeypatch.setattr(dd, "_DEDUP_LOSER_BROADCAST_MAX", 1)
+    got_fallback = run()  # forced carry-rows fallback
+    want = sorted(ids[:300] + [300])  # first copy of the boilerplate wins
+    assert got_broadcast == want
+    assert got_fallback == want
