@@ -432,8 +432,13 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
 
         return group.filter(pc.invert(keep)).select([id_col])
 
+    # the loser pass scans the corpus a FIRST time (two scans total in
+    # the broadcast path: cheaper than one corpus-wide shuffle at scale —
+    # a shuffle is read+write+network of every byte, a rescan is a read);
+    # prune to the two needed columns so the extra scan is minimal
     losers = (
-        ds.map_batches(key_rows, batch_format="pyarrow", zero_copy_batch=True)
+        ds.select_columns([text_col, id_col])
+        .map_batches(key_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
         .map_groups(bucket_losers, batch_format="pyarrow")
         .materialize()
