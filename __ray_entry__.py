@@ -540,6 +540,19 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(train, test, ngram=5).sort("doc_id")
 
 
+def _q_emb_clusters(sf_dir: str):
+    """Corpus clustering over embeddings: centroids fit on a
+    deterministic sample, broadcast, one streaming assignment pass.
+    Rows-only (k-means centroids are not SQL-expressible); nearest-
+    centroid invariant is pytest-checked."""
+    from jsonld_ex_ray.ops.similarity import assign_clusters
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return assign_clusters(ds).sort("vec_id")
+
+
 def _q_dedup_lines(sf_dir: str):
     """C4-style corpus-global line dedup: each distinct line survives
     only at its first (doc_id, line_no) occurrence; docs rebuilt from
@@ -840,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_repetition_filter": _q_doc_repetition_filter,
         "decontaminate": _q_decontaminate,
+        "emb_clusters": _q_emb_clusters,
         "dedup_lines": _q_dedup_lines,
         "events_top_per_type": _q_events_top_per_type,
         "doc_packing": _q_doc_packing,

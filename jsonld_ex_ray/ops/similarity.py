@@ -239,3 +239,42 @@ def ivf_recall_at_k(
             f"recall_at_{k}": [round(float(np.mean(recalls)), 4)],
         }
     )
+
+
+def assign_clusters(
+    ds,
+    centroids: np.ndarray | None = None,
+    *,
+    n_clusters: int = 16,
+    sample_size: int = 2000,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Corpus clustering (topic bucketing / stratified-by-content
+    sampling): assign every vector to its nearest (cosine) centroid.
+    Centroids are fit once on a deterministic ``ds.limit(sample_size)``
+    sample and broadcast through the closure — one streaming pass, no
+    shuffle. → Dataset(id_col, cluster:int32, sim:double rounded 6dp)."""
+    from .agg import round_half_away
+
+    if centroids is None:
+        import pyarrow as _pa
+
+        sample = ds.limit(sample_size).to_pandas()[emb_col].tolist()
+        centroids = fit_centroids(np.asarray(sample, dtype=np.float64), n_clusters)
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def local(batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        sims = m @ cents.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(assign)), assign]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(assign.astype(np.int32)),
+                "sim": pa.array(round_half_away(best, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)

@@ -646,3 +646,27 @@ def test_exact_dedup_loser_paths_equivalent(ray_session, monkeypatch):
     want = sorted(ids[:300] + [300])  # first copy of the boilerplate wins
     assert got_broadcast == want
     assert got_fallback == want
+
+
+def test_assign_clusters_nearest_centroid(ray_session):
+    """Every vector lands on its argmax-cosine centroid (checked against
+    a numpy recomputation), clusters cover all centroids that own data."""
+    import ray.data
+    from jsonld_ex_ray.ops.similarity import assign_clusters, fit_centroids
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    cents = fit_centroids(mat, n_clusters=8)
+    got = (
+        assign_clusters(
+            ray.data.read_parquet(f"{SF}/embeddings.parquet"), cents
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    want = np.argmax(norm @ cents.T, axis=1)
+    ids = emb.column("vec_id").to_numpy()
+    order = np.argsort(ids)
+    assert (got.cluster.to_numpy() == want[order]).all()
