@@ -540,6 +540,16 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(train, test, ngram=5).sort("doc_id")
 
 
+def _q_corpus_clean(sf_dir: str):
+    """Flagship training-data cleaning chain (quality gate → Gopher
+    repetition gate → exact dedup → split assignment), one lazy Dataset;
+    every stage is individually oracled and the composition is oracled
+    here as one SQL."""
+    from jsonld_ex_ray.pipelines.corpus_clean import clean_corpus
+
+    return clean_corpus(_read(sf_dir, "documents")).sort("doc_id")
+
+
 def _q_emb_clusters(sf_dir: str):
     """Corpus clustering over embeddings: centroids fit on a
     deterministic sample, broadcast, one streaming assignment pass.
@@ -853,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_repetition_filter": _q_doc_repetition_filter,
         "decontaminate": _q_decontaminate,
+        "corpus_clean": _q_corpus_clean,
         "emb_clusters": _q_emb_clusters,
         "dedup_lines": _q_dedup_lines,
         "events_top_per_type": _q_events_top_per_type,
@@ -1101,6 +1112,44 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "corpus_clean": f"""
+            WITH words AS (
+              SELECT doc_id, w
+              FROM documents, unnest(string_split_regex(text, '\\s+')) AS t(w)
+              WHERE len(w) > 0
+            ),
+            per_word AS (
+              SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w
+            ),
+            rep AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_words,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(max(cnt) AS BIGINT) AS top_cnt
+              FROM per_word GROUP BY doc_id
+            ),
+            kept AS (
+              SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+              FROM documents d
+              JOIN ({_text_quality_sql()}) q ON d.doc_id = q.doc_id
+              LEFT JOIN rep a ON d.doc_id = a.doc_id
+              WHERE q.quality >= 0.51
+                AND round((COALESCE(a.n_words, 0) - COALESCE(a.n_distinct, 0))
+                          / GREATEST(COALESCE(a.n_words, 0), 1), 6) <= 0.62
+                AND round(COALESCE(a.top_cnt, 0)
+                          / GREATEST(COALESCE(a.n_words, 0), 1), 6) <= 0.12
+            ),
+            dd AS (
+              SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM kept
+            )
+            SELECT doc_id, text, lang, source, n_chars,
+                   CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c0' THEN 'train'
+                        WHEN md5(CAST(doc_id AS VARCHAR)) < 'e0' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM dd WHERE rn = 1
+            ORDER BY doc_id
+        """,
         "dedup_lines": """
             WITH lines AS (
               SELECT doc_id, CAST(i.g AS BIGINT) AS line_no, ws[CAST(i.g AS BIGINT)] AS ln

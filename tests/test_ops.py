@@ -670,3 +670,26 @@ def test_assign_clusters_nearest_centroid(ray_session):
     ids = emb.column("vec_id").to_numpy()
     order = np.argsort(ids)
     assert (got.cluster.to_numpy() == want[order]).all()
+
+
+def test_corpus_clean_near_dup_branch(ray_session):
+    """The near_dup=True flagship chain drops planted minhash duplicates
+    on top of the exact/quality/repetition gates, and assigns splits."""
+    import ray.data
+    from jsonld_ex_ray.pipelines.corpus_clean import clean_corpus
+
+    base = "the quick brown fox jumps over a lazy dog and then " + " ".join(
+        f"w{i}" for i in range(40)
+    )
+    rows = [
+        {"doc_id": 1, "text": base, "lang": "en", "source": "s", "n_chars": len(base)},
+        {"doc_id": 2, "text": base + " extra", "lang": "en", "source": "s", "n_chars": 5},
+        {"doc_id": 3, "text": "spam " * 60, "lang": "en", "source": "s", "n_chars": 5},  # repetition gate
+    ]
+    out = (
+        clean_corpus(ray.data.from_items(rows), near_dup=True)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out.doc_id) == [1]  # 2 = near-dup of 1, 3 = repetitive
+    assert set(out.columns) >= {"doc_id", "text", "split"}
