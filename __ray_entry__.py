@@ -540,6 +540,71 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(train, test, ngram=5).sort("doc_id")
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: dimension (filtered customers) broadcast as a
+    semi-join set — no shuffle for the small side; the two FACT tables
+    meet in one bucketed hash join; revenue aggregated through the
+    bounded bucket shuffle; global top-10 via per-block survivors.
+    Order dates emitted as epoch-second BIGINTs on both sides (timestamp
+    columns hash-diverge across engines)."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import groupby_agg_bucketed, topk
+    from jsonld_ex_ray.ops.joins import hash_join_bucketed
+
+    cutoff = datetime(1998, 6, 1)
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).filter(expr="c_mktsegment == 'BUILDING'")
+    keys = pa.concat_tables(
+        [t for t in ray.get(cust.to_arrow_refs()) if t.num_rows]
+    ).column("c_custkey").combine_chunks()
+    key_ref = ray.put(keys)
+
+    def orders_prep(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        keep = pc.and_(
+            pc.is_in(batch.column("o_custkey"), value_set=ks),
+            pc.less(batch.column("o_orderdate"), pa.scalar(cutoff)),
+        )
+        b = batch.filter(keep)
+        od_s = pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("s")), pa.int64())
+        return pa.table({"o_orderkey": b.column("o_orderkey"), "od_s": od_s})
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch.column("l_shipdate"), pa.scalar(cutoff)))
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "__rev": rev})
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join_bucketed(
+        line, orders, left_on="l_orderkey", right_on="o_orderkey", right_cols=["od_s"]
+    )
+    agg = groupby_agg_bucketed(
+        joined, ["l_orderkey", "od_s"], [("__rev", "sum", "revenue", 2)]
+    )
+    return topk(agg, ["revenue", "l_orderkey"], [True, False], 10)
+
+
 def _q_corpus_clean(sf_dir: str):
     """Flagship training-data cleaning chain (quality gate → Gopher
     repetition gate → exact dedup → split assignment), one lazy Dataset;
@@ -863,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_repetition_filter": _q_doc_repetition_filter,
         "decontaminate": _q_decontaminate,
+        "shipping_priority": _q_shipping_priority,
         "corpus_clean": _q_corpus_clean,
         "emb_clusters": _q_emb_clusters,
         "dedup_lines": _q_dedup_lines,
@@ -1112,6 +1178,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS od_s
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
         "corpus_clean": f"""
             WITH words AS (
               SELECT doc_id, w
