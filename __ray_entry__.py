@@ -540,6 +540,19 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(train, test, ngram=5).sort("doc_id")
 
 
+def _q_events_running_total(sf_dir: str):
+    """Per-user cumulative value in (ts, event_id) order — the per-key
+    ordered scan: one bounded hash(user) shuffle, segmented cumsum per
+    bucket. Within a key the addition order equals the SQL window's
+    serial order, so sums match bitwise before rounding."""
+    from jsonld_ex_ray.ops.window import keyed_running_sum
+
+    return keyed_running_sum(
+        _read(sf_dir, "events").drop_columns(["event_type", "props"]),
+        "user_id", "ts", "event_id", "value",
+    ).sort("event_id")
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: dimension (filtered customers) broadcast as a
     semi-join set — no shuffle for the small side; the two FACT tables
@@ -928,6 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_repetition_filter": _q_doc_repetition_filter,
         "decontaminate": _q_decontaminate,
+        "events_running_total": _q_events_running_total,
         "shipping_priority": _q_shipping_priority,
         "corpus_clean": _q_corpus_clean,
         "emb_clusters": _q_emb_clusters,
@@ -1178,6 +1192,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "events_running_total": """
+            SELECT event_id, user_id, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   round(sum(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ), 2) AS running_sum
+            FROM events
+            ORDER BY event_id
+        """,
         "shipping_priority": """
             SELECT l_orderkey,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -149,3 +149,75 @@ def sliding_window_agg(
 
     keyed = ds.map_batches(expand_windows, batch_format="pyarrow", zero_copy_batch=True)
     return groupby_agg_lowcard(keyed, ["window_start", *extra_keys], aggs)
+
+
+def keyed_running_sum(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    out_col: str = "running_sum",
+    round_to: int | None = 2,
+    num_buckets: int = 64,
+):
+    """Per-key cumulative sum in (ts, id) order — the per-key ordered
+    scan (running balances, per-user counters, session progress).
+
+    Ray shape: ONE bounded shuffle on ``hash(key) % num_buckets`` co-
+    locates each key's rows, then a vectorized segmented cumsum per
+    bucket (sort by (key, ts, id), one np.cumsum, subtract per-key run
+    offsets — zero per-key Python). Within a key the addition order is
+    the SAME serial order a SQL window ``sum() OVER (PARTITION BY key
+    ORDER BY ts, id)`` uses, so values match bitwise before the final
+    rounding. Emits ``ts_s`` (epoch-second BIGINT) instead of the raw
+    timestamp for representation-stable hashing.
+    """
+    import numpy as np
+
+    from .hashing import bucket_ids
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_ids(batch, [key_col], num_buckets)
+        )
+
+    def scan_bucket(group: pa.Table) -> pa.Table:
+        from .agg import round_half_away
+
+        # unit-robust epoch seconds: normalize to µs first (from_items
+        # yields timestamp[s], parquet yields timestamp[us]). The ORDER
+        # uses full µs precision (same-second events must sort exactly
+        # like the SQL window's ORDER BY ts); only the EMITTED column is
+        # truncated to seconds for representation-stable hashing.
+        us = pc.cast(group.column(ts_col), pa.timestamp("us"), safe=False)
+        us_i = pc.cast(us, pa.int64())
+        secs = pc.divide(us_i, 1_000_000)
+        g = (
+            group.drop_columns([ts_col, "__bucket"])
+            .append_column("ts_s", pc.cast(secs, pa.int64()))
+            .append_column("__us", us_i)
+        )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[(key_col, "ascending"), ("__us", "ascending"), (id_col, "ascending")],
+        )
+        g = g.take(idx).drop_columns(["__us"])
+        vals = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        run = np.cumsum(vals)
+        newkey = np.r_[True, keys[1:] != keys[:-1]] if len(keys) else np.zeros(0, bool)
+        starts = np.flatnonzero(newkey)
+        # per-key offset: cumulative total BEFORE the key's first row
+        offs = np.repeat(np.r_[0.0, run[starts[1:] - 1]] if len(starts) else [], np.diff(np.r_[starts, len(keys)]))
+        out = run - offs
+        if round_to is not None:
+            out = round_half_away(out, round_to)
+        return g.append_column(out_col, pa.array(out, pa.float64()))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(scan_bucket, batch_format="pyarrow")
+    )

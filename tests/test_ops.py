@@ -693,3 +693,26 @@ def test_corpus_clean_near_dup_branch(ray_session):
     )
     assert list(out.doc_id) == [1]  # 2 = near-dup of 1, 3 = repetitive
     assert set(out.columns) >= {"doc_id", "text", "split"}
+
+
+def test_keyed_running_sum_same_second_ordering(ray_session):
+    """Same-second events within one user must accumulate in full-µs
+    (ts, id) order, matching SQL window semantics."""
+    from datetime import datetime
+
+    import ray.data
+    from jsonld_ex_ray.ops.window import keyed_running_sum
+
+    rows = [
+        {"event_id": 2, "user_id": 1, "ts": datetime(2024, 1, 1, 0, 0, 0, 900000), "value": 10.0},
+        {"event_id": 1, "user_id": 1, "ts": datetime(2024, 1, 1, 0, 0, 0, 100000), "value": 1.0},
+        {"event_id": 3, "user_id": 1, "ts": datetime(2024, 1, 1, 0, 0, 1), "value": 0.5},
+    ]
+    out = (
+        keyed_running_sum(
+            ray.data.from_items(rows), "user_id", "ts", "event_id", "value", num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert out.running_sum.tolist() == [1.0, 11.0, 11.5]
