@@ -242,3 +242,42 @@ def test_http_loader_against_local_server():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_urdna2015_adversarial_symmetric_graphs():
+    """Poison graphs for canonicalization: structures whose first-degree
+    hashes are all identical so the N-degree/permutation path does the
+    work — two disjoint 4-rings (swap automorphism between rings) and
+    K3,3 (every node looks like every other). Canonical quads must be
+    invariant under random relabeling AND quad-order shuffling."""
+    import random
+
+    from jsonld_ex_ray.core.urdna2015 import canonical_quads
+
+    P = ("iri", "http://x/p")
+
+    def ring(names):
+        return [
+            (("bnode", names[i]), P, ("bnode", names[(i + 1) % len(names)]), None)
+            for i in range(len(names))
+        ]
+
+    def k33(a, b):
+        return [(("bnode", x), P, ("bnode", y), None) for x in a for y in b]
+
+    for quads in (
+        ring(["r0", "r1", "r2", "r3"]) + ring(["s0", "s1", "s2", "s3"]),
+        k33(["a0", "a1", "a2"], ["b0", "b1", "b2"]),
+        ring(["t0", "t1", "t2", "t3", "t4", "t5"]),
+    ):
+        canon = canonical_quads(quads)
+        labels = {t[1] for q in canon for t in q if t and t[0] == "bnode"}
+        assert all(l.startswith("c14n") for l in labels)
+        for seed in (11, 22, 33):
+            rng = random.Random(seed)
+            names = sorted({t[1] for q in quads for t in q if t and t[0] == "bnode"})
+            new = {n: f"z{rng.randrange(10**9)}" for n in names}
+            m = lambda t: ("bnode", new[t[1]]) if (t and t[0] == "bnode") else t
+            shuffled = [(m(s), p, m(o), g) for s, p, o, g in quads]
+            rng.shuffle(shuffled)
+            assert canonical_quads(shuffled) == canon
