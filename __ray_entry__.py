@@ -540,6 +540,38 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(train, test, ngram=5).sort("doc_id")
 
 
+def _q_events_bloom_semi(sf_dir: str):
+    """Semi-join via Bloom prefilter + exact verify (the at-scale
+    broadcast pattern: a 10⁹-key side broadcasts ~1.2 GB of bloom bits
+    instead of 8 GB of exact keys; the exact pass then runs only on the
+    prefiltered survivors). Here: events of users who ever errored."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from jsonld_ex_ray.ops.bloom import semi_join_bloom
+
+    events = _read(sf_dir, "events").drop_columns(["ts", "props"])
+    err_users = events.filter(
+        expr="event_type == 'error' and value > 150.0"
+    ).select_columns(["user_id"])
+    pre = semi_join_bloom(events, err_users, big_on="user_id", small_on="user_id")
+    # exact verify on the (already shrunk) survivor stream
+    exact = pa.concat_tables(
+        [t for t in ray.get(err_users.to_arrow_refs()) if t.num_rows]
+    ).column("user_id").combine_chunks()
+    ref = ray.put(exact)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        return batch.filter(pc.is_in(batch.column("user_id"), value_set=ids))
+
+    return pre.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "event_id"
+    )
+
+
 def _q_events_running_total(sf_dir: str):
     """Per-user cumulative value in (ts, event_id) order — the per-key
     ordered scan: one bounded hash(user) shuffle, segmented cumsum per
@@ -941,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_repetition_filter": _q_doc_repetition_filter,
         "decontaminate": _q_decontaminate,
+        "events_bloom_semi": _q_events_bloom_semi,
         "events_running_total": _q_events_running_total,
         "shipping_priority": _q_shipping_priority,
         "corpus_clean": _q_corpus_clean,
@@ -1192,6 +1225,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "events_bloom_semi": """
+            SELECT event_id, user_id, event_type, value
+            FROM events
+            WHERE user_id IN (
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'error' AND value > 150.0
+            )
+            ORDER BY event_id
+        """,
         "events_running_total": """
             SELECT event_id, user_id, value,
                    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,

