@@ -431,6 +431,13 @@ def ordered_prefix_sum(
     import ray  # noqa: F401
     from ray.data.aggregate import Max, Min
 
+    # the scan consumes its input THREE times (bounds, per-range sums,
+    # final scan); materialize it once so upstream lineage (e.g.
+    # tokenization over full text) doesn't re-execute per pass — callers
+    # pass a projected (order, value, …) table that is a small fraction
+    # of the source, and the object store spills as needed
+    ds = ds.materialize()
+
     lohi = ds.aggregate(Min(order_col), Max(order_col))
     lo, hi = lohi[f"min({order_col})"], lohi[f"max({order_col})"]
     width = max((int(hi) - int(lo)) // num_ranges + 1, 1)
