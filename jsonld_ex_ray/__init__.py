@@ -9,3 +9,45 @@ stalling the first wide-stage task that needs them.
 import numpy  # noqa: F401  (preload)
 import polars  # noqa: F401  (preload)
 import pyarrow.compute  # noqa: F401  (preload)
+
+
+def _stabilize_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` import deterministic.
+
+    Ray Data's path resolution tries ``from fsspec.implementations.http
+    import HTTPFileSystem`` on every read/write (guarded by ``except
+    ModuleNotFoundError``). When aiohttp is absent that import FAILS —
+    and a failed import is not cached, so every Dataset write re-runs it.
+    Two threads racing the doomed import can observe a partially
+    initialized module and get ``ImportError: cannot import name
+    'HTTPFileSystem'`` instead of ModuleNotFoundError, escaping Ray's
+    guard (seen as a flaky failure in concurrent run_checkpointed
+    writers). Cache a minimal stub once so the import always succeeds;
+    this engine never touches http:// paths, and the stub only ever
+    participates in isinstance checks that correctly return False.
+    """
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401  (real module)
+        return
+    except ImportError:
+        pass
+    try:
+        import fsspec
+        import fsspec.implementations
+    except ImportError:  # no fsspec at all: Ray's guard handles it
+        return
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem(fsspec.AbstractFileSystem):  # pragma: no cover
+        protocol = ("http", "https")
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+    fsspec.implementations.http = mod
+
+
+_stabilize_fsspec_http()
