@@ -945,6 +945,134 @@ def _q_kg_entity_link(sf_dir: str):
     )
 
 
+def _q_events_rolling_1h(sf_dir: str):
+    """Per-user TIME-RANGE rolling sum/count over the trailing hour —
+    SQL's RANGE-frame window, executed as one bounded hash(user) shuffle
+    + a two-searchsorted prefix-sum kernel per bucket (zero per-key
+    Python)."""
+    from jsonld_ex_ray.ops.window import rolling_time_agg
+
+    return rolling_time_agg(
+        _read(sf_dir, "events").drop_columns(["event_type", "props"]),
+        "user_id", "ts", "event_id", "value", 3600,
+    ).sort("event_id")
+
+
+def _q_events_quantiles_by_type(sf_dir: str):
+    """EXACT per-group quantile_cont without a global sort: keyed 3-pass
+    histogram refinement — per-block (group × bins) bincount partials,
+    only each group's target bins ever reach the driver."""
+    from jsonld_ex_ray.ops.agg import grouped_exact_quantiles
+
+    return grouped_exact_quantiles(
+        _read(sf_dir, "events").select_columns(["event_type", "value"]),
+        "event_type", "value", [0.25, 0.5, 0.9],
+    )
+
+
+def _q_orders_no_recent_ship(sf_dir: str):
+    """Anti join (NOT EXISTS): orders with no lineitem shipped after the
+    cutoff. The small side is the DISTINCT filtered key set built through
+    one bounded shuffle (ops.agg.distinct_rows), broadcast once, dropped
+    via vectorized is_in — the corpus side never shuffles. A Bloom filter
+    cannot serve anti semantics (false positives would drop valid rows),
+    so the broadcast set is exact."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import distinct_rows
+    from jsonld_ex_ray.ops.joins import anti_join_broadcast
+
+    cutoff = datetime(1998, 9, 1)
+
+    def recent(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch.column("l_shipdate"), pa.scalar(cutoff))
+        ).select(["l_orderkey"])
+
+    shipped = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    ).map_batches(recent, batch_format="pyarrow", zero_copy_batch=True)
+    recent_keys = distinct_rows(shipped, ["l_orderkey"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+    )
+    return anti_join_broadcast(
+        orders, recent_keys, big_on="o_orderkey", small_on="l_orderkey"
+    ).sort("o_orderkey")
+
+
+def _q_events_pivot_daily(sf_dir: str):
+    """Pivot/crosstab: one (n_<type>, sum_<type>) column pair per event
+    type, keyed by day — indicator columns materialized vectorized in
+    map_batches, aggregated on the map-side-combiner path (no shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsonld_ex_ray.ops.agg import pivot_agg
+
+    def day_col(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "day", pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        )
+
+    ds = _read(sf_dir, "events").select_columns(["ts", "event_type", "value"])
+    return pivot_agg(
+        ds.map_batches(day_col, batch_format="pyarrow", zero_copy_batch=True),
+        "day", "event_type", "value",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def _q_events_funnel(sf_dir: str):
+    """Ordered funnel view→click→purchase: per user, earliest step-1
+    event, earliest step-2 strictly after it, earliest step-3 strictly
+    after that; stage = steps reached. One bounded hash(user) shuffle,
+    vectorized polars chain per bucket."""
+    from jsonld_ex_ray.ops.window import funnel_stages
+
+    return funnel_stages(
+        _read(sf_dir, "events").select_columns(["user_id", "ts", "event_type"]),
+        "user_id", "ts", "event_type", ["view", "click", "purchase"],
+    ).sort("user_id")
+
+
+def _q_events_value_zscore(sf_dir: str):
+    """Per-type standardization (x−μ)/σ: moments via map-side combiner
+    partials (no shuffle), broadcast, one streaming emit pass."""
+    from jsonld_ex_ray.ops.agg import zscore_by_group
+
+    return zscore_by_group(
+        _read(sf_dir, "events").select_columns(["event_id", "event_type", "value"]),
+        "event_type", "value",
+    ).sort("event_id")
+
+
+def _q_knn_join(sf_dir: str):
+    """Batch kNN join: top-5 cosine neighbors for each of the first 100
+    vectors — query matrix broadcast once, one matmul + per-query top-k
+    per corpus block, grouped final head; the corpus never shuffles."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jsonld_ex_ray.ops.similarity import knn_join
+
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qt = qt.filter(pc.less(qt.column("vec_id"), 100))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return knn_join(ds, qt, k=5).sort(["query_id", "sim", "neighbor_id"], descending=[False, True, False])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lineitem_agg": _q_lineitem_agg,
@@ -980,6 +1108,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_clusters": _q_emb_clusters,
         "dedup_lines": _q_dedup_lines,
         "events_top_per_type": _q_events_top_per_type,
+        "events_rolling_1h": _q_events_rolling_1h,
+        "events_quantiles_by_type": _q_events_quantiles_by_type,
+        "orders_no_recent_ship": _q_orders_no_recent_ship,
+        "events_pivot_daily": _q_events_pivot_daily,
+        "events_funnel": _q_events_funnel,
+        "events_value_zscore": _q_events_value_zscore,
+        "knn_join": _q_knn_join,
         "doc_packing": _q_doc_packing,
         "doc_top_tfidf": _q_doc_top_tfidf,
         "top_bigrams": _q_top_bigrams,
@@ -1311,6 +1446,105 @@ def oracle_sql() -> dict[str, str]:
                  AND l.doc_id * 4294967296 + l.line_no = win.w
             GROUP BY l.doc_id
             ORDER BY l.doc_id
+        """,
+        "events_rolling_1h": """
+            SELECT event_id, user_id, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   round(sum(value) OVER w, 2) AS rolling_sum,
+                   count(*) OVER w AS rolling_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "events_quantiles_by_type": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS q25,
+                   round(quantile_cont(value, 0.50), 6) AS q50,
+                   round(quantile_cont(value, 0.90), 6) AS q90
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "orders_no_recent_ship": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > TIMESTAMP '1998-09-01'
+            )
+            ORDER BY o_orderkey
+        """,
+        "events_pivot_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   round(coalesce(sum(value) FILTER (event_type = 'click'), 0), 2) AS sum_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   round(coalesce(sum(value) FILTER (event_type = 'error'), 0), 2) AS sum_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS sum_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   round(coalesce(sum(value) FILTER (event_type = 'signup'), 0), 2) AS sum_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 2) AS sum_view
+            FROM events
+            GROUP BY day
+            ORDER BY day
+        """,
+        "events_funnel": """
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS ts1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), t2 AS (
+              SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+              JOIN t1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id
+            ), t3 AS (
+              SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+              JOIN t2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id
+            )
+            SELECT u.user_id,
+                   CAST(epoch_us(t1.ts1) AS BIGINT) AS step1_us,
+                   CAST(epoch_us(t2.ts2) AS BIGINT) AS step2_us,
+                   CAST(epoch_us(t3.ts3) AS BIGINT) AS step3_us,
+                   (CASE WHEN ts1 IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN ts2 IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN ts3 IS NULL THEN 0 ELSE 1 END) AS stage
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN t1 ON u.user_id = t1.user_id
+            LEFT JOIN t2 ON u.user_id = t2.user_id
+            LEFT JOIN t3 ON u.user_id = t3.user_id
+            ORDER BY u.user_id
+        """,
+        "events_value_zscore": """
+            SELECT event_id, event_type, value,
+                   round((value - avg(value) OVER (PARTITION BY event_type))
+                         / stddev_pop(value) OVER (PARTITION BY event_type), 6) AS z
+            FROM events
+            ORDER BY event_id
+        """,
+        "knn_join": """
+            WITH q AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 100
+            ), c AS (
+              SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings
+            ), sims AS (
+              SELECT q.qid, c.nid,
+                     round(list_cosine_similarity(q.e, c.e), 4) AS sim
+              FROM q, c WHERE q.qid != c.nid
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, nid ASC
+              ) AS rn
+              FROM sims
+            )
+            SELECT qid AS query_id, nid AS neighbor_id, sim
+            FROM r WHERE rn <= 5
+            ORDER BY query_id, sim DESC, neighbor_id
         """,
         "events_top_per_type": """
             SELECT event_type, user_id, sum_value FROM (

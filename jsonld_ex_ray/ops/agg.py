@@ -260,6 +260,29 @@ def distinct_count(ds, col: str, num_buckets: int = 64):
     return pd.DataFrame({"n_distinct": [total]})
 
 
+def distinct_rows(ds, cols: list[str], num_buckets: int = 64):
+    """EXACT ``SELECT DISTINCT cols`` that never ships a value twice:
+    per-block arrow ``group_by(cols)`` dedup (combiner) → ONE bounded
+    shuffle on ``hash(cols) % num_buckets`` → per-bucket vectorized
+    dedup. Result stays a distributed Dataset (one row per distinct key
+    combination) — the set-building primitive under anti/semi joins and
+    dimension extraction."""
+    from .hashing import bucket_ids
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols).group_by(cols).aggregate([])
+        return t.append_column("__bucket", bucket_ids(t, cols, num_buckets, seed=0))
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        return group.drop_columns(["__bucket"]).group_by(cols).aggregate([])
+
+    return (
+        ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+    )
+
+
 def approx_distinct_hll(ds, col: str, precision: int = 12):
     """HyperLogLog count-distinct sketch: each block builds a 2^precision
     register array (vectorized numpy), registers MERGE by elementwise max
@@ -384,6 +407,120 @@ def exact_quantiles(ds, col: str, qs: list[float], bins: int = 8192, round_to: i
         val = v0 + (v1 - v0) * frac
         out[f"q{int(q * 100)}"] = [float(round_half_away(np.array([val]), round_to)[0])]
     return pd.DataFrame(out)
+
+
+def grouped_exact_quantiles(
+    ds,
+    group_col: str,
+    col: str,
+    qs: list[float],
+    bins: int = 4096,
+    round_to: int = 6,
+):
+    """EXACT per-group ``quantile_cont`` — the keyed version of
+    ``exact_quantiles``: three streaming passes, no global sort, no
+    per-group materialization.
+
+    1. per-block ``group_by(group)`` (count, min, max) partials → tiny
+       driver combine (one row per group);
+    2. per-block histogram per group — one ``np.bincount`` over
+       ``group_index * bins + bin`` (vectorized across ALL groups at
+       once), ``n_groups × bins × 8`` bytes per block;
+    3. stream only the values inside each group's target bins and
+       interpolate exactly like SQL ``quantile_cont``.
+
+    Driver state is O(n_groups × bins): sized for analytics-grade group
+    cardinality (types, languages, days — up to ~10⁴ groups at the
+    default ``bins``); for key cardinalities beyond that use
+    ``groupby_agg_bucketed`` percentile sketches instead. → pandas
+    DataFrame(group_col, q<percent>…), one row per group, sorted."""
+    import pandas as pd
+
+    stats = ds.map_batches(
+        lambda b: _partial_table(
+            b,
+            [group_col],
+            {
+                "__cnt": ((col, "count"), _COMBINE_SUM),
+                "__min": ((col, "min"), _COMBINE_MIN),
+                "__max": ((col, "max"), _COMBINE_MAX),
+            },
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    st = stats.groupby(group_col).agg(
+        n=("__cnt", "sum"), lo=("__min", "min"), hi=("__max", "max")
+    ).sort_index()
+    groups = pd.Index(st.index)
+    n_g = len(groups)
+    lo = st["lo"].to_numpy(np.float64)
+    hi = st["hi"].to_numpy(np.float64)
+    ns = st["n"].to_numpy(np.int64)
+    width = (hi - lo) / bins
+    width[width <= 0] = 1.0  # constant-valued group: everything in bin 0
+
+    def cell_ids(batch: pa.Table):
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        gi = groups.get_indexer(batch.column(group_col).to_numpy(zero_copy_only=False))
+        ok = (gi >= 0) & ~np.isnan(v)
+        v, gi = v[ok], gi[ok]
+        b = np.clip(((v - lo[gi]) / width[gi]).astype(np.int64), 0, bins - 1)
+        return v, gi * bins + b, ok
+
+    def hist(batch: pa.Table) -> pa.Table:
+        _v, cells, _ok = cell_ids(batch)
+        counts = np.bincount(cells, minlength=n_g * bins).astype(np.int64)
+        return pa.table({"h": pa.array([counts.tobytes()], pa.binary())})
+
+    hb = ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    counts = np.zeros(n_g * bins, dtype=np.int64)
+    for blob in hb["h"]:
+        counts += np.frombuffer(blob, dtype=np.int64)
+    counts = counts.reshape(n_g, bins)
+    cums = np.cumsum(counts, axis=1)
+
+    plans = []  # (gi, q, k0, k1, frac)
+    need_cells: set[int] = set()
+    for g in range(n_g):
+        n = int(ns[g])
+        if n == 0:
+            continue
+        for q in qs:
+            h = (n - 1) * q
+            k0 = int(np.floor(h))
+            k1 = min(k0 + 1, n - 1)
+            plans.append((g, q, k0, k1, h - k0))
+            for k in (k0, k1):
+                need_cells.add(g * bins + int(np.searchsorted(cums[g], k, side="right")))
+    need = np.array(sorted(need_cells), dtype=np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        v, cells, _ok = cell_ids(batch)
+        keep = np.isin(cells, need)
+        return pa.table({"g": pa.array(cells[keep] // bins, pa.int64()), "v": pa.array(v[keep])})
+
+    picked = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    by_group = {g: np.sort(sub["v"].to_numpy()) for g, sub in picked.groupby("g")}
+
+    out: dict = {group_col: list(groups)}
+    for q in qs:
+        out[f"q{int(q * 100)}"] = [None] * n_g
+    for g, q, k0, k1, frac in plans:
+        cum = cums[g]
+        vals = by_group[g]
+        got = {}
+        for k in (k0, k1):
+            b = int(np.searchsorted(cum, k, side="right"))
+            collected_below = sum(
+                counts[g, c % bins] for c in need if c // bins == g and c % bins < b
+            )
+            below_total = int(cum[b - 1]) if b > 0 else 0
+            got[k] = vals[collected_below + (k - below_total)]
+        val = got[k0] + (got[k1] - got[k0]) * frac
+        out[f"q{int(q * 100)}"][g] = float(round_half_away(np.array([val]), round_to)[0])
+
+    return pd.DataFrame(out).sort_values(group_col).reset_index(drop=True)
 
 
 def topk(ds, sort_cols: list[str], descending: list[bool], k: int):
@@ -565,3 +702,94 @@ def top_per_group(
 
     pre = totals.map_batches(local_head, batch_format="pyarrow", zero_copy_batch=True)
     return pre.groupby(group_col).map_groups(local_head, batch_format="pyarrow")
+
+
+def pivot_agg(
+    ds,
+    key_col: str,
+    pivot_col: str,
+    value_col: str,
+    pivot_values: list[str],
+    *,
+    round_to: int = 2,
+):
+    """Pivot/wide aggregate: one ``n_<v>`` count and ``sum_<v>`` sum
+    column per pivot value, grouped by ``key_col`` — the
+    crosstab/feature-table shape. Pivot columns are materialized as
+    vectorized indicator columns inside ``map_batches`` (absent
+    combinations aggregate to 0, SQL ``coalesce(sum(CASE …), 0)``), then
+    everything rides the map-side-combiner groupby — no shuffle beyond
+    the tiny partial rows. ``pivot_values`` is explicit (schema must be
+    static); values outside the list are ignored."""
+
+    def widen(batch: pa.Table) -> pa.Table:
+        p = batch.column(pivot_col)
+        v = pc.cast(batch.column(value_col), pa.float64())
+        out = batch.select([key_col])
+        for val in pivot_values:
+            hit = pc.equal(p, pa.scalar(val))
+            out = out.append_column(
+                f"__c_{val}", pc.cast(hit, pa.int64())
+            ).append_column(
+                f"__v_{val}",
+                pc.if_else(hit, v, pa.scalar(0.0, pa.float64())),
+            )
+        return out
+
+    aggs = []
+    for val in pivot_values:
+        aggs.append((f"__c_{val}", "sum", f"n_{val}"))
+        aggs.append((f"__v_{val}", "sum", f"sum_{val}", round_to))
+    wide = ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+    return groupby_agg_lowcard(wide, [key_col], aggs)
+
+
+def zscore_by_group(
+    ds,
+    group_col: str,
+    value_col: str,
+    *,
+    out_col: str = "z",
+    round_to: int = 6,
+):
+    """Per-group standardization: ``(x − mean_g) / stddev_pop_g`` — the
+    feature-normalization transform. Group moments (sum, sum-of-squares,
+    count) ride the map-side combiner path (one tiny partial per block,
+    no shuffle), the driver closes them into (mean, σ) per group, and a
+    second streaming pass emits the normalized column — two passes, the
+    corpus never shuffles and never materializes. Assumes non-null
+    values (SQL COUNT(*) semantics in the denominator)."""
+
+    def add_sq(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(value_col), pa.float64())
+        return batch.select([group_col, value_col]).append_column(
+            "__sq", pc.multiply(v, v)
+        )
+
+    stats = groupby_agg_lowcard(
+        ds.map_batches(add_sq, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col],
+        [(value_col, "sum", "__s"), ("__sq", "sum", "__s2"), (value_col, "count", "__n")],
+    )
+    mu = {}
+    sd = {}
+    for _, r in stats.iterrows():
+        n = float(r["__n"])
+        m = r["__s"] / n
+        var = max(r["__s2"] / n - m * m, 0.0)
+        mu[r[group_col]] = m
+        sd[r[group_col]] = float(np.sqrt(var))
+
+    import pandas as pd
+
+    groups = pd.Index(list(mu))
+    mu_a = np.asarray([mu[g] for g in groups])
+    sd_a = np.asarray([sd[g] for g in groups])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        gi = groups.get_indexer(batch.column(group_col).to_numpy(zero_copy_only=False))
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        z = (v - mu_a[gi]) / sd_a[gi]
+        return batch.append_column(out_col, pa.array(round_half_away(z, round_to)))
+
+    return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)

@@ -291,3 +291,31 @@ def range_join_broadcast(
         return batch.append_column(label_col, pa.array(out.tolist(), pa.string()))
 
     return left_ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def anti_join_broadcast(big_ds, small_ds, *, big_on: str, small_on: str):
+    """Keep big-side rows whose key is NOT in the small side (SQL
+    ``NOT EXISTS`` / anti join). The small side's distinct keys are
+    collected once and broadcast via ``ray.put``; each batch drops
+    matches with one vectorized ``is_in``. Exactness is symmetric to the
+    Bloom path's caveat: a Bloom filter cannot serve anti-join semantics
+    (false positives would DROP valid rows), so the key set is exact —
+    the partitioning assumption is that the small side's distinct keys
+    fit in worker memory (use ``hash_join_bucketed`` + null-filter when
+    they don't)."""
+    import pyarrow.compute as pc
+    import ray
+
+    keys = pa.concat_tables(
+        [t for t in ray.get(small_ds.to_arrow_refs()) if t.num_rows]
+    ).column(small_on).combine_chunks()
+    keys = pc.unique(keys)
+    ref = ray.put(keys)
+
+    def drop_matches(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column(big_on), value_set=ks))
+        )
+
+    return big_ds.map_batches(drop_matches, batch_format="pyarrow", zero_copy_batch=True)

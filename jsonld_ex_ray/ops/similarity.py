@@ -278,3 +278,67 @@ def assign_clusters(
         )
 
     return ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_join(
+    ds,
+    query_table: pa.Table,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+    round_to: int = 4,
+):
+    """Batch kNN join: for EVERY query vector, the global top-``k``
+    corpus neighbors by cosine (self-matches by id excluded) — the
+    nearest-neighbor-table primitive under retrieval eval and semantic
+    dedup.
+
+    Ray shape: the (q × d) query matrix broadcasts ONCE via ``ray.put``;
+    each corpus batch does one (b × d)·(d × q) matmul and emits only its
+    per-query top-k survivor rows (``q·k`` rows per block, independent of
+    block height); survivors combine per query in a grouped final head.
+    The corpus never shuffles. Ranking uses the ROUNDED similarity with
+    ``neighbor_id`` tiebreak so the selection is reproducible against a
+    serial oracle. → Dataset(query_id, neighbor_id, sim)."""
+    import pyarrow.compute as pc
+    import ray
+
+    query_id_col = query_id_col or id_col
+    q_ids = np.asarray(query_table.column(query_id_col).to_pylist())
+    q_mat = _normalize(_to_matrix(query_table.column(emb_col)))
+    ref = ray.put((q_ids, q_mat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids_q, qm = ray.get(ref)
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        ids_c = np.asarray(batch.column(id_col).to_pylist())
+        sims = m @ qm.T  # (b, q)
+        sims[np.equal.outer(ids_c, ids_q)] = -np.inf  # self-match excluded
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
+        qi = np.repeat(np.arange(sims.shape[1])[None, :], kk, axis=0)
+        flat_c, flat_q = top.ravel(), qi.ravel()
+        svals = sims[flat_c, flat_q]
+        keep = np.isfinite(svals)
+        return pa.table(
+            {
+                "query_id": pa.array(ids_q[flat_q][keep].tolist()),
+                "neighbor_id": pa.array(ids_c[flat_c][keep].tolist()),
+                "sim": pa.array(round_half_away(svals[keep], round_to), pa.float64()),
+            }
+        )
+
+    def final_head(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("sim", "descending"), ("neighbor_id", "ascending")],
+        )
+        return group.take(idx[:k])
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("query_id")
+        .map_groups(final_head, batch_format="pyarrow")
+    )

@@ -151,6 +151,98 @@ def sliding_window_agg(
     return groupby_agg_lowcard(keyed, ["window_start", *extra_keys], aggs)
 
 
+def rolling_time_agg(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    range_s: int,
+    *,
+    sum_col: str = "rolling_sum",
+    n_col: str = "rolling_n",
+    round_to: int | None = 2,
+    num_buckets: int = 64,
+):
+    """Per-key TIME-RANGE rolling aggregate: for each row, sum/count of
+    ``value_col`` over the key's rows with ``ts`` in
+    ``[ts_i - range_s, ts_i]`` — SQL's ``RANGE BETWEEN <range_s>
+    PRECEDING AND CURRENT ROW`` frame (ties at the current timestamp are
+    peers and included, matching the SQL frame-end rule).
+
+    Ray shape: ONE bounded shuffle on ``hash(key) % num_buckets``, then a
+    fully vectorized per-bucket kernel — sort by (key, ts, id), build a
+    single monotonic combined key ``key_index * base + ts_rel`` so BOTH
+    frame boundaries for every row come from two global
+    ``np.searchsorted`` calls (no per-key Python), and read the sums off
+    one prefix-sum array. Falls back to per-key-segment searchsorted only
+    if ``n_keys_in_bucket × time_span`` would overflow int64 (raise
+    ``num_buckets`` long before that at scale). Emits ``ts_s``
+    (epoch-second BIGINT) for representation-stable hashing.
+    """
+    import numpy as np
+
+    from .hashing import bucket_ids
+
+    range_us = int(range_s) * 1_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_ids(batch, [key_col], num_buckets)
+        )
+
+    def roll_bucket(group: pa.Table) -> pa.Table:
+        from .agg import round_half_away
+
+        us = pc.cast(pc.cast(group.column(ts_col), pa.timestamp("us"), safe=False), pa.int64())
+        g = group.drop_columns([ts_col, "__bucket"]).append_column("__us", us)
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[(key_col, "ascending"), ("__us", "ascending"), (id_col, "ascending")],
+        )
+        g = g.take(idx)
+        usv = g.column("__us").to_numpy()
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        n = len(usv)
+        vals = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if n == 0:
+            left = right = np.zeros(0, np.int64)
+        else:
+            newkey = np.r_[True, keys[1:] != keys[:-1]]
+            kidx = np.cumsum(newkey) - 1  # dense key index, 0-based
+            rel = usv - usv.min()
+            base = int(rel.max()) + range_us + 2
+            if int(kidx[-1]) < (2**62) // base:
+                combined = kidx * base + rel
+                left = np.searchsorted(combined, kidx * base + np.maximum(rel - range_us, 0), side="left")
+                right = np.searchsorted(combined, combined, side="right") - 1
+            else:  # pragma: no cover - astronomically wide bucket
+                left = np.empty(n, np.int64)
+                right = np.empty(n, np.int64)
+                starts = np.r_[np.flatnonzero(newkey), n]
+                for s, e in zip(starts[:-1], starts[1:]):
+                    seg = usv[s:e]
+                    left[s:e] = s + np.searchsorted(seg, seg - range_us, side="left")
+                    right[s:e] = s + np.searchsorted(seg, seg, side="right") - 1
+        pref = np.r_[0.0, np.cumsum(vals)]
+        rsum = pref[right + 1] - pref[left]
+        if round_to is not None:
+            rsum = round_half_away(rsum, round_to)
+        secs = usv // 1_000_000 if n else np.zeros(0, np.int64)
+        return (
+            g.drop_columns(["__us"])
+            .append_column("ts_s", pa.array(secs, pa.int64()))
+            .append_column(sum_col, pa.array(rsum, pa.float64()))
+            .append_column(n_col, pa.array(right - left + 1, pa.int64()))
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(roll_bucket, batch_format="pyarrow")
+    )
+
+
 def keyed_running_sum(
     ds,
     key_col: str,
@@ -220,4 +312,72 @@ def keyed_running_sum(
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
         .map_groups(scan_bucket, batch_format="pyarrow")
+    )
+
+
+def funnel_stages(
+    ds,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    num_buckets: int = 64,
+):
+    """Ordered funnel: per key, the earliest timestamp of step 1, the
+    earliest step-2 event strictly AFTER it, the earliest step-3 event
+    strictly after that, … ``stage`` = number of steps reached (0 when
+    the key never performed step 1). The strict-ordering semantics (each
+    step must happen after the previous step's chosen event) is what
+    product funnels mean and what a per-step min-timestamp chain in SQL
+    reproduces.
+
+    Ray shape: ONE bounded shuffle on ``hash(key) % num_buckets`` (each
+    key's events land whole), then a vectorized per-bucket chain —
+    ``len(steps)`` polars filter+groupby+join rounds over the bucket, no
+    per-key Python. Emits epoch-µs BIGINT step times (nullable) for
+    representation-stable hashing: Dataset(key, step1_us…stepN_us,
+    stage)."""
+    import polars as pl
+
+    from .hashing import bucket_ids
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_ids(batch, [key_col], num_buckets, seed=0)
+        )
+
+    def funnel_bucket(group: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(group.column(ts_col), pa.timestamp("us"), safe=False), pa.int64())
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    key_col: group.column(key_col),
+                    "__t": group.column(type_col),
+                    "__us": us,
+                }
+            )
+        )
+        reached = df.select(key_col).unique()
+        prev_col = None
+        for i, step in enumerate(steps, start=1):
+            ev = df.filter(pl.col("__t") == step)
+            if prev_col is not None:
+                ev = ev.join(
+                    reached.select([key_col, prev_col]), on=key_col, how="inner"
+                ).filter(pl.col("__us") > pl.col(prev_col))
+            col = f"step{i}_us"
+            firsts = ev.group_by(key_col).agg(pl.col("__us").min().alias(col))
+            reached = reached.join(firsts, on=key_col, how="left")
+            prev_col = col
+        stage = pl.sum_horizontal(
+            [pl.col(f"step{i}_us").is_not_null().cast(pl.Int64) for i in range(1, len(steps) + 1)]
+        )
+        out = reached.with_columns(stage.alias("stage")).sort(key_col)
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(funnel_bucket, batch_format="pyarrow")
     )

@@ -1,0 +1,183 @@
+"""Round-3 analytics ops: rolling time windows, grouped quantiles,
+distinct/anti join, pivot, funnel, kNN join, z-score."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_df():
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+def test_rolling_time_agg_matches_pandas(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.window import rolling_time_agg
+
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    got = (
+        rolling_time_agg(ds, "user_id", "ts", "event_id", "value", 3600, round_to=None)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = _events_df()[["event_id", "user_id", "ts", "value"]]
+    rows = []
+    for _uid, sub in df.groupby("user_id"):
+        sub = sub.sort_values(["ts", "event_id"])
+        t = sub.ts.to_numpy()
+        v = sub.value.to_numpy()
+        for i in range(len(sub)):
+            in_win = (t <= t[i]) & (t >= t[i] - np.timedelta64(3600, "s"))
+            rows.append((sub.event_id.iloc[i], v[in_win].sum(), int(in_win.sum())))
+    want = (
+        pd.DataFrame(rows, columns=["event_id", "rolling_sum", "rolling_n"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert (got.rolling_n.to_numpy() == want.rolling_n.to_numpy()).all()
+    np.testing.assert_allclose(got.rolling_sum.to_numpy(), want.rolling_sum.to_numpy(), rtol=1e-9)
+
+
+def test_rolling_time_agg_includes_timestamp_peers(ray_session):
+    """SQL RANGE frame semantics: rows tied on the CURRENT timestamp are
+    peers and count in each other's frame."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.window import rolling_time_agg
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "k": pa.array(["a", "a", "a", "a"]),
+            "ts": pa.array([base, base, base + np.timedelta64(10, "s"), base + np.timedelta64(10, "s")]),
+            "v": pa.array([1.0, 2.0, 4.0, 8.0]),
+        }
+    )
+    out = (
+        rolling_time_agg(ray.data.from_arrow(t), "k", "ts", "id", "v", 5, round_to=None)
+        .to_pandas()
+        .sort_values("id")
+    )
+    # rows 1,2 are peers (frame = both); rows 3,4 are peers 10s later
+    assert out.rolling_n.tolist() == [2, 2, 2, 2]
+    assert out.rolling_sum.tolist() == [3.0, 3.0, 12.0, 12.0]
+
+
+def test_grouped_exact_quantiles_matches_numpy(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import grouped_exact_quantiles
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    got = grouped_exact_quantiles(ds, "event_type", "value", [0.25, 0.5, 0.9])
+    df = _events_df()
+    for _, row in got.iterrows():
+        vals = df[df.event_type == row.event_type].value.to_numpy()
+        for q, col in [(0.25, "q25"), (0.5, "q50"), (0.9, "q90")]:
+            assert abs(row[col] - np.quantile(vals, q)) < 1e-6
+
+
+def test_distinct_rows_and_anti_join(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import distinct_rows
+    from jsonld_ex_ray.ops.joins import anti_join_broadcast
+
+    events = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    uniq = distinct_rows(events, ["user_id"]).to_pandas()
+    df = _events_df()
+    assert sorted(uniq.user_id) == sorted(df.user_id.unique())
+
+    big = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id", "value"])
+    small = events.filter(lambda r: r["event_type"] == "error" and r["value"] > 150.0)
+    got = anti_join_broadcast(big, small, big_on="user_id", small_on="user_id").to_pandas()
+    hot_users = set(df[(df.event_type == "error") & (df.value > 150.0)].user_id)
+    want = df[~df.user_id.isin(hot_users)]
+    assert 0 < len(want) < len(df)  # non-degenerate on this corpus
+    assert sorted(got.event_id) == sorted(want.event_id)
+
+
+def test_pivot_agg_matches_pandas_crosstab(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import pivot_agg
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id", "value"])
+    got = pivot_agg(ds, "user_id", "event_type", "value", ["click", "view"], round_to=6)
+    df = _events_df()
+    for _, row in got.head(20).iterrows():
+        sub = df[df.user_id == row.user_id]
+        for t in ["click", "view"]:
+            m = sub[sub.event_type == t]
+            assert row[f"n_{t}"] == len(m)
+            assert abs(row[f"sum_{t}"] - m.value.sum()) < 1e-5
+
+
+def test_funnel_stages_matches_reference(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.window import funnel_stages
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"])
+    got = (
+        funnel_stages(ds, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    df = _events_df()
+    assert set(got.index) == set(df.user_id.unique())
+    for uid, sub in df.groupby("user_id"):
+        t1 = sub[sub.event_type == "view"].ts.min()
+        t2 = sub[(sub.event_type == "click") & (sub.ts > t1)].ts.min() if pd.notna(t1) else pd.NaT
+        t3 = sub[(sub.event_type == "purchase") & (sub.ts > t2)].ts.min() if pd.notna(t2) else pd.NaT
+        stage = sum(pd.notna(x) for x in (t1, t2, t3))
+        assert got.loc[uid, "stage"] == stage
+        if pd.notna(t1):
+            assert got.loc[uid, "step1_us"] == t1.value // 1000  # ns → µs
+
+
+def test_knn_join_matches_numpy_bruteforce(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.similarity import knn_join
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = tbl.slice(0, 10)
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = knn_join(ds, qt, k=3).to_pandas()
+    assert len(got) == 30
+
+    m = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = np.asarray(tbl.column("vec_id").to_pylist())
+    sims = m[:10] @ m.T
+    for qi in range(10):
+        s = sims[qi].copy()
+        s[ids == ids[qi]] = -np.inf
+        order = np.lexsort((ids, -np.round(s, 4)))[:3]
+        want = set(ids[order])
+        have = set(got[got.query_id == ids[qi]].neighbor_id)
+        assert have == want
+
+
+def test_zscore_by_group_matches_numpy(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import zscore_by_group
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_id", "event_type", "value"])
+    got = zscore_by_group(ds, "event_type", "value").to_pandas().sort_values("event_id")
+    df = _events_df().sort_values("event_id")
+    want = df.groupby("event_type").value.transform(lambda v: (v - v.mean()) / v.std(ddof=0))
+    np.testing.assert_allclose(got.z.to_numpy(), want.to_numpy(), atol=2e-6)
