@@ -1073,6 +1073,53 @@ def _q_knn_join(sf_dir: str):
     return knn_join(ds, qt, k=5).sort(["query_id", "sim", "neighbor_id"], descending=[False, True, False])
 
 
+def _q_user_hitters(sf_dir: str):
+    """Heavy hitters: exact global top-10 users by event count in two
+    streaming passes with O(capacity) state and ZERO shuffle (per-block
+    top-candidates + residual bound, then exact recount of the broadcast
+    candidate set; provably-exact check with bucketed-groupby fallback)."""
+    from jsonld_ex_ray.ops.agg import heavy_hitters
+
+    return heavy_hitters(
+        _read(sf_dir, "events").select_columns(["user_id"]), "user_id", 10
+    )
+
+
+def _q_orders_last_ship(sf_dir: str):
+    """LEFT OUTER two-large-sides join: every order with the epoch-second
+    of its latest post-cutoff shipment (null when none) — bucketed
+    high-card max-aggregate on the fact side, then the tag-union bucketed
+    hash join in left mode; unmatched orders survive with nulls."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import groupby_agg_bucketed
+    from jsonld_ex_ray.ops.joins import hash_join_bucketed
+
+    cutoff = datetime(1998, 9, 1)
+
+    def recent_s(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch.column("l_shipdate"), pa.scalar(cutoff)))
+        ship_s = pc.cast(pc.cast(b.column("l_shipdate"), pa.timestamp("s")), pa.int64())
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "ship_s": ship_s})
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(recent_s, batch_format="pyarrow", zero_copy_batch=True)
+    last = groupby_agg_bucketed(line, ["l_orderkey"], [("ship_s", "max", "last_ship_s")])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    return hash_join_bucketed(
+        orders, last,
+        left_on="o_orderkey", right_on="l_orderkey",
+        right_cols=["last_ship_s"], join_type="left",
+    ).sort("o_orderkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lineitem_agg": _q_lineitem_agg,
@@ -1115,6 +1162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_value_zscore": _q_events_value_zscore,
         "knn_join": _q_knn_join,
+        "user_hitters": _q_user_hitters,
+        "orders_last_ship": _q_orders_last_ship,
         "doc_packing": _q_doc_packing,
         "doc_top_tfidf": _q_doc_top_tfidf,
         "top_bigrams": _q_top_bigrams,
@@ -1545,6 +1594,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid AS query_id, nid AS neighbor_id, sim
             FROM r WHERE rn <= 5
             ORDER BY query_id, sim DESC, neighbor_id
+        """,
+        "user_hitters": """
+            SELECT user_id, count(*) AS n
+            FROM events
+            GROUP BY user_id
+            ORDER BY n DESC, user_id ASC
+            LIMIT 10
+        """,
+        "orders_last_ship": """
+            SELECT o.o_orderkey, o.o_totalprice,
+                   CAST(epoch(max(l.l_shipdate)) AS BIGINT) AS last_ship_s
+            FROM orders o
+            LEFT JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate > TIMESTAMP '1998-09-01'
+            GROUP BY o.o_orderkey, o.o_totalprice
+            ORDER BY o.o_orderkey
         """,
         "events_top_per_type": """
             SELECT event_type, user_id, sum_value FROM (

@@ -793,3 +793,73 @@ def zscore_by_group(
         return batch.append_column(out_col, pa.array(round_half_away(z, round_to)))
 
     return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def heavy_hitters(ds, col: str, k: int, *, capacity: int = 2048):
+    """Global top-``k`` values by count in TWO streaming passes with
+    O(capacity) state per block and ZERO shuffle — the heavy-hitters
+    sketch shape that replaces a full groupby at 100 TB.
+
+    Pass 1 (candidates): each block emits its top-``capacity`` values by
+    local count plus the local residual bound (the count of its first
+    TRIMMED value). Any value whose global count exceeds the sum of the
+    residual bounds must appear in some block's survivors, so the merged
+    candidate set provably contains every such value. Pass 2 (exact):
+    candidate values broadcast once; per-block filtered count partials
+    combine to exact global counts. The result is PROVABLY exact when
+    the k-th candidate count exceeds the summed residual bound — checked
+    at runtime, with an automatic fallback to the bucketed exact groupby
+    when the guarantee fails (flat distributions). → pandas
+    DataFrame(col, n) sorted by (n desc, value)."""
+    import pandas as pd
+    import ray
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        t = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
+        idx = pc.sort_indices(
+            t, sort_keys=[("count_all", "descending"), (col, "ascending")]
+        )
+        t = t.take(idx)
+        kept = t.slice(0, capacity)
+        resid = int(t.column("count_all")[capacity].as_py()) if t.num_rows > capacity else 0
+        return pa.table(
+            {
+                col: kept.column(col),
+                "__n": kept.column("count_all"),
+                "__resid": pa.array([resid] + [0] * (kept.num_rows - 1), pa.int64())
+                if kept.num_rows
+                else pa.array([], pa.int64()),
+            }
+        )
+
+    cand = ds.map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({col: [], "n": []})
+    resid_bound = int(cand["__resid"].sum())
+    values = cand[col].unique()
+    vals_ref = ray.put(pa.array(values))
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column(col), value_set=ray.get(vals_ref))
+        t = batch.filter(keep).select([col]).group_by([col]).aggregate([([], "count_all")])
+        return t.rename_columns([col, "__n"])
+
+    exact = (
+        ds.map_batches(exact_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby(col, as_index=False)["__n"]
+        .sum()
+        .rename(columns={"__n": "n"})
+        .sort_values(["n", col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    incomplete = (
+        (len(exact) >= k and int(exact["n"].iloc[-1]) <= resid_bound)
+        or (len(exact) < k and resid_bound > 0)
+    )
+    if incomplete:
+        # guarantee failed (flat distribution): pay the exact shuffle
+        bucketed = groupby_agg_bucketed(ds, [col], [(col, "count", "n")])
+        return topk(bucketed, ["n", col], [True, False], k).to_pandas()
+    return exact

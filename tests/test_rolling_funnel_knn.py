@@ -181,3 +181,47 @@ def test_zscore_by_group_matches_numpy(ray_session):
     df = _events_df().sort_values("event_id")
     want = df.groupby("event_type").value.transform(lambda v: (v - v.mean()) / v.std(ddof=0))
     np.testing.assert_allclose(got.z.to_numpy(), want.to_numpy(), atol=2e-6)
+
+
+def test_heavy_hitters_exact_and_fallback(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import heavy_hitters
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    df = _events_df()
+    want = (
+        df.groupby("user_id").size().reset_index(name="n")
+        .sort_values(["n", "user_id"], ascending=[False, True])
+        .head(5).reset_index(drop=True)
+    )
+    got = heavy_hitters(ds, "user_id", 5).reset_index(drop=True)
+    assert got.user_id.tolist() == want.user_id.tolist()
+    assert got.n.tolist() == want.n.tolist()
+
+    # capacity 1 on a near-flat distribution: the provably-exact check
+    # fails and the bucketed-groupby fallback must yield the same answer
+    got_fb = heavy_hitters(ds, "user_id", 5, capacity=1).reset_index(drop=True)
+    assert got_fb.user_id.tolist() == want.user_id.tolist()
+    assert got_fb.n.tolist() == want.n.tolist()
+
+
+def test_left_join_bucketed_preserves_unmatched(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.joins import hash_join_bucketed
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()), "x": pa.array(list("abcd"))})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, 4], pa.int64()), "y": pa.array([20.0, 40.0])})
+    )
+    out = (
+        hash_join_bucketed(left, right, left_on="k", right_on="rk", right_cols=["y"], join_type="left")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out.k.tolist() == [1, 2, 3, 4]
+    assert out.y.isna().tolist() == [True, False, True, False]
