@@ -993,10 +993,14 @@ def _q_orders_no_recent_ship(sf_dir: str):
             pc.greater(batch.column("l_shipdate"), pa.scalar(cutoff))
         ).select(["l_orderkey"])
 
-    shipped = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_shipdate"],
-    ).map_batches(recent, batch_format="pyarrow", zero_copy_batch=True)
+    shipped = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_shipdate"],
+        )
+        .repartition(32)  # testdata-shape-specific: 1 row group gates the scan
+        .map_batches(recent, batch_format="pyarrow", zero_copy_batch=True)
+    )
     recent_keys = distinct_rows(shipped, ["l_orderkey"])
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
@@ -1106,9 +1110,13 @@ def _q_orders_last_ship(sf_dir: str):
         ship_s = pc.cast(pc.cast(b.column("l_shipdate"), pa.timestamp("s")), pa.int64())
         return pa.table({"l_orderkey": b.column("l_orderkey"), "ship_s": ship_s})
 
-    line = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_shipdate"]
-    ).map_batches(recent_s, batch_format="pyarrow", zero_copy_batch=True)
+    line = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_shipdate"]
+        )
+        .repartition(32)  # testdata-shape-specific: 1 row group gates the scan
+        .map_batches(recent_s, batch_format="pyarrow", zero_copy_batch=True)
+    )
     last = groupby_agg_bucketed(line, ["l_orderkey"], [("ship_s", "max", "last_ship_s")])
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]

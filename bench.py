@@ -156,6 +156,10 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
         "doc_packing",
         "decontaminate",
         "top_bigrams",
+        "events_rolling_1h",
+        "knn_join",
+        "user_hitters",
+        "orders_last_ship",
     ):
         extra_queries[name] = _best_of(run_query(name))
 
