@@ -1128,6 +1128,65 @@ def _q_orders_last_ship(sf_dir: str):
     ).sort("o_orderkey")
 
 
+def _q_parts_never_heavy(sf_dir: str):
+    """BUCKETED anti join (two large sides, no broadcast): parts never
+    shipped in quantity ≥ 45 — both tables co-locate by hash(partkey) in
+    one tag-union shuffle; arrow's left-anti kernel filters per bucket.
+    The exact-filter-join shape for when the filter side's key set does
+    NOT fit worker memory (contrast orders_no_recent_ship's broadcast)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from jsonld_ex_ray.ops.joins import hash_join_bucketed
+
+    def heavy(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch.column("l_quantity"), pa.scalar(45.0)))
+        return b.select(["l_partkey"])
+
+    line = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity"],
+        )
+        .repartition(32)  # testdata-shape-specific: 1 row group gates the scan
+        .map_batches(heavy, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    )
+    return hash_join_bucketed(
+        part, line, left_on="p_partkey", right_on="l_partkey",
+        right_cols=[], join_type="anti",
+    ).sort("p_partkey")
+
+
+def _q_events_window_users(sf_dir: str):
+    """Distinct count per tumbling window: (window, user) pairs dedup
+    through the bounded distinct-rows shuffle, then the map-side-combiner
+    count — the windowed-cardinality pattern (DAU/WAU)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsonld_ex_ray.ops.agg import distinct_rows, groupby_agg_lowcard
+
+    def assign(batch: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
+        ws = pc.cast(pc.multiply(pc.divide(secs, 3600), 3600), pa.int64())
+        return pa.table(
+            {"window_start": ws, "user_id": batch.column("user_id")}
+        )
+
+    pairs = distinct_rows(
+        _read(sf_dir, "events")
+        .select_columns(["ts", "user_id"])
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        ["window_start", "user_id"],
+    )
+    return groupby_agg_lowcard(pairs, ["window_start"], [("user_id", "count", "n_users")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lineitem_agg": _q_lineitem_agg,
@@ -1172,6 +1231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": _q_knn_join,
         "user_hitters": _q_user_hitters,
         "orders_last_ship": _q_orders_last_ship,
+        "parts_never_heavy": _q_parts_never_heavy,
+        "events_window_users": _q_events_window_users,
         "doc_packing": _q_doc_packing,
         "doc_top_tfidf": _q_doc_top_tfidf,
         "top_bigrams": _q_top_bigrams,
@@ -1619,6 +1680,22 @@ def oracle_sql() -> dict[str, str]:
              AND l.l_shipdate > TIMESTAMP '1998-09-01'
             GROUP BY o.o_orderkey, o.o_totalprice
             ORDER BY o.o_orderkey
+        """,
+        "parts_never_heavy": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45
+            )
+            ORDER BY p_partkey
+        """,
+        "events_window_users": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY window_start
+            ORDER BY window_start
         """,
         "events_top_per_type": """
             SELECT event_type, user_id, sum_value FROM (

@@ -809,8 +809,12 @@ def heavy_hitters(ds, col: str, k: int, *, capacity: int = 2048):
     combine to exact global counts. The result is PROVABLY exact when
     the k-th candidate count exceeds the summed residual bound — checked
     at runtime, with an automatic fallback to the bucketed exact groupby
-    when the guarantee fails (flat distributions). → pandas
-    DataFrame(col, n) sorted by (n desc, value)."""
+    when the guarantee fails (flat distributions). Driver state is the
+    merged candidate set — worst-case ``n_blocks × capacity`` (the flat
+    regime, where the fallback fires anyway), collapsing toward
+    ``capacity`` under the skew the sketch targets (true heavy hitters
+    surface in most blocks and dedup). → pandas DataFrame(col, n) sorted
+    by (n desc, value)."""
     import pandas as pd
     import ray
 

@@ -83,6 +83,12 @@ def hash_join_bucketed(
     hashed join key, join inside each bucket with the vectorized arrow
     hash join. → Dataset(left columns + right_cols).
 
+    ``join_type``: ``inner`` | ``left`` (outer) | ``semi`` | ``anti``.
+    The semi/anti modes are the EXACT two-large-sides filter joins for
+    when the filter side's distinct keys do NOT fit worker memory (the
+    broadcast paths — semi_join_bloom, anti_join_broadcast — stay the
+    cheaper choice when they do); their output carries left columns only.
+
     Pass ``left_schema``/``right_schema`` when the caller knows them:
     ``Dataset.schema()`` on a lazy input triggers execution of its plan,
     which iterative callers (connected_components, pagerank) would pay
@@ -113,7 +119,17 @@ def hash_join_bucketed(
     both = tagged_left.union(tagged_right)
 
     right_keep = [right_on] + [c for c in right_cols if c != right_on]
-    out_cols = left_names + [c for c in right_cols if c not in left_names]
+    filter_join = join_type in ("semi", "anti")
+    out_cols = (
+        left_names
+        if filter_join
+        else left_names + [c for c in right_cols if c not in left_names]
+    )
+    arrow_join = {
+        "left": "left outer",
+        "semi": "left semi",
+        "anti": "left anti",
+    }.get(join_type, join_type)
 
     def join_bucket(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -141,7 +157,7 @@ def hash_join_bucketed(
             right_tbl,
             keys=[left_on],
             right_keys=[right_on],
-            join_type="left outer" if join_type == "left" else join_type,
+            join_type=arrow_join,
         )
         return joined.select(out_cols)
 

@@ -225,3 +225,28 @@ def test_left_join_bucketed_preserves_unmatched(ray_session):
     )
     assert out.k.tolist() == [1, 2, 3, 4]
     assert out.y.isna().tolist() == [True, False, True, False]
+
+
+def test_bucketed_semi_and_anti_join(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.joins import hash_join_bucketed
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64()), "x": pa.array(list("abcde"))})
+    )
+    # duplicate right keys: semi must NOT duplicate left rows
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, 2, 4], pa.int64()), "y": pa.array([1.0, 2.0, 3.0])})
+    )
+    semi = (
+        hash_join_bucketed(left, right, left_on="k", right_on="rk", right_cols=[], join_type="semi")
+        .to_pandas().sort_values("k")
+    )
+    assert semi.k.tolist() == [2, 4]
+    assert list(semi.columns) == ["k", "x"]
+    anti = (
+        hash_join_bucketed(left, right, left_on="k", right_on="rk", right_cols=[], join_type="anti")
+        .to_pandas().sort_values("k")
+    )
+    assert anti.k.tolist() == [1, 3, 5]
