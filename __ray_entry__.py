@@ -848,6 +848,17 @@ def _q_media_features(sf_dir: str):
     return decode_media(ds).sort("media_id")
 
 
+def _q_media_resize(sf_dir: str):
+    """Image resize stage: stdlib PNG decode → numpy bilinear kernel →
+    PNG re-encode, actor pool with small binary batches; codec-less
+    payloads become error rows (rows-only: binary outputs aren't SQL)."""
+    import ray.data
+    from jsonld_ex_ray.ops.multimodal import resize_images, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(200))
+    return resize_images(ds, target_size=(32, 32)).sort("media_id")
+
+
 def _q_kg_triples(sf_dir: str):
     from jsonld_ex_ray.pipeline import build_triples, triples_only
 
@@ -1246,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": _q_ann_recall,
         "emb_dups": _q_emb_dups,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
         "kg_triples": _q_kg_triples,
         "kg_errors": _q_kg_errors,
         "kg_dedup": _q_kg_dedup,

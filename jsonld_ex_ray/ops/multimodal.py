@@ -320,3 +320,149 @@ def synth_media_table(n: int, seed: int = 5) -> pa.Table:
         {"media_id": ids, "kind": kinds, "payload": payloads, "meta": metas},
         schema=MEDIA_SCHEMA,
     )
+
+
+RESIZED_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),  # re-encoded PNG, or null on error
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("error_code", pa.string()),
+    ]
+)
+
+
+def _bilinear_resize(px: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Vectorized bilinear resample (H, W, C) uint8 → (th, tw, C) uint8 —
+    pure numpy, the real kernel a PIL deployment would delegate to."""
+    h, w, c = px.shape
+    if h == th and w == tw:
+        return px
+    # sample positions mapped to source pixel-centre coordinates
+    ys = (np.arange(th) + 0.5) * h / th - 0.5
+    xs = (np.arange(tw) + 0.5) * w / tw - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+class ImageResizer:
+    """Actor-pool resize stage: decode PNG → bilinear resample to
+    ``target_size`` → re-encode PNG. Real end-to-end for PNG inputs
+    (stdlib decode + numpy kernel + stdlib encode); payloads without a
+    stdlib codec surface as error rows with a null payload — never a
+    fake image."""
+
+    def __init__(self, target_size: tuple[int, int] = (32, 32)):
+        self.tw, self.th = int(target_size[0]), int(target_size[1])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {name: [] for name in RESIZED_SCHEMA.names}
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            payload = payload or b""
+            try:
+                if not payload.startswith(_PNG_MAGIC):
+                    raise NotImplementedError("no stdlib decoder")
+                _w, _h, px = _png_decode(payload)
+                resized = _bilinear_resize(px, self.tw, self.th)
+                out["payload"].append(_png_encode(resized))
+                out["width"].append(self.tw)
+                out["height"].append(self.th)
+                out["error_code"].append(None)
+            except Exception as e:
+                out["payload"].append(None)
+                out["width"].append(-1)
+                out["height"].append(-1)
+                out["error_code"].append(type(e).__name__)
+            out["media_id"].append(mid)
+        return pa.Table.from_pydict(out, schema=RESIZED_SCHEMA)
+
+
+def resize_images(ds, target_size=(32, 32), concurrency=(2, 4), batch_size: int = 16):
+    """Resize stage wiring — same actor-pool + small-binary-batch shape
+    as decode_media."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"target_size": target_size},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("frame_idx", pa.int32()),
+        ("ts_ms", pa.int32()),
+        ("payload", pa.binary()),  # null: no stdlib video codec
+        ("error_code", pa.string()),
+    ]
+)
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for video payloads: the sampling
+    GRID (which timestamps to extract, from the source-claimed duration
+    in ``meta``) is real and tested; the pixel decode behind each frame
+    genuinely needs an external codec, so every frame row carries a null
+    payload + ``error_code='NotImplementedError'`` — a libav deployment
+    replaces ONE method (``_decode_frame``) and the schema, fan-out and
+    batch sizing hold unchanged."""
+
+    def __init__(self, every_ms: int = 1000, max_frames: int = 32):
+        self.every_ms = int(every_ms)
+        self.max_frames = int(max_frames)
+
+    def _decode_frame(self, payload: bytes, ts_ms: int) -> bytes:
+        raise NotImplementedError("no stdlib video codec in this container")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {name: [] for name in FRAME_SCHEMA.names}
+        for mid, payload, meta in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("meta").to_pylist(),
+        ):
+            try:
+                dur = int((json.loads(meta) if meta else {}).get("duration_ms", 0))
+            except ValueError:
+                dur = 0
+            n = min(max(dur, 0) // self.every_ms + 1, self.max_frames)
+            for i in range(n):
+                ts = i * self.every_ms
+                try:
+                    frame = self._decode_frame(payload or b"", ts)
+                    err = None
+                except NotImplementedError as e:
+                    frame, err = None, type(e).__name__
+                out["media_id"].append(mid)
+                out["frame_idx"].append(i)
+                out["ts_ms"].append(ts)
+                out["payload"].append(frame)
+                out["error_code"].append(err)
+        return pa.Table.from_pydict(out, schema=FRAME_SCHEMA)
+
+
+def sample_frames(ds, every_ms: int = 1000, concurrency=(2, 4), batch_size: int = 16):
+    """Frame-sampling stage wiring (video rows only upstream)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_ms": every_ms},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -250,3 +250,62 @@ def test_bucketed_semi_and_anti_join(ray_session):
         .to_pandas().sort_values("k")
     )
     assert anti.k.tolist() == [1, 3, 5]
+
+
+def test_image_resize_real_bilinear_roundtrip(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.multimodal import (
+        ImageResizer,
+        _bilinear_resize,
+        _png_decode,
+        resize_images,
+        synth_media_table,
+    )
+
+    # kernel: 2x2 checker -> 4x4, corners must keep their source colors
+    px = np.array([[[0], [255]], [[255], [0]]], dtype=np.uint8)
+    up = _bilinear_resize(px, 4, 4)
+    assert up.shape == (4, 4, 1)
+    assert up[0, 0, 0] == 0 and up[0, 3, 0] == 255
+    assert up[3, 0, 0] == 255 and up[3, 3, 0] == 0
+    # identity resize is exact
+    assert (_bilinear_resize(px, 2, 2) == px).all()
+
+    tbl = synth_media_table(40)
+    out = resize_images(ray.data.from_arrow(tbl), target_size=(16, 16), batch_size=8).to_pandas()
+    assert len(out) == 40
+    src = tbl.to_pandas().set_index("media_id")
+    ok = out[out.error_code.isna()]
+    bad = out[out.error_code.notna()]
+    # every PNG row resizes; every non-PNG row error-rows with null payload
+    assert set(ok.media_id) == set(src[src.kind == "image"].index)
+    assert bad.payload.isna().all()
+    for _, r in ok.head(5).iterrows():
+        w, h, px2 = _png_decode(r.payload)
+        assert (w, h, px2.shape[:2]) == (16, 16, (16, 16))
+
+
+def test_frame_sampler_grid_and_honest_stub(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.multimodal import sample_frames, synth_media_table
+
+    tbl = synth_media_table(60)
+    src = tbl.to_pandas()
+    vids = src[src.kind == "video"]
+    import json as _json
+
+    ds = ray.data.from_arrow(tbl.filter(
+        pa.compute.equal(tbl.column("kind"), pa.scalar("video"))
+    ))
+    out = sample_frames(ds, every_ms=200).to_pandas()
+    # one frame row per 200ms tick per video, capped; all honest error rows
+    want_n = sum(
+        min(int(_json.loads(m).get("duration_ms", 0)) // 200 + 1, 32)
+        for m in vids.meta
+    )
+    assert len(out) == want_n
+    assert out.payload.isna().all()
+    assert (out.error_code == "NotImplementedError").all()
+    assert (out.ts_ms == out.frame_idx * 200).all()
