@@ -1198,6 +1198,17 @@ def _q_events_window_users(sf_dir: str):
     return groupby_agg_lowcard(pairs, ["window_start"], [("user_id", "count", "n_users")])
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Chunk-for-embedding: 512-char windows, stride 384 (overlapping) —
+    vectorized over the chunk index (one arrow slice per index across the
+    whole batch), streaming fan-out, no shuffle."""
+    from jsonld_ex_ray.ops.text import chunk_documents
+
+    return chunk_documents(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]), 512, 384
+    ).sort(["doc_id", "chunk_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lineitem_agg": _q_lineitem_agg,
@@ -1244,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_last_ship": _q_orders_last_ship,
         "parts_never_heavy": _q_parts_never_heavy,
         "events_window_users": _q_events_window_users,
+        "doc_chunks": _q_doc_chunks,
         "doc_packing": _q_doc_packing,
         "doc_top_tfidf": _q_doc_top_tfidf,
         "top_bigrams": _q_top_bigrams,
@@ -1708,6 +1720,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY window_start
             ORDER BY window_start
+        """,
+        "doc_chunks": """
+            SELECT doc_id,
+                   CAST(i.g AS BIGINT) AS chunk_id,
+                   substr(text, CAST(i.g * 384 + 1 AS BIGINT), 512) AS chunk_text,
+                   CAST(length(substr(text, CAST(i.g * 384 + 1 AS BIGINT), 512)) AS BIGINT)
+                     AS n_chunk_chars
+            FROM documents,
+                 unnest(range(0, GREATEST(CAST(ceil(length(text) / 384.0) AS BIGINT), 1)))
+                   AS i(g)
+            ORDER BY doc_id, chunk_id
         """,
         "events_top_per_type": """
             SELECT event_type, user_id, sum_value FROM (

@@ -488,3 +488,54 @@ def doc_top_tfidf(ds, text_col: str = "text", id_col: str = "doc_id", num_bucket
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents(
+    ds,
+    size: int,
+    stride: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chunks: int = 10_000,
+):
+    """Split documents into fixed-size overlapping character windows —
+    the chunk-for-embedding transform. chunk i covers characters
+    ``[i·stride, i·stride + size)``; a document emits chunks until one
+    starts at-or-past its end (every doc emits chunk 0, even when empty).
+
+    Fully vectorized despite per-row lengths: one loop over the CHUNK
+    INDEX (bounded by the longest doc in the batch), each iteration a
+    single arrow ``utf8_slice_codeunits`` + filter over the whole batch —
+    no per-document Python. Stays a streaming map (no shuffle); the
+    fan-out is size-bounded per batch. → Dataset(id, chunk_id,
+    chunk_text, n_chunk_chars)."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        text = pc.cast(batch.column(text_col), pa.string())
+        nchars = pc.utf8_length(text)
+        out_parts = []
+        i = 0
+        max_len = pc.max(nchars).as_py() or 0
+        while i * stride < max(max_len, 1) and i < max_chunks:
+            start = i * stride
+            # docs still emitting at this index: start < n_chars (chunk 0
+            # always emits so empty docs keep one row)
+            alive = pc.greater(nchars, start) if i else pa.array([True] * len(text))
+            sliced = pc.utf8_slice_codeunits(text, start=start, stop=start + size)
+            part = pa.table(
+                {
+                    id_col: ids,
+                    "chunk_id": pa.nulls(len(text), pa.int64()).fill_null(i),
+                    "chunk_text": sliced,
+                    "n_chunk_chars": pc.cast(pc.utf8_length(sliced), pa.int64()),
+                }
+            ).filter(alive)
+            out_parts.append(part)
+            i += 1
+        return pa.concat_tables(out_parts)
+
+    return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)

@@ -309,3 +309,32 @@ def test_frame_sampler_grid_and_honest_stub(ray_session):
     assert out.payload.isna().all()
     assert (out.error_code == "NotImplementedError").all()
     assert (out.ts_ms == out.frame_idx * 200).all()
+
+
+def test_chunk_documents_overlap_unicode_empty(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.text import chunk_documents
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["abcdefghij", "", "héllo wörld ünïcode"]),
+        }
+    )
+    out = (
+        chunk_documents(ray.data.from_arrow(docs), size=6, stride=4)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    assert d1.chunk_text.tolist() == ["abcdef", "efghij", "ij"]  # overlap of 2
+    d2 = out[out.doc_id == 2]
+    assert d2.chunk_text.tolist() == [""]  # empty doc keeps one row
+    d3 = out[out.doc_id == 3]
+    # codepoint (not byte) windows: chunks re-join to the source text
+    assert d3.chunk_text.iloc[0] == "héllo "
+    assert (d3.n_chunk_chars <= 6).all()
+    joined = "".join(t[: min(4, len(t))] for t in d3.chunk_text[:-1]) + d3.chunk_text.iloc[-1]
+    assert joined == "héllo wörld ünïcode"
