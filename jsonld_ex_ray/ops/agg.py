@@ -502,6 +502,15 @@ def grouped_exact_quantiles(
 
     picked = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     by_group = {g: np.sort(sub["v"].to_numpy()) for g, sub in picked.groupby("g")}
+    # per group: its needed bins (sorted) + cumulative collected counts
+    # BELOW each — O(|need|) prep so each plan lookup is a searchsorted,
+    # not a scan over the whole need set
+    g_bins: dict[int, np.ndarray] = {}
+    g_below: dict[int, np.ndarray] = {}
+    for g in np.unique(need // bins):
+        nb = need[need // bins == g] % bins
+        g_bins[int(g)] = nb
+        g_below[int(g)] = np.r_[0, np.cumsum(counts[g, nb])[:-1]]
 
     out: dict = {group_col: list(groups)}
     for q in qs:
@@ -512,9 +521,8 @@ def grouped_exact_quantiles(
         got = {}
         for k in (k0, k1):
             b = int(np.searchsorted(cum, k, side="right"))
-            collected_below = sum(
-                counts[g, c % bins] for c in need if c // bins == g and c % bins < b
-            )
+            pos = int(np.searchsorted(g_bins[g], b))
+            collected_below = int(g_below[g][pos - 1] + counts[g, g_bins[g][pos - 1]]) if pos else 0
             below_total = int(cum[b - 1]) if b > 0 else 0
             got[k] = vals[collected_below + (k - below_total)]
         val = got[k0] + (got[k1] - got[k0]) * frac
