@@ -151,6 +151,39 @@ def sliding_window_agg(
     return groupby_agg_lowcard(keyed, ["window_start", *extra_keys], aggs)
 
 
+def _range_frame_bounds(keys, usv, range_us: int, *, _force_fallback: bool = False):
+    """Per-row [left, right] frame bounds for the SQL RANGE frame
+    ``[ts − range_us, ts]`` over rows sorted by (key, ts, …): frame start
+    is the key's first row with ts ≥ ts_i − range_us, frame end the last
+    PEER (ties included). One combined monotonic key ``key_index · base +
+    ts_rel`` makes both bounds two global ``np.searchsorted`` calls; a
+    per-key-segment fallback covers the (astronomical) int64-overflow
+    case. Pure kernel — property-tested against the O(n²) definition."""
+    import numpy as np
+
+    n = len(usv)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    newkey = np.r_[True, keys[1:] != keys[:-1]]
+    kidx = np.cumsum(newkey) - 1  # dense key index, 0-based
+    rel = usv - usv.min()
+    base = int(rel.max()) + range_us + 2
+    if not _force_fallback and int(kidx[-1]) < (2**62) // base:
+        combined = kidx * base + rel
+        left = np.searchsorted(combined, kidx * base + np.maximum(rel - range_us, 0), side="left")
+        right = np.searchsorted(combined, combined, side="right") - 1
+        return left, right
+    left = np.empty(n, np.int64)
+    right = np.empty(n, np.int64)
+    starts = np.r_[np.flatnonzero(newkey), n]
+    for s, e in zip(starts[:-1], starts[1:]):
+        seg = usv[s:e]
+        left[s:e] = s + np.searchsorted(seg, seg - range_us, side="left")
+        right[s:e] = s + np.searchsorted(seg, seg, side="right") - 1
+    return left, right
+
+
 def rolling_time_agg(
     ds,
     key_col: str,
@@ -205,25 +238,7 @@ def rolling_time_agg(
         keys = g.column(key_col).to_numpy(zero_copy_only=False)
         n = len(usv)
         vals = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        if n == 0:
-            left = right = np.zeros(0, np.int64)
-        else:
-            newkey = np.r_[True, keys[1:] != keys[:-1]]
-            kidx = np.cumsum(newkey) - 1  # dense key index, 0-based
-            rel = usv - usv.min()
-            base = int(rel.max()) + range_us + 2
-            if int(kidx[-1]) < (2**62) // base:
-                combined = kidx * base + rel
-                left = np.searchsorted(combined, kidx * base + np.maximum(rel - range_us, 0), side="left")
-                right = np.searchsorted(combined, combined, side="right") - 1
-            else:  # pragma: no cover - astronomically wide bucket
-                left = np.empty(n, np.int64)
-                right = np.empty(n, np.int64)
-                starts = np.r_[np.flatnonzero(newkey), n]
-                for s, e in zip(starts[:-1], starts[1:]):
-                    seg = usv[s:e]
-                    left[s:e] = s + np.searchsorted(seg, seg - range_us, side="left")
-                    right[s:e] = s + np.searchsorted(seg, seg, side="right") - 1
+        left, right = _range_frame_bounds(keys, usv, range_us)
         pref = np.r_[0.0, np.cumsum(vals)]
         rsum = pref[right + 1] - pref[left]
         if round_to is not None:

@@ -146,3 +146,37 @@ def test_frame_wildcard_never_crashes_and_serializes(doc):
     want = ids_of(expand(doc), set())
     got = ids_of(out, set())
     assert want <= got
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),          # key
+            st.integers(min_value=0, max_value=40),     # coarse ts → many ties
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    range_us=st.integers(min_value=0, max_value=15),
+)
+@settings(max_examples=120, deadline=None)
+def test_range_frame_bounds_match_bruteforce(rows, range_us):
+    """The two-searchsorted RANGE-frame kernel equals the O(n²) frame
+    definition (same key, ts ∈ [ts_i − range, ts_i], ties included) on
+    adversarially tie-heavy inputs — including the per-segment fallback
+    path, which must agree with the fast path."""
+    import numpy as np
+
+    from jsonld_ex_ray.ops.window import _range_frame_bounds
+
+    order = sorted(range(len(rows)), key=lambda i: rows[i])
+    keys = np.array([rows[i][0] for i in order], dtype=object)
+    usv = np.array([rows[i][1] for i in order], dtype=np.int64)
+    left, right = _range_frame_bounds(keys, usv, range_us)
+    fb_left, fb_right = _range_frame_bounds(keys, usv, range_us, _force_fallback=True)
+    assert (left == fb_left).all() and (right == fb_right).all()
+    for i in range(len(rows)):
+        mask = (keys == keys[i]) & (usv >= usv[i] - range_us) & (usv <= usv[i])
+        idxs = np.flatnonzero(mask)
+        assert left[i] == idxs[0]
+        assert right[i] == idxs[-1]
