@@ -456,7 +456,12 @@ def _frame_subjects(
                 subframe = [{"@embed": embed, "@explicit": explicit, "@requireAll": require_all}]
             for obj in objects:
                 if _is_list(obj):
-                    list_frame = [{}]
+                    # implicit list frame inherits the explicit flags, same
+                    # as the non-list implicit subframe — an embedded list
+                    # item must honour the parent's @embed/@explicit
+                    list_frame = [
+                        {"@embed": embed, "@explicit": explicit, "@requireAll": require_all}
+                    ]
                     if (
                         p in frame
                         and isinstance(frame[p], list)

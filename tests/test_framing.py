@@ -723,3 +723,24 @@ def test_wildcard_property_value_object_any():
         "@value": "2024-01-01",
         "@type": "http://www.w3.org/2001/XMLSchema#date",
     }
+
+
+def test_embed_never_applies_inside_lists():
+    """Regression (hypothesis-found): the implicit frame for @list items
+    must inherit @embed/@explicit from the parent like the non-list
+    implicit subframe does — @embed:@never previously leaked full node
+    objects into framed lists."""
+    from jsonld_ex_ray.core import frame
+
+    ctx = {"@vocab": "http://ex.org/", "lst": {"@container": "@list"}}
+    doc = {
+        "@context": ctx,
+        "@id": "http://ex.org/root",
+        "lst": [{"@id": "http://ex.org/a", "name": "A"}],
+    }
+    out = frame(doc, {"@context": ctx, "@embed": "@never"})
+    nodes = out["@graph"]
+    root = next(n for n in nodes if n.get("@id") == "http://ex.org/root")
+    # the list item is a bare reference; its content survives top-level
+    assert root["lst"] == [{"@id": "http://ex.org/a"}]
+    assert any(n.get("name") == "A" for n in nodes)

@@ -180,3 +180,42 @@ def test_range_frame_bounds_match_bruteforce(rows, range_us):
         idxs = np.flatnonzero(mask)
         assert left[i] == idxs[0]
         assert right[i] == idxs[-1]
+
+
+@given(doc=docs())
+@settings(max_examples=60, deadline=None)
+def test_frame_embed_never_emits_only_references(doc):
+    """With ``@embed: @never`` every node VALUE inside a framed property
+    must be a bare reference (an ``{@id}``-only object or scalar), never
+    an embedded node object carrying its own properties — json-ld11-
+    framing §3 (@embed flag) as an invariant over random documents."""
+    from jsonld_ex_ray.core import JsonLdError, frame
+
+    try:
+        out = frame(doc, {"@context": doc["@context"], "@embed": "@never"})
+    except JsonLdError as e:
+        assert e.code == "compaction to list of lists"
+        return
+
+    def check_values(element, depth):
+        if isinstance(element, list):
+            for e in element:
+                check_values(e, depth)
+        elif isinstance(element, dict):
+            node_keys = [
+                k for k in element if k not in ("@id", "@context", "@graph", "@list")
+            ]
+            if depth > 0 and "@value" not in element:
+                # a nested node object must be a pure reference
+                assert node_keys == [], f"embedded node at depth {depth}: {element}"
+            for k, v in element.items():
+                if k == "@context":
+                    continue
+                check_values(v, depth + (0 if k in ("@graph", "@list") else 1))
+
+    top = out.get("@graph", out)
+    for node in top if isinstance(top, list) else [top]:
+        for k, v in node.items():
+            if k in ("@id", "@context"):
+                continue
+            check_values(v, 1)
