@@ -219,3 +219,40 @@ def test_frame_embed_never_emits_only_references(doc):
             if k in ("@id", "@context"):
                 continue
             check_values(v, 1)
+
+
+@given(doc=docs())
+@settings(max_examples=60, deadline=None)
+def test_frame_explicit_prunes_unframed_properties(doc):
+    """With OPTION-level ``explicit=True`` and a frame naming only
+    ``p1``, no other data property may appear anywhere in the output —
+    including inside embedded nodes and framed lists. (Option-level, not
+    frame-level: per spec an explicit ``{}`` subframe's flags fall back
+    to the API options, so a frame-level @explicit legitimately stops at
+    explicitly-framed children.)"""
+    from jsonld_ex_ray.core import JsonLdError, JsonLdOptions, frame
+
+    try:
+        out = frame(
+            doc,
+            {"@context": doc["@context"], "p1": [{}]},
+            JsonLdOptions(explicit=True),
+        )
+    except JsonLdError as e:
+        assert e.code == "compaction to list of lists"
+        return
+
+    banned = {"p2", "p3", "name"}
+
+    def walk(element):
+        if isinstance(element, list):
+            for e in element:
+                walk(e)
+        elif isinstance(element, dict):
+            for k, v in element.items():
+                if k == "@context":
+                    continue
+                assert k not in banned, f"unframed property {k!r} survived @explicit"
+                walk(v)
+
+    walk(out.get("@graph", out))
