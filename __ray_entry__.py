@@ -1209,6 +1209,28 @@ def _q_doc_chunks(sf_dir: str):
     ).sort(["doc_id", "chunk_id"])
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Transitive near-dup CLUSTERS: minhash star pairs → symmetric
+    edges → pointer-doubling connected components → (doc_id, cluster_id
+    = smallest member id). The composition a real dedup pass ships
+    (pairwise keep-min misses chains: a~b, b~c but not a~c). Rows-only:
+    MinHash candidate generation is probabilistic."""
+    import pyarrow as pa
+
+    from jsonld_ex_ray.ops.dedup import minhash_lsh_duplicates
+    from jsonld_ex_ray.ops.graph import connected_components
+
+    dups = minhash_lsh_duplicates(_read(sf_dir, "documents"))
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": batch.column("doc_id"), "dst": batch.column("dup_of")}
+        )
+
+    edges = dups.map_batches(as_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return connected_components(edges).sort("node")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lineitem_agg": _q_lineitem_agg,
@@ -1256,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_never_heavy": _q_parts_never_heavy,
         "events_window_users": _q_events_window_users,
         "doc_chunks": _q_doc_chunks,
+        "dedup_clusters": _q_dedup_clusters,
         "doc_packing": _q_doc_packing,
         "doc_top_tfidf": _q_doc_top_tfidf,
         "top_bigrams": _q_top_bigrams,

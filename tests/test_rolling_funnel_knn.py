@@ -338,3 +338,29 @@ def test_chunk_documents_overlap_unicode_empty(ray_session):
     assert (d3.n_chunk_chars <= 6).all()
     joined = "".join(t[: min(4, len(t))] for t in d3.chunk_text[:-1]) + d3.chunk_text.iloc[-1]
     assert joined == "héllo wörld ünïcode"
+
+
+def test_dedup_clusters_transitive_chain(ray_session):
+    """Pairwise keep-min output chained through connected components:
+    a chain a~b, b~c (a and c NOT direct LSH pairs is fine) must land in
+    ONE cluster labeled by the smallest member."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.dedup import minhash_lsh_duplicates
+    from jsonld_ex_ray.ops.graph import connected_components
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    texts = [base, base + " lambda", base + " lambda mu", "unrelated words entirely " * 12]
+    tbl = pa.table({"doc_id": pa.array([10, 11, 12, 13], pa.int64()), "text": texts})
+    dups = minhash_lsh_duplicates(ray.data.from_arrow(tbl), threshold=0.7)
+
+    def as_edges(batch):
+        return pa.table({"src": batch.column("doc_id"), "dst": batch.column("dup_of")})
+
+    comps = (
+        connected_components(dups.map_batches(as_edges, batch_format="pyarrow"))
+        .to_pandas()
+    )
+    clustered = dict(zip(comps.node.astype(str), comps.component.astype(str)))
+    assert clustered.get("11") == "10" and clustered.get("12") == "10"
+    assert "13" not in clustered  # unrelated doc joins no cluster
