@@ -1209,6 +1209,122 @@ def _q_doc_chunks(sf_dir: str):
     ).sort(["doc_id", "chunk_id"])
 
 
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape (6 tables): revenue by nation where customer and
+    supplier share the nation, region-filtered, date-windowed. Ray plan:
+    region/nation/supplier are DIMENSIONS — broadcast once as dense
+    numpy lookup arrays (suppkey→nation, nation→name); customer⋈orders
+    and lineitem⋈(that) are the two LARGE joins, each one tag-union
+    bucketed shuffle; the same-nation filter and name attach run
+    vectorized inside map_batches; the final rollup rides the 25-key
+    map-side combiner. Supplier stays broadcast-sized at TPC-H scale
+    (10⁴ rows/SF) — were it fact-sized, the same hash_join_bucketed call
+    handles it."""
+    from datetime import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import groupby_agg_lowcard
+    from jsonld_ex_ray.ops.joins import hash_join_bucketed
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    asia = {
+        r["r_regionkey"] for r in region.to_pylist() if r["r_name"] == "ASIA"
+    }
+    nat = {r["n_nationkey"]: (r["n_regionkey"], r["n_name"]) for r in nation.to_pylist()}
+    asia_nations = pa.array(sorted(k for k, (rk, _n) in nat.items() if rk in asia))
+    n_names = np.array(
+        [nat.get(i, (None, ""))[1] for i in range(max(nat) + 1)], dtype=object
+    )
+    supp_nation = np.full(int(pc.max(supplier.column("s_suppkey")).as_py()) + 1, -1, np.int64)
+    supp_nation[supplier.column("s_suppkey").to_numpy()] = supplier.column(
+        "s_nationkey"
+    ).to_numpy()
+    dims_ref = ray.put((asia_nations, n_names, supp_nation))
+
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+
+    def orders_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(batch.column("o_orderdate"), pa.scalar(hi)),
+        )
+        b = batch.filter(keep)
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"), "o_custkey": b.column("o_custkey")}
+        )
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        asia_n, _names, _sn = ray.get(dims_ref)
+        b = batch.filter(pc.is_in(batch.column("c_nationkey"), value_set=asia_n))
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "cust_nation": pc.cast(b.column("c_nationkey"), pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_prep, batch_format="pyarrow", zero_copy_batch=True)
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_prep, batch_format="pyarrow", zero_copy_batch=True)
+    ord_cust = hash_join_bucketed(
+        orders, cust, left_on="o_custkey", right_on="c_custkey", right_cols=["cust_nation"]
+    )
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "__rev": rev,
+            }
+        )
+
+    line = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .repartition(32)  # testdata-shape-specific: 1 row group gates the scan
+        .map_batches(line_prep, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    joined = hash_join_bucketed(
+        line, ord_cust, left_on="l_orderkey", right_on="o_orderkey", right_cols=["cust_nation"]
+    )
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        _asia_n, names, sn = ray.get(dims_ref)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        cust_n = batch.column("cust_nation").to_numpy(zero_copy_only=False)
+        keep = sn[supp] == cust_n
+        b = batch.filter(pa.array(keep))
+        nm = names[b.column("cust_nation").to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {"n_name": pa.array(nm.tolist(), pa.string()), "__rev": b.column("__rev")}
+        )
+
+    local = joined.map_batches(local_only, batch_format="pyarrow", zero_copy_batch=True)
+    out = groupby_agg_lowcard(local, ["n_name"], [("__rev", "sum", "revenue", 2)])
+    return out.sort_values(["revenue", "n_name"], ascending=[False, True]).reset_index(drop=True)
+
+
 def _q_dedup_clusters(sf_dir: str):
     """Transitive near-dup CLUSTERS: minhash star pairs → symmetric
     edges → pointer-doubling connected components → (doc_id, cluster_id
@@ -1279,6 +1395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_users": _q_events_window_users,
         "doc_chunks": _q_doc_chunks,
         "dedup_clusters": _q_dedup_clusters,
+        "local_supplier_volume": _q_local_supplier_volume,
         "doc_packing": _q_doc_packing,
         "doc_top_tfidf": _q_doc_top_tfidf,
         "top_bigrams": _q_top_bigrams,
@@ -1727,6 +1844,18 @@ def oracle_sql() -> dict[str, str]:
              AND l.l_shipdate > TIMESTAMP '1998-09-01'
             GROUP BY o.o_orderkey, o.o_totalprice
             ORDER BY o.o_orderkey
+        """,
+        "local_supplier_volume": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
         """,
         "parts_never_heavy": """
             SELECT p_partkey, p_name, p_retailprice
