@@ -18,8 +18,20 @@ from .agg import round_half_away
 
 
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    lists = col.to_pylist()
-    return np.asarray(lists, dtype=np.float64)
+    """list<float> column → (n, d) float64 matrix. Uniform-length lists
+    (the embedding-table invariant) take the zero-copy path: flatten the
+    arrow child array and reshape — no per-row Python. Ragged input
+    falls back to the Python conversion (and will fail the reshape-free
+    matmul paths loudly if dimensions disagree)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray)) and arr.null_count == 0:
+        offsets = arr.offsets.to_numpy()
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all():
+            # flatten() already honours slicing offsets
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            return flat.reshape(len(arr), int(widths[0]))
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
