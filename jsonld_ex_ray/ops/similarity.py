@@ -57,7 +57,7 @@ def brute_force_topk(
         m = _normalize(_to_matrix(batch.column(emb_col)))
         sims = m @ qn
         idx = np.argsort(-sims)[:k]
-        ids = np.asarray(batch.column(id_col).to_pylist())[idx]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[idx]
         return pa.table(
             {
                 id_col: pa.array(ids.tolist()),
@@ -116,7 +116,7 @@ def ivf_topk(
         if not mask.any():
             return pa.table({id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
         sims = m[mask] @ qn
-        ids = np.asarray(batch.column(id_col).to_pylist())[mask]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[mask]
         idx = np.argsort(-sims)[:k]
         return pa.table(
             {
@@ -153,7 +153,7 @@ def embedding_cosine_duplicates(
         return batch.append_column("bucket", pa.array(a.tolist(), pa.int32()))
 
     def verify(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column(id_col).to_pylist())
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
         m = _normalize(_to_matrix(group.column(emb_col)))
         order = np.argsort(ids, kind="stable")
         ids, m = ids[order], m[order]
@@ -210,7 +210,7 @@ def ivf_recall_at_k(
 
     def local(batch: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(batch.column(emb_col)))
-        ids = np.asarray(batch.column(id_col).to_pylist())
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         assign = np.argmax(m @ centroids.T, axis=1)
         sims = m @ Q.T  # (n, nq)
         out_q, out_id, out_sim, out_kind = [], [], [], []
@@ -318,14 +318,14 @@ def knn_join(
     import ray
 
     query_id_col = query_id_col or id_col
-    q_ids = np.asarray(query_table.column(query_id_col).to_pylist())
+    q_ids = query_table.column(query_id_col).to_numpy(zero_copy_only=False)
     q_mat = _normalize(_to_matrix(query_table.column(emb_col)))
     ref = ray.put((q_ids, q_mat))
 
     def local_topk(batch: pa.Table) -> pa.Table:
         ids_q, qm = ray.get(ref)
         m = _normalize(_to_matrix(batch.column(emb_col)))
-        ids_c = np.asarray(batch.column(id_col).to_pylist())
+        ids_c = batch.column(id_col).to_numpy(zero_copy_only=False)
         sims = m @ qm.T  # (b, q)
         sims[np.equal.outer(ids_c, ids_q)] = -np.inf  # self-match excluded
         kk = min(k, sims.shape[0])
