@@ -328,17 +328,25 @@ def knn_join(
         ids_c = batch.column(id_col).to_numpy(zero_copy_only=False)
         sims = m @ qm.T  # (b, q)
         sims[np.equal.outer(ids_c, ids_q)] = -np.inf  # self-match excluded
+        r = round_half_away(sims, round_to)
         kk = min(k, sims.shape[0])
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
-        qi = np.repeat(np.arange(sims.shape[1])[None, :], kk, axis=0)
-        flat_c, flat_q = top.ravel(), qi.ravel()
-        svals = sims[flat_c, flat_q]
-        keep = np.isfinite(svals)
+        # block-level survivors must be chosen by the SAME key the final
+        # head (and the oracle) ranks on — (rounded sim desc, id asc) —
+        # or a same-block rounded tie at the k boundary could drop the
+        # id-tiebreak winner; one lexsort per query, q is broadcast-sized
+        qs_out, cs_out, ss_out = [], [], []
+        for qi in range(sims.shape[1]):
+            idx = np.lexsort((ids_c, -r[:, qi]))[:kk]
+            fin = np.isfinite(r[idx, qi])
+            idx = idx[fin]
+            qs_out.append(np.full(len(idx), ids_q[qi]))
+            cs_out.append(ids_c[idx])
+            ss_out.append(r[idx, qi])
         return pa.table(
             {
-                "query_id": pa.array(ids_q[flat_q][keep].tolist()),
-                "neighbor_id": pa.array(ids_c[flat_c][keep].tolist()),
-                "sim": pa.array(round_half_away(svals[keep], round_to), pa.float64()),
+                "query_id": pa.array(np.concatenate(qs_out).tolist()),
+                "neighbor_id": pa.array(np.concatenate(cs_out).tolist()),
+                "sim": pa.array(np.concatenate(ss_out), pa.float64()),
             }
         )
 

@@ -364,3 +364,23 @@ def test_dedup_clusters_transitive_chain(ray_session):
     clustered = dict(zip(comps.node.astype(str), comps.component.astype(str)))
     assert clustered.get("11") == "10" and clustered.get("12") == "10"
     assert "13" not in clustered  # unrelated doc joins no cluster
+
+
+def test_knn_join_rounded_tie_at_boundary(ray_session):
+    """Same-block rounded tie exactly at the k boundary: selection must
+    follow (rounded sim desc, id asc) — the duplicate-vector pair ties at
+    sim 1.0 and the SMALLER id must win the k=1 slot."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.similarity import knn_join
+
+    v = [1.0, 0.0, 0.0]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            # ids 3 and 2 are both exact duplicates of the query vector 1
+            "embedding": pa.array([v, v, v], pa.list_(pa.float32())),
+        }
+    )
+    got = knn_join(ray.data.from_arrow(tbl), tbl.slice(0, 1), k=1).to_pandas()
+    assert got.neighbor_id.tolist() == [2]  # smaller id wins the tie
