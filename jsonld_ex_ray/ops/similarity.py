@@ -55,13 +55,15 @@ def brute_force_topk(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(batch.column(emb_col)))
-        sims = m @ qn
-        idx = np.argsort(-sims)[:k]
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[idx]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        r = round_half_away(m @ qn, round_to)
+        # rank on the SAME key as the global sort — (rounded desc, id
+        # asc) — so a rounded tie at the k boundary keeps the id winner
+        idx = np.lexsort((ids, -r))[:k]
         return pa.table(
             {
-                id_col: pa.array(ids.tolist()),
-                "sim": pa.array(round_half_away(sims[idx], round_to).tolist(), pa.float64()),
+                id_col: pa.array(ids[idx].tolist()),
+                "sim": pa.array(r[idx].tolist(), pa.float64()),
             }
         )
 
@@ -115,13 +117,13 @@ def ivf_topk(
         mask = np.isin(assign, list(probe))
         if not mask.any():
             return pa.table({id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
-        sims = m[mask] @ qn
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)[mask]
-        idx = np.argsort(-sims)[:k]
+        r = round_half_away(m[mask] @ qn, round_to)
+        idx = np.lexsort((ids, -r))[:k]  # same key as the global sort
         return pa.table(
             {
                 id_col: pa.array(ids[idx].tolist()),
-                "sim": pa.array(round_half_away(sims[idx], round_to).tolist(), pa.float64()),
+                "sim": pa.array(r[idx].tolist(), pa.float64()),
             }
         )
 
