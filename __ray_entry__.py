@@ -1325,6 +1325,17 @@ def _q_local_supplier_volume(sf_dir: str):
     return out.sort_values(["revenue", "n_name"], ascending=[False, True]).reset_index(drop=True)
 
 
+def _q_doc_normalize(sf_dir: str):
+    """Canonical text normalization (NFC → control strip → whitespace
+    collapse → trim → lowercase) — pure arrow utf8proc/RE2 kernels in one
+    streaming pass."""
+    from jsonld_ex_ray.ops.text import normalize_text
+
+    return normalize_text(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ).sort("doc_id")
+
+
 def _q_dedup_clusters(sf_dir: str):
     """Transitive near-dup CLUSTERS: minhash star pairs → symmetric
     edges → pointer-doubling connected components → (doc_id, cluster_id
@@ -1396,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "dedup_clusters": _q_dedup_clusters,
         "local_supplier_volume": _q_local_supplier_volume,
+        "doc_normalize": _q_doc_normalize,
         "doc_packing": _q_doc_packing,
         "doc_top_tfidf": _q_doc_top_tfidf,
         "top_bigrams": _q_top_bigrams,
@@ -1844,6 +1856,19 @@ def oracle_sql() -> dict[str, str]:
              AND l.l_shipdate > TIMESTAMP '1998-09-01'
             GROUP BY o.o_orderkey, o.o_totalprice
             ORDER BY o.o_orderkey
+        """,
+        "doc_normalize": r"""
+            SELECT doc_id, text,
+                   lower(trim(regexp_replace(
+                     regexp_replace(nfc_normalize(text),
+                                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                     '\s+', ' ', 'g'))) AS text_norm,
+                   CAST(length(lower(trim(regexp_replace(
+                     regexp_replace(nfc_normalize(text),
+                                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                     '\s+', ' ', 'g')))) AS BIGINT) AS n_chars_norm
+            FROM documents
+            ORDER BY doc_id
         """,
         "local_supplier_volume": """
             SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

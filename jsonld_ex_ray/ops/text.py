@@ -539,3 +539,41 @@ def chunk_documents(
         return pa.concat_tables(out_parts)
 
     return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(ds, *, text_col: str = "text", out_col: str = "text_norm"):
+    """Canonical text normalization for training corpora: Unicode NFC →
+    control-character strip → whitespace-run collapse → trim → lowercase.
+    One streaming ``map_batches``, no shuffle. NFC itself: pure-ASCII
+    rows (the overwhelming majority of a code/web corpus) skip it — NFC
+    is the identity there — and only the non-ASCII minority pays a
+    Python ``unicodedata`` pass, because this pyarrow build's
+    ``utf8_normalize`` DECOMPOSES regardless of the requested form
+    (verified: form="NFC" emits e+U+0301 for U+00E9 on pyarrow 16.1).
+    Everything else is arrow RE2/utf8proc kernels. Idempotent."""
+    import unicodedata
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch.column(text_col), pa.string())
+        non_ascii = pc.match_substring_regex(t, r"[^\x00-\x7F]")
+        if pc.any(non_ascii).as_py():
+            import numpy as np
+
+            vals = t.to_pylist()
+            idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
+            for i in idx:
+                if vals[i] is not None:
+                    vals[i] = unicodedata.normalize("NFC", vals[i])
+            t = pa.array(vals, pa.string())
+        t = pc.replace_substring_regex(t, pattern=_CTRL_RE, replacement="")
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        t = pc.utf8_lower(t)
+        return batch.append_column(out_col, t).append_column(
+            "n_chars_norm", pc.cast(pc.utf8_length(t), pa.int64())
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)

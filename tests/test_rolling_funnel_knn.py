@@ -384,3 +384,31 @@ def test_knn_join_rounded_tie_at_boundary(ray_session):
     )
     got = knn_join(ray.data.from_arrow(tbl), tbl.slice(0, 1), k=1).to_pandas()
     assert got.neighbor_id.tolist() == [2]  # smaller id wins the tie
+
+
+def test_normalize_text_idempotent_and_unicode(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.text import normalize_text
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            # decomposed e + combining acute; control char; whitespace runs
+            "text": pa.array(["Café  \t du\x07  MONDE ", "  A\n\nB  "]),
+        }
+    )
+    out = normalize_text(ray.data.from_arrow(docs)).to_pandas().sort_values("doc_id")
+    assert out.text_norm.tolist() == ["café du monde", "a b"]
+    assert out.n_chars_norm.tolist() == [13, 3]
+    # idempotence
+    again = (
+        normalize_text(
+            ray.data.from_arrow(
+                pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                          "text": pa.array(out.text_norm.tolist())})
+            )
+        )
+        .to_pandas().sort_values("doc_id")
+    )
+    assert again.text_norm.tolist() == out.text_norm.tolist()
