@@ -1183,7 +1183,10 @@ def _q_events_window_users(sf_dir: str):
     from jsonld_ex_ray.ops.agg import distinct_rows, groupby_agg_lowcard
 
     def assign(batch: pa.Table) -> pa.Table:
-        secs = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
+        # unit-robust: normalize to µs first (a timestamp[ns] source would
+        # silently scale the windows 1000× through a raw int64 cast)
+        us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us"), safe=False), pa.int64())
+        secs = pc.divide(us, 1_000_000)
         ws = pc.cast(pc.multiply(pc.divide(secs, 3600), 3600), pa.int64())
         return pa.table(
             {"window_start": ws, "user_id": batch.column("user_id")}

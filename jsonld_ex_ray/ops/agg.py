@@ -351,10 +351,10 @@ def exact_quantiles(ds, col: str, qs: list[float], bins: int = 8192, round_to: i
     st = ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     n = int(st.n.sum())
     if n == 0:
-        return pd.DataFrame({f"q{int(q * 100)}": [None] for q in qs})
+        return pd.DataFrame({f"q{int(round(q * 100))}": [None] for q in qs})
     lo, hi = float(st.lo.min()), float(st.hi.max())
     if lo == hi:
-        return pd.DataFrame({f"q{int(q * 100)}": [round(lo, round_to)] for q in qs})
+        return pd.DataFrame({f"q{int(round(q * 100))}": [round(lo, round_to)] for q in qs})
     width = (hi - lo) / bins
 
     def hist(batch: pa.Table) -> pa.Table:
@@ -405,7 +405,7 @@ def exact_quantiles(ds, col: str, qs: list[float], bins: int = 8192, round_to: i
         v0 = picked[rank_of[k0]]
         v1 = picked[rank_of[k1]]
         val = v0 + (v1 - v0) * frac
-        out[f"q{int(q * 100)}"] = [float(round_half_away(np.array([val]), round_to)[0])]
+        out[f"q{int(round(q * 100))}"] = [float(round_half_away(np.array([val]), round_to)[0])]
     return pd.DataFrame(out)
 
 
@@ -514,7 +514,7 @@ def grouped_exact_quantiles(
 
     out: dict = {group_col: list(groups)}
     for q in qs:
-        out[f"q{int(q * 100)}"] = [None] * n_g
+        out[f"q{int(round(q * 100))}"] = [None] * n_g
     for g, q, k0, k1, frac in plans:
         cum = cums[g]
         vals = by_group[g]
@@ -526,7 +526,7 @@ def grouped_exact_quantiles(
             below_total = int(cum[b - 1]) if b > 0 else 0
             got[k] = vals[collected_below + (k - below_total)]
         val = got[k0] + (got[k1] - got[k0]) * frac
-        out[f"q{int(q * 100)}"][g] = float(round_half_away(np.array([val]), round_to)[0])
+        out[f"q{int(round(q * 100))}"][g] = float(round_half_away(np.array([val]), round_to)[0])
 
     return pd.DataFrame(out).sort_values(group_col).reset_index(drop=True)
 
@@ -797,8 +797,14 @@ def zscore_by_group(
     def emit(batch: pa.Table) -> pa.Table:
         gi = groups.get_indexer(batch.column(group_col).to_numpy(zero_copy_only=False))
         v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        z = (v - mu_a[gi]) / sd_a[gi]
-        return batch.append_column(out_col, pa.array(round_half_away(z, round_to)))
+        sd = sd_a[gi]
+        ok = sd > 0.0
+        z = np.zeros_like(v)
+        np.divide(v - mu_a[gi], sd, out=z, where=ok)
+        # constant-valued group: SQL x/0 is NULL, never inf/nan
+        return batch.append_column(
+            out_col, pa.array(round_half_away(z, round_to), mask=~ok)
+        )
 
     return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -322,16 +322,18 @@ def anti_join_broadcast(big_ds, small_ds, *, big_on: str, small_on: str):
     import pyarrow.compute as pc
     import ray
 
-    keys = pa.concat_tables(
-        [t for t in ray.get(small_ds.to_arrow_refs()) if t.num_rows]
-    ).column(small_on).combine_chunks()
-    keys = pc.unique(keys)
+    parts = [t for t in ray.get(small_ds.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return big_ds  # empty small side: NOT EXISTS keeps everything
+    keys = pa.concat_tables(parts).column(small_on).combine_chunks()
+    # SQL NOT EXISTS (l.key = o.key) semantics: a null small-side key
+    # matches nothing (drop it), and a null big-side key survives
+    keys = pc.drop_null(pc.unique(keys))
     ref = ray.put(keys)
 
     def drop_matches(batch: pa.Table) -> pa.Table:
         ks = ray.get(ref)
-        return batch.filter(
-            pc.invert(pc.is_in(batch.column(big_on), value_set=ks))
-        )
+        mask = pc.invert(pc.is_in(batch.column(big_on), value_set=ks))
+        return batch.filter(pc.fill_null(mask, True))
 
     return big_ds.map_batches(drop_matches, batch_format="pyarrow", zero_copy_batch=True)

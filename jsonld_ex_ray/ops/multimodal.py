@@ -423,6 +423,8 @@ class FrameSampler:
     batch sizing hold unchanged."""
 
     def __init__(self, every_ms: int = 1000, max_frames: int = 32):
+        if int(every_ms) <= 0:
+            raise ValueError("every_ms must be positive")
         self.every_ms = int(every_ms)
         self.max_frames = int(max_frames)
 
@@ -437,8 +439,10 @@ class FrameSampler:
             batch.column("meta").to_pylist(),
         ):
             try:
-                dur = int((json.loads(meta) if meta else {}).get("duration_ms", 0))
-            except ValueError:
+                # malformed meta of ANY shape (bad JSON, null duration, a
+                # string) degrades to duration 0, never a dead task
+                dur = int((json.loads(meta) if meta else {}).get("duration_ms", 0) or 0)
+            except (ValueError, TypeError):
                 dur = 0
             n = min(max(dur, 0) // self.every_ms + 1, self.max_frames)
             for i in range(n):

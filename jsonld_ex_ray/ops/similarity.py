@@ -54,6 +54,8 @@ def brute_force_topk(
     qn = q / (np.linalg.norm(q) or 1.0)
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: batch.column(id_col), "sim": pa.array([], pa.float64())})
         m = _normalize(_to_matrix(batch.column(emb_col)))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         r = round_half_away(m @ qn, round_to)
@@ -112,6 +114,8 @@ def ivf_topk(
     probe = set(np.argsort(-(centroids @ qn))[:nprobe].tolist())
 
     def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
         m = _normalize(_to_matrix(batch.column(emb_col)))
         assign = np.argmax(m @ centroids.T, axis=1)
         mask = np.isin(assign, list(probe))
@@ -320,11 +324,21 @@ def knn_join(
     import ray
 
     query_id_col = query_id_col or id_col
+    if query_table.num_rows == 0:
+        raise ValueError("knn_join: query_table has no rows")
     q_ids = query_table.column(query_id_col).to_numpy(zero_copy_only=False)
     q_mat = _normalize(_to_matrix(query_table.column(emb_col)))
     ref = ray.put((q_ids, q_mat))
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], query_table.schema.field(query_id_col).type),
+                    "neighbor_id": pa.array([], query_table.schema.field(query_id_col).type),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
         ids_q, qm = ray.get(ref)
         m = _normalize(_to_matrix(batch.column(emb_col)))
         ids_c = batch.column(id_col).to_numpy(zero_copy_only=False)

@@ -508,8 +508,10 @@ def chunk_documents(
     INDEX (bounded by the longest doc in the batch), each iteration a
     single arrow ``utf8_slice_codeunits`` + filter over the whole batch —
     no per-document Python. Stays a streaming map (no shuffle); the
-    fan-out is size-bounded per batch. → Dataset(id, chunk_id,
-    chunk_text, n_chunk_chars)."""
+    fan-out is size-bounded per batch. ``max_chunks`` bounds the fan-out
+    of a pathological document — exceeding it RAISES (no silent
+    truncation): raise the limit or pre-filter giants. → Dataset(id,
+    chunk_id, chunk_text, n_chunk_chars)."""
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
 
@@ -520,6 +522,12 @@ def chunk_documents(
         out_parts = []
         i = 0
         max_len = pc.max(nchars).as_py() or 0
+        if max_len > max_chunks * stride:
+            raise ValueError(
+                f"document of {max_len} chars exceeds max_chunks={max_chunks} "
+                f"at stride={stride}; raise max_chunks or pre-filter giants "
+                "(refusing to truncate silently)"
+            )
         while i * stride < max(max_len, 1) and i < max_chunks:
             start = i * stride
             # docs still emitting at this index: start < n_chars (chunk 0
@@ -557,17 +565,20 @@ def normalize_text(ds, *, text_col: str = "text", out_col: str = "text_norm"):
     import unicodedata
 
     def norm(batch: pa.Table) -> pa.Table:
-        t = pc.cast(batch.column(text_col), pa.string())
-        non_ascii = pc.match_substring_regex(t, r"[^\x00-\x7F]")
-        if pc.any(non_ascii).as_py():
-            import numpy as np
-
-            vals = t.to_pylist()
-            idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
-            for i in idx:
-                if vals[i] is not None:
-                    vals[i] = unicodedata.normalize("NFC", vals[i])
-            t = pa.array(vals, pa.string())
+        t = pc.cast(batch.column(text_col), pa.string()).combine_chunks()
+        mask = pc.fill_null(pc.match_substring_regex(t, r"[^\x00-\x7F]"), False)
+        if pc.any(mask).as_py():
+            # only the flagged rows cross into Python; the ASCII majority
+            # stays in arrow (replace_with_mask scatters the fixed rows)
+            flagged = t.filter(mask)
+            fixed = pa.array(
+                [
+                    unicodedata.normalize("NFC", v) if v is not None else None
+                    for v in flagged.to_pylist()
+                ],
+                pa.string(),
+            )
+            t = pc.replace_with_mask(t, mask, fixed)
         t = pc.replace_substring_regex(t, pattern=_CTRL_RE, replacement="")
         t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
         t = pc.utf8_trim_whitespace(t)

@@ -412,3 +412,38 @@ def test_normalize_text_idempotent_and_unicode(ray_session):
         .to_pandas().sort_values("doc_id")
     )
     assert again.text_norm.tolist() == out.text_norm.tolist()
+
+
+def test_review_fixes_edge_cases(ray_session):
+    """Review-found edges: empty/null-key anti join, constant-group
+    z-score nulls, chunk fan-out cap raises instead of truncating."""
+    import pytest
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import zscore_by_group
+    from jsonld_ex_ray.ops.joins import anti_join_broadcast
+    from jsonld_ex_ray.ops.text import chunk_documents
+
+    big = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, None], pa.int64()), "x": pa.array([1.0, 2.0, 3.0])})
+    )
+    # empty small side: NOT EXISTS keeps everything
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert anti_join_broadcast(big, empty, big_on="k", small_on="k").count() == 3
+    # null keys: a null small-side key matches nothing; null big rows survive
+    nulls = ray.data.from_arrow(pa.table({"k": pa.array([2, None], pa.int64())}))
+    out = anti_join_broadcast(big, nulls, big_on="k", small_on="k").to_pandas()
+    assert sorted(out.x) == [1.0, 3.0]
+
+    # constant group: SQL x/0 is NULL, never inf
+    t = pa.table({"g": pa.array(["a", "a", "b", "b"]), "v": pa.array([5.0, 5.0, 1.0, 3.0])})
+    z = zscore_by_group(ray.data.from_arrow(t), "g", "v").to_pandas()
+    assert z[z.g == "a"].z.isna().all()
+    assert z[z.g == "b"].z.notna().all()
+
+    # chunk cap: loud failure, not silent truncation
+    giant = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["x" * 100])})
+    with pytest.raises(Exception, match="max_chunks"):
+        chunk_documents(
+            ray.data.from_arrow(giant), size=4, stride=2, max_chunks=3
+        ).to_pandas()
