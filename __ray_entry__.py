@@ -1344,8 +1344,12 @@ def _q_dedup_clusters(sf_dir: str):
     edges → pointer-doubling connected components → (doc_id, cluster_id
     = smallest member id). The composition a real dedup pass ships
     (pairwise keep-min misses chains: a~b, b~c but not a~c). Rows-only:
-    MinHash candidate generation is probabilistic."""
+    MinHash candidate generation is probabilistic. CC compares labels as
+    STRINGS, so integer ids are zero-padded on the way in (unpadded,
+    '10' < '9' would crown the wrong keep-min representative) and cast
+    back to int64 on the way out."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from jsonld_ex_ray.ops.dedup import minhash_lsh_duplicates
     from jsonld_ex_ray.ops.graph import connected_components
@@ -1353,12 +1357,24 @@ def _q_dedup_clusters(sf_dir: str):
     dups = minhash_lsh_duplicates(_read(sf_dir, "documents"))
 
     def as_edges(batch: pa.Table) -> pa.Table:
+        def pad(col):
+            return pc.utf8_lpad(pc.cast(col, pa.string()), 20, "0")
+
         return pa.table(
-            {"src": batch.column("doc_id"), "dst": batch.column("dup_of")}
+            {"src": pad(batch.column("doc_id")), "dst": pad(batch.column("dup_of"))}
+        )
+
+    def unpad(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(batch.column("node"), pa.int64()),
+                "component": pc.cast(batch.column("component"), pa.int64()),
+            }
         )
 
     edges = dups.map_batches(as_edges, batch_format="pyarrow", zero_copy_batch=True)
-    return connected_components(edges).sort("node")
+    comps = connected_components(edges)
+    return comps.map_batches(unpad, batch_format="pyarrow", zero_copy_batch=True).sort("node")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

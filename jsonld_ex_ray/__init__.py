@@ -45,6 +45,16 @@ def _stabilize_fsspec_http() -> None:
     class HTTPFileSystem(fsspec.AbstractFileSystem):  # pragma: no cover
         protocol = ("http", "https")
 
+        def __init__(self, *a, **kw):
+            # the stub exists only so the import is deterministic and
+            # isinstance checks return False; anyone actually building an
+            # http filesystem still gets the actionable dependency error,
+            # not a nonfunctional AbstractFileSystem
+            raise ImportError(
+                "HTTPFileSystem requires aiohttp, which is not installed "
+                "(stub registered by jsonld_ex_ray for import stability)"
+            )
+
     mod.HTTPFileSystem = HTTPFileSystem
     sys.modules["fsspec.implementations.http"] = mod
     fsspec.implementations.http = mod

@@ -254,7 +254,11 @@ def _perm_params_cached(num_perm: int, _params={}):
 
 def _shingles(text: str, k: int) -> np.ndarray:
     """Unique 64-bit hashes of the word k-grams — vectorized rolling
-    combination of per-word hashes (no per-gram string building)."""
+    combination of per-word hashes (no per-gram string building).
+    Tokenization is ``str.split()``, which matches Arrow's
+    ``utf8_split_whitespace`` + empty-drop exactly — verified including
+    the \\x1c-\\x1f separators (utf8proc splits on them too), see
+    test_batch_and_perdoc_tokenization_parity."""
     words = (text or "").split()
     if not words:
         return np.array([0], dtype=np.uint64)
@@ -380,9 +384,15 @@ _DEDUP_LOSER_BROADCAST_MAX = 2_000_000
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
     """Keep the min-id row per distinct text. Returns the surviving rows.
 
-    The dedup key is a 128-bit pair of independently-seeded vectorized
-    stable hashes of the text (ops/hashing.py — no per-row Python sha
-    loop; collision odds at 10^10 docs ≈ 10^-19).
+    The dedup key is a 128-bit composite of two polynomial hashes of the
+    text evaluated at independently-seeded bases (ops/hashing.py — no
+    per-row Python sha loop, one shared word-gather pass). Independent
+    bases matter: a finisher-only seed would make both halves collide
+    together whenever one 64-bit rowsum collides (expected once per ~4·10⁹
+    equal-length docs); with two bases a simultaneous collision needs the
+    difference polynomial to vanish at both points (~2⁻¹²⁸-class for
+    non-adversarial corpora; mod-2^64 polynomial caveats apply to
+    adversarial inputs).
 
     Scale shape: the CORPUS NEVER SHUFFLES. Only (k1, k2, id) key rows —
     ~24 bytes each, pre-combined to distinct keys per block — take the
@@ -395,7 +405,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
 
     import polars as pl
 
-    from .hashing import hash_strings
+    from .hashing import hash_strings_pair
 
     def _min_id_mask(tbl: pa.Table) -> pa.Array:
         # keep rows whose id is the per-key minimum — vectorized window
@@ -406,10 +416,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
         return m.to_arrow().column(0).cast(pa.bool_())
 
     def _keys(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        return (
-            hash_strings(batch.column(text_col), seed=11),
-            hash_strings(batch.column(text_col), seed=12),
-        )
+        # two polynomial bases over one shared word-gather (hashing.py):
+        # a real 128-bit composite key at half the previous cost
+        return hash_strings_pair(batch.column(text_col), 11, 12)
 
     def key_rows(batch: pa.Table) -> pa.Table:
         k1, k2 = _keys(batch)
@@ -528,13 +537,18 @@ def _band_rows(ds, *, num_perm: int, bands: int, shingle_k: int, text_col: str, 
 
 
 # collision runs at or below this size emit ALL pairs (exact recall of the
-# classic LSH candidate set); larger runs emit STAR pairs only — min-id
-# representative vs every other member. Star emission is O(run) instead of
-# O(run²): a boilerplate cluster of 10^6 identical docs emits 10^6-1 pairs
-# per band, not 5·10^11. Star pairs are sufficient for ``dup_of`` keep-min
-# semantics (cluster closure via ops.graph.connected_components); for
-# jaccard PAIR mining they under-report intra-run pairs beyond the cap,
-# which is the documented cap behaviour.
+# classic LSH candidate set); larger runs emit STAR + CHAIN pairs — min-id
+# representative vs every member, plus each consecutive id pair. Emission
+# is O(run) instead of O(run²): a boilerplate cluster of 10^6 identical
+# docs emits ~2·10^6 pairs per band, not 5·10^11. Recall caveat (inherent
+# to ANY sub-quadratic run emission): a member of a >cap run whose pairwise
+# jaccard clears the threshold only against some OTHER non-adjacent member
+# can be missed when both its star and chain pairs fail verification —
+# large band-collision runs are near-identical clusters in practice, which
+# is why the star survives verification there. Keep-min `dup_of`
+# consumers get transitive closure via ops.graph.connected_components
+# (see __ray_entry__._q_dedup_clusters); raw PAIR mining beyond the cap
+# under-reports intra-run pairs, which is the documented cap behaviour.
 _ALL_PAIRS_RUN_CAP = 32
 
 
@@ -587,10 +601,14 @@ def _candidate_pairs(band_ds, *, id_col: str, num_buckets: int = 64):
                 a_idx.extend(pos[xs].tolist())
                 b_idx.extend(pos[ys].tolist())
             else:
-                # star: representative (min id) vs every other member
+                # star (min-id rep vs rest) + chain (consecutive ids):
+                # 2(n-1) pairs — the chain recovers clusters whose members
+                # resemble their neighbours more than the representative
                 n_starred += 1
                 a_idx.extend([int(pos[0])] * (n - 1))
                 b_idx.extend(pos[1:].tolist())
+                a_idx.extend(pos[1:-1].tolist())
+                b_idx.extend(pos[2:].tolist())
         if n_starred:
             import logging
 
@@ -731,13 +749,17 @@ def _verify_pairs_joined(ds, pairs_ds, *, shingle_k, threshold, text_col, id_col
                 return 1.0
             return len(sa & sb) / len(sa | sb)
 
-        scores = [j(a, b) for a, b in zip(a_ids, b_ids)]
+        # gate on the ROUNDED score, exactly like the driver path — the
+        # same corpus must yield the same dup set whichever side of the
+        # count gate it lands on (a raw-value gate here kept 0.7999996
+        # at threshold 0.8 only when the corpus was small)
+        scores = [round(j(a, b), 6) for a, b in zip(a_ids, b_ids)]
         keep = pa.array([s >= threshold for s in scores])
         out = pa.table(
             {
                 "doc_a": batch.column("doc_a"),
                 "doc_b": batch.column("doc_b"),
-                "jaccard": pa.array([round(s, 6) for s in scores], pa.float64()),
+                "jaccard": pa.array(scores, pa.float64()),
             }
         )
         return out.filter(keep)
@@ -963,7 +985,7 @@ def decontaminate(
         n_grams = np.where(counts >= ngram, counts - ngram + 1, 0)
         return pa.table(
             {
-                "doc_id": batch.column(id_col),
+                id_col: batch.column(id_col),  # output keeps the caller's id name
                 "n_ngrams": pa.array(n_grams, pa.int64()),
                 "n_contaminated": pa.array(n_hits, pa.int64()),
                 "contaminated": pa.array(n_hits >= min_hits),
@@ -1139,8 +1161,20 @@ def dedup_lines(ds, *, text_col: str = "text", id_col: str = "doc_id", num_bucke
         )
 
     def keep_first(group: pa.Table) -> pa.Table:
-        doc = group.column("__doc").to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc = group.column("__doc").to_numpy(zero_copy_only=False)
+        if not np.issubdtype(doc.dtype, np.integer):
+            raise TypeError(
+                f"dedup_lines requires integer {id_col!r} ids (got {doc.dtype}); "
+                "the (doc, line_no) order key packs into one uint64"
+            )
         lno = group.column("__line_no").to_numpy(zero_copy_only=False).astype(np.uint64)
+        if (doc < 0).any() or int(doc.max(initial=0)) >= (1 << 32) or int(lno.max(initial=0)) >= (1 << 32):
+            # silent uint64 wrap would crown the WRONG first occurrence
+            raise ValueError(
+                "dedup_lines packed order key needs doc ids and line counts "
+                "in [0, 2^32); got values outside that range"
+            )
+        doc = doc.astype(np.uint64)
         packed = (doc << np.uint64(32)) | lno
         import polars as pl
 

@@ -37,8 +37,10 @@ def connected_components(
     stats: dict | None = None,
 ):
     """Min-label propagation WITH pointer doubling → Dataset(node,
-    component) where ``component`` is the smallest node id in the
-    connected component (undirected). Each iteration is (a) one min-label
+    component) where ``component`` is the LEXICOGRAPHICALLY smallest node
+    id in the connected component (undirected; ids are compared as
+    strings — numeric-id callers wanting numeric-min labels must
+    zero-pad, see __ray_entry__._q_dedup_clusters). Each iteration is (a) one min-label
     propagation over edges (bucketed join + bucketed min-agg) and (b) one
     path-shortcutting step ``label[v] ← label[label[v]]`` (a bucketed
     self-join of the label table): propagation alone needs O(diameter)

@@ -10,14 +10,20 @@ asserted against golden constants in tests/test_ops.py.
 
 String hashing is a polynomial over 8-byte little-endian words
 
-    H(s) = Σ_j (w_j + 1) · Q^j      (mod 2^64)
+    H_seed(s) = Σ_j (w_j + 1) · Q_seed^j      (mod 2^64)
 
 where w_j packs bytes 8j..8j+7 of the string (zero-padded tail; the
 length is mixed into the splitmix64 finisher, so tail padding cannot
-collide with explicit NUL bytes). Working at word granularity does 8×
-fewer uint64 operations than a byte polynomial and replaces the
-buffer-long serial prefix chain with one word-level cumsum — measured
-several-GB/s-class instead of ~100 MB/s.
+collide with explicit NUL bytes) and Q_seed is a seed-derived odd base.
+The SEED ENTERS THE POLYNOMIAL BASE, not just the finisher: two seeds
+give two polynomial evaluations at independent points, so a pair of
+seeded hashes forms a genuinely ~128-bit composite key (a finisher-only
+seed would make every seed a bijection of one seed-independent rowsum —
+equal-length 64-bit collisions would collide under EVERY seed at once).
+Working at word granularity does 8× fewer uint64 operations than a byte
+polynomial and replaces the buffer-long serial prefix chain with one
+word-level cumsum — measured several-GB/s-class instead of ~100 MB/s;
+``hash_strings_pair`` shares the word gather between two seeds.
 """
 
 from __future__ import annotations
@@ -64,9 +70,23 @@ def _powers(n: int, base: np.uint64) -> np.ndarray:
     return pw
 
 
+def _word_base(seed: int) -> np.uint64:
+    """Seed-derived odd polynomial base (odd ⇒ full period mod 2^64)."""
+    if seed == 0:
+        return _Q  # seed-0 keeps the documented canonical base
+    return np.uint64(int(_splitmix64(np.full(1, seed, np.uint64) * _Q)[0]) | 1)
+
+
 def _hash_string_array(a: pa.Array, seed: int) -> np.ndarray:
+    return _hash_string_array_multi(a, (seed,))[0]
+
+
+def _hash_string_array_multi(a: pa.Array, seeds: tuple) -> list[np.ndarray]:
+    """One word-gather pass, one weighted cumsum PER SEED (the gather —
+    offsets, fancy index, tail masking — dominates; sharing it nearly
+    halves a two-seed key build)."""
     if len(a) == 0:
-        return np.empty(0, np.uint64)
+        return [np.empty(0, np.uint64) for _ in seeds]
     if pa.types.is_large_string(a.type) or pa.types.is_large_binary(a.type):
         off_dtype = np.int64
     else:
@@ -106,19 +126,27 @@ def _hash_string_array(a: pa.Array, seed: int) -> np.ndarray:
             mask = (np.uint64(1) << (rem[sel] << np.uint64(3))) - np.uint64(1)
             w[tail[sel]] &= mask
         w += np.uint64(1)  # distinguish all-zero words from absent words
-        w *= _powers(int(nwords.max()) - 1, _Q)[local]
+        rowsums = []
+        max_deg = int(nwords.max()) - 1
         csum = np.empty(total + 1, np.uint64)
         csum[0] = 0
-        np.cumsum(w, out=csum[1:])
-        rowsum = csum[wstart[1:]] - csum[wstart[:-1]]
+        for seed in seeds:
+            ws = w * _powers(max_deg, _word_base(seed))[local]
+            np.cumsum(ws, out=csum[1:])
+            rowsums.append(csum[wstart[1:]] - csum[wstart[:-1]])
     else:
-        rowsum = np.zeros(len(a), np.uint64)
+        rowsums = [np.zeros(len(a), np.uint64) for _ in seeds]
 
-    out = _splitmix64(rowsum ^ _splitmix64(lens.view(np.uint64) + _seed_mix(seed)))
-    if a.null_count:
-        mask = np.asarray(a.is_null())
-        out[mask] = _splitmix64(np.full(int(mask.sum()), _NULL_SALT) ^ _seed_mix(seed))
-    return out
+    null_mask = np.asarray(a.is_null()) if a.null_count else None
+    outs = []
+    for seed, rowsum in zip(seeds, rowsums):
+        out = _splitmix64(rowsum ^ _splitmix64(lens.view(np.uint64) + _seed_mix(seed)))
+        if null_mask is not None:
+            out[null_mask] = _splitmix64(
+                np.full(int(null_mask.sum()), _NULL_SALT) ^ _seed_mix(seed)
+            )
+        outs.append(out)
+    return outs
 
 
 def hash_strings(arr, seed: int = 0) -> np.ndarray:
@@ -131,6 +159,23 @@ def hash_strings(arr, seed: int = 0) -> np.ndarray:
             return np.empty(0, np.uint64)
         return np.concatenate([_hash_string_array(c, seed) for c in arr.chunks])
     return _hash_string_array(arr, seed)
+
+
+def hash_strings_pair(arr, seed1: int, seed2: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two independently-seeded hashes of one string column sharing the
+    word-gather pass — the 128-bit composite-key builder for dedup."""
+    if isinstance(arr, (list, np.ndarray)):
+        arr = pa.array(arr, pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        if arr.num_chunks == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        parts = [_hash_string_array_multi(c, (seed1, seed2)) for c in arr.chunks]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+    outs = _hash_string_array_multi(arr, (seed1, seed2))
+    return outs[0], outs[1]
 
 
 def combine_hashes(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -120,7 +120,7 @@ def _triple_key_cols(batch: pa.Table, num_buckets: int) -> pa.Table:
     group-by state. The hash is the version-stable kernel from
     ops/hashing.py — identical on every worker of a mixed-version
     cluster, unlike library (polars/pandas) hashes."""
-    from .ops.hashing import hash_strings
+    from .ops.hashing import hash_strings_pair
 
     cols = ["graph", "subj", "pred", "obj", "obj_datatype", "obj_lang"]
     # \x00 keeps null distinct from empty string; \x1f guards boundaries
@@ -128,8 +128,9 @@ def _triple_key_cols(batch: pa.Table, num_buckets: int) -> pa.Table:
         *[pc.fill_null(batch.column(c).cast(pa.string()), "\x00") for c in cols],
         "\x1f",
     )
-    k1 = hash_strings(joined, seed=1)
-    k2 = hash_strings(joined, seed=2)
+    # two seeds = two polynomial BASES (ops/hashing.py): a genuine 128-bit
+    # composite key, computed over one shared word-gather pass
+    k1, k2 = hash_strings_pair(joined, 1, 2)
     bucket = (k1 % np.uint64(num_buckets)).astype(np.int32)
     batch = batch.append_column("tk1", pa.array(k1, pa.uint64()))
     batch = batch.append_column("tk2", pa.array(k2, pa.uint64()))
@@ -629,28 +630,62 @@ def _claim_shard(state_dir: str, shard: int, token: str) -> bool:
     with open(tmp, "w") as f:
         f.write(token)
     try:
-        for _ in range(2):
-            try:
-                os.link(tmp, claim)
-                return True
-            except FileExistsError:
-                content = _read_claim(claim)
-                if content == token:
-                    return True  # already ours (re-entry)
-                pid = _claim_pid(content)
-                if pid and _pid_alive(pid):
-                    return False  # live concurrent writer (process OR thread)
-                # stale claim from a killed run: break it and retry
+        # the whole examine-and-break sequence runs under the host-local
+        # claims mutex: an unlink-based stale-break WITHOUT it races (two
+        # stealers both diagnose stale → both unlink → the second unlink
+        # removes the first's freshly-linked LIVE claim → double-claim).
+        # flock serializes stealers across processes AND threads (each
+        # holder has its own open file description); claim files still
+        # carry the pid so staleness survives process crashes, and the
+        # lock itself evaporates with its holder.
+        with _claims_mutex(state_dir):
+            for _ in range(2):
                 try:
-                    os.unlink(claim)
-                except FileNotFoundError:
-                    pass
-        return False
+                    os.link(tmp, claim)
+                    return True
+                except FileExistsError:
+                    content = _read_claim(claim)
+                    if content == token:
+                        return True  # already ours (re-entry)
+                    pid = _claim_pid(content)
+                    if pid and _pid_alive(pid):
+                        return False  # live concurrent writer
+                    # stale claim from a killed run: safe to break — no
+                    # other examiner can interleave under the mutex
+                    try:
+                        os.unlink(claim)
+                    except FileNotFoundError:
+                        pass
+            return False
     finally:
         try:
             os.unlink(tmp)
         except FileNotFoundError:
             pass
+
+
+class _claims_mutex:
+    """Host-local advisory lock serializing claim examination/breaking
+    (``flock`` on one lockfile per state dir). Multi-node clusters
+    partition shards per node by design (see _claim_shard), so host-local
+    exclusion is exactly the needed scope."""
+
+    def __init__(self, state_dir: str):
+        self._path = os.path.join(state_dir, ".claims.lock")
+
+    def __enter__(self):
+        import fcntl
+
+        self._f = open(self._path, "a+")
+        fcntl.flock(self._f.fileno(), fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._f.fileno(), fcntl.LOCK_UN)
+        self._f.close()
+        return False
 
 
 def _read_claim(path: str) -> str:
@@ -678,17 +713,20 @@ def _pid_alive(pid: int) -> bool:
 
 
 def _sweep_stale_claims(state_dir: str) -> None:
-    """Unlink claim files whose writer died (kill -9 leaves them behind)."""
-    for name in os.listdir(state_dir):
-        if not name.endswith(".claim"):
-            continue
-        path = os.path.join(state_dir, name)
-        pid = _claim_pid(_read_claim(path))
-        if not pid or not _pid_alive(pid):
-            try:
-                os.unlink(path)
-            except FileNotFoundError:
-                pass
+    """Unlink claim files whose writer died (kill -9 leaves them behind).
+    Runs under the claims mutex: an unguarded sweep could interleave with
+    a concurrent steal and remove a just-relinked live claim."""
+    with _claims_mutex(state_dir):
+        for name in os.listdir(state_dir):
+            if not name.endswith(".claim"):
+                continue
+            path = os.path.join(state_dir, name)
+            pid = _claim_pid(_read_claim(path))
+            if not pid or not _pid_alive(pid):
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
 
 
 def _release_claim(state_dir: str, shard: int) -> None:

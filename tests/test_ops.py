@@ -56,9 +56,9 @@ def test_minhash_lsh_finds_near_dups(ray_session):
 
 
 def test_lsh_boilerplate_cluster_bounded_pairs(ray_session):
-    """A planted 5k-member identical-doc cluster must emit star pairs —
-    ≤ bands·(run−1) candidates, not O(run²) — and still dedup every
-    member to the min-id representative."""
+    """A planted 5k-member identical-doc cluster must emit star+chain
+    pairs — ≤ 2·bands·(run−1) candidates, not O(run²) — and still dedup
+    every member to the min-id representative."""
     import ray.data
     from jsonld_ex_ray.ops.dedup import (
         _band_rows,
@@ -76,7 +76,7 @@ def test_lsh_boilerplate_cluster_bounded_pairs(ray_session):
         ds, num_perm=64, bands=bands, shingle_k=3, text_col="text", id_col="doc_id"
     )
     raw_pairs = _candidate_pairs(band_ds, id_col="doc_id").count()
-    assert 0 < raw_pairs <= bands * (n - 1)  # star emission, not run²
+    assert 0 < raw_pairs <= 2 * bands * (n - 1)  # star+chain, not run²
 
     dups = minhash_lsh_duplicates(ds, bands=bands, threshold=0.8).to_pandas()
     assert len(dups) == n - 1

@@ -447,3 +447,41 @@ def test_review_fixes_edge_cases(ray_session):
         chunk_documents(
             ray.data.from_arrow(giant), size=4, stride=2, max_chunks=3
         ).to_pandas()
+
+
+def test_seeded_string_hashes_are_decorrelated():
+    """Regression (review-found): the seed must enter the polynomial BASE.
+    An engineered base-Q (seed-0) collision between two equal-length
+    strings must NOT collide under other seeds — otherwise the '128-bit'
+    two-seed dedup key degrades to 64 bits (every rowsum collision kills
+    both halves at once)."""
+    from jsonld_ex_ray.ops.hashing import _Q, hash_strings, hash_strings_pair
+
+    Q, M = int(_Q), 1 << 64
+    a, c, b = 0x1111111111111111, 0x2222222222222222, 0x3333333333333333
+    d = (b + (a - c) * pow(Q, -1, M)) % M  # (a+1)+(b+1)Q == (c+1)+(d+1)Q
+    s1 = a.to_bytes(8, "little") + b.to_bytes(8, "little")
+    s2 = c.to_bytes(8, "little") + d.to_bytes(8, "little")
+    arr = pa.array([s1, s2], pa.binary())
+    h0 = hash_strings(arr, 0)
+    assert h0[0] == h0[1]  # the engineered seed-0 collision
+    h11, h12 = hash_strings_pair(arr, 11, 12)
+    assert h11[0] != h11[1] and h12[0] != h12[1]
+    # pair path == two independent single-seed calls
+    assert (h11 == hash_strings(arr, 11)).all()
+    assert (h12 == hash_strings(arr, 12)).all()
+
+
+def test_batch_and_perdoc_tokenization_parity():
+    """The batch kernels tokenize with arrow utf8_split_whitespace, the
+    per-doc paths with str.split(): both must agree — including the
+    \\x1c-\\x1f separators utf8proc also treats as whitespace."""
+    import pyarrow.compute as pc
+
+    probes = ["a\x1cb c", " x y ", "a\x85b", "tab\tsep", "", "  ",
+              "a\xa0b", "　z　", "a\x1d\x1e\x1fb"]
+    arrow = [
+        [t for t in row if t]
+        for row in pc.utf8_split_whitespace(pa.array(probes)).to_pylist()
+    ]
+    assert arrow == [p.split() for p in probes]
