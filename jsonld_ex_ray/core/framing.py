@@ -97,8 +97,13 @@ def _expand_frame_object(active: Context, frame: Any) -> Any:
             if value == [] or value == {}:
                 out["@id"] = value if value == [] else [{}]
             else:
+                # a {} wildcard may also arrive ARRAY-WRAPPED ({"@id": [{}]});
+                # non-strings must bypass expand_iri (its memo key would be
+                # unhashable) and survive as the wildcard they are
                 out["@id"] = [
                     expand_iri(active, v, document_relative=True)
+                    if isinstance(v, str)
+                    else v
                     for v in _as_array(value)
                 ]
         elif expanded_key == "@type":
@@ -222,6 +227,8 @@ def _node_pattern_match(state, pattern: dict, obj: Any) -> bool:
         return False
     node = state.current_nodes().get(obj["@id"], obj)
     ids = pattern.get("@id")
+    if ids == []:
+        return False  # §2.2 match-none (empty list is falsy — check first)
     if ids and ids != [{}] and {} not in _as_array(ids):
         if obj["@id"] not in _as_array(ids):
             return False
@@ -302,16 +309,20 @@ def _filter_subject(state, subject: dict, frame: dict, require_all: bool) -> boo
             if require_all:
                 return False
             continue
-        pattern = frame_vals[0] if frame_vals and isinstance(frame_vals[0], dict) else {}
-        if _is_value(pattern) or any(
-            k in pattern for k in ("@value",)
-        ):
-            if any(_value_pattern_match(pattern, o) for o in subject[prop]):
-                matches_some = True
-            elif require_all:
-                return False
-        elif pattern and ("@id" in pattern or "@type" in pattern):
-            if any(_node_pattern_match(state, pattern, o) for o in subject[prop]):
+        # spec: an ARRAY of patterns matches when ANY pattern matches —
+        # not just the first element
+        dict_pats = [fv for fv in frame_vals if isinstance(fv, dict)]
+        value_pats = [p for p in dict_pats if _is_value(p)]
+        node_pats = [
+            p for p in dict_pats if not _is_value(p) and ("@id" in p or "@type" in p)
+        ]
+        if value_pats or node_pats:
+            hit = any(
+                _value_pattern_match(p, o) for p in value_pats for o in subject[prop]
+            ) or any(
+                _node_pattern_match(state, p, o) for p in node_pats for o in subject[prop]
+            )
+            if hit:
                 matches_some = True
             elif require_all:
                 return False
@@ -356,8 +367,11 @@ def _add_output(parent, prop: str | None, value: Any) -> None:
 
 
 def _remove_embed(state: _FrameState, sid: str) -> None:
-    """@once collision: remove the earlier embed, replacing it with a node
-    reference (the spec's removeEmbed)."""
+    """@last collision: remove the earlier embed, replacing it with a node
+    reference (the spec's removeEmbed), including list-holder parents
+    (@reverse/@included/top-level), then drop the removed subtree's own
+    embeds-map entries so descendants re-embed instead of emitting refs
+    to nodes no longer in the output."""
     embeds = state.unique_embeds[state.graph]
     entry = embeds.get(sid)
     if not entry:
@@ -369,6 +383,22 @@ def _remove_embed(state: _FrameState, sid: str) -> None:
             ref if (isinstance(v, dict) and v.get("@id") == sid) else v
             for v in parent[prop]
         ]
+    elif isinstance(parent, list):
+        for i, v in enumerate(parent):
+            if isinstance(v, dict) and v.get("@id") == sid:
+                parent[i] = ref
+    _remove_dependents(embeds, sid)
+
+
+def _remove_dependents(embeds: dict, sid: str) -> None:
+    for other in list(embeds):
+        e = embeds.get(other)
+        if e is None:
+            continue
+        p = e.get("parent")
+        if isinstance(p, dict) and p.get("@id") == sid:
+            del embeds[other]
+            _remove_dependents(embeds, other)
 
 
 def _frame_subjects(
@@ -391,6 +421,11 @@ def _frame_subjects(
     require_all = _flag(frame, "@requireAll", o.require_all)
     if embed not in ("@once", "@always", "@never", "@last", "@link", True, False, None):
         raise JsonLdError("invalid @embed value", repr(embed))
+    if embed == "@link":
+        # valid per spec but unimplemented (linked/shared node objects are
+        # not JSON-serializable output) — fail loudly like jsonld.js
+        # rather than silently behaving as @always
+        raise JsonLdError("invalid @embed value", "@embed: @link is not implemented")
     if embed is True:
         embed = "@once"
     if embed is False:
@@ -423,10 +458,14 @@ def _frame_subjects(
 
         state.subject_stack.append((subject, state.graph))
 
-        # named-graph recursion: the matched node names a graph and the
-        # frame asks for its contents
-        if sid in state.graph_map and "@graph" in frame:
-            subframe = frame["@graph"][0] if frame["@graph"] else {}
+        # named-graph recursion (§3.1 step 4.5.1): the matched node names
+        # a graph — recurse with the frame's @graph subframe, or with a
+        # wildcard {} when the frame has none; never for @merged/@default
+        if sid in state.graph_map and sid not in ("@merged", "@default"):
+            if "@graph" in frame:
+                subframe = frame["@graph"][0] if frame["@graph"] else {}
+            else:
+                subframe = {}
             state.graph_stack.append(state.graph)
             state.graph = sid
             state.unique_embeds.setdefault(sid, {})
@@ -448,7 +487,6 @@ def _frame_subjects(
                 continue
             if explicit and p not in frame:
                 continue
-            subframe = [{}]
             if p in frame and isinstance(frame[p], list) and frame[p] and isinstance(frame[p][0], dict):
                 subframe = [frame[p][0]]
             else:
@@ -534,21 +572,28 @@ def _frame_subjects(
         # @included: frame ALL subjects against each included subframe and
         # attach the matches alongside the node (json-ld11-framing §3.1)
         if "@included" in frame and isinstance(frame["@included"], list):
-            for inc_frame in frame["@included"]:
-                holder: list = []
-                # included matches are their own result trees (embedded
-                # False: fresh unique-embed space, full embedding even if
-                # the node already appears inside the main tree)
-                _frame_subjects(
-                    state,
-                    sorted(state.current_nodes().keys()),
-                    [inc_frame if isinstance(inc_frame, dict) else {}],
-                    holder,
-                    None,
-                    embedded=False,
-                )
-                if holder:
-                    output.setdefault("@included", []).extend(holder)
+            # included matches are their own result trees (embedded=False:
+            # fresh unique-embed space, full embedding even if the node
+            # already appears inside the main tree) — but the fresh space
+            # is SCOPED to the recursion: the outer tree's embed-once
+            # bookkeeping is restored afterwards, or later siblings of
+            # this node would re-embed already-embedded nodes
+            saved_embeds = state.unique_embeds
+            try:
+                for inc_frame in frame["@included"]:
+                    holder: list = []
+                    _frame_subjects(
+                        state,
+                        sorted(state.current_nodes().keys()),
+                        [inc_frame if isinstance(inc_frame, dict) else {}],
+                        holder,
+                        None,
+                        embedded=False,
+                    )
+                    if holder:
+                        output.setdefault("@included", []).extend(holder)
+            finally:
+                state.unique_embeds = saved_embeds
 
         # @reverse framing
         if "@reverse" in frame and isinstance(frame["@reverse"], dict):
@@ -678,6 +723,10 @@ def frame_expanded(
     _frame_subjects(
         state, sorted(state.current_nodes().keys()), [frame_obj], results, None
     )
+    if options.processing_mode == "json-ld-1.0":
+        # pruneBlankNodeIdentifiers defaults from processing mode: 1.0
+        # framing retains every blank-node @id
+        return results
     counts: dict[str, int] = {}
     _count_bnodes(results, counts)
     return _prune_bnodes(results, counts)

@@ -191,4 +191,11 @@ def canonical_quads(quads: list[tuple]) -> list[tuple]:
             return ("bnode", mapping.get(term[1], term[1]))
         return term
 
-    return sorted({(m(s), m(p), m(o), m(g)) for s, p, o, g in quads})
+    # sort key: a default-graph quad carries graph=None, a named-graph
+    # quad a ("iri"|"bnode", label) tuple — mixed shapes reach the graph
+    # slot whenever (s,p,o) tie (same triple asserted in both graphs) and
+    # None<tuple comparison raises TypeError; () orders before any tuple
+    return sorted(
+        {(m(s), m(p), m(o), m(g)) for s, p, o, g in quads},
+        key=lambda q: (q[0], q[1], q[2], q[3] if q[3] is not None else ()),
+    )

@@ -281,3 +281,19 @@ def test_urdna2015_adversarial_symmetric_graphs():
             shuffled = [(m(s), p, m(o), g) for s, p, o, g in quads]
             rng.shuffle(shuffled)
             assert canonical_quads(shuffled) == canon
+
+
+def test_urdna_same_triple_in_default_and_named_graph():
+    """Regression (review-found): sorting quads whose graph slot mixes
+    None (default graph) and tuples (named graphs) raised TypeError when
+    an identical (s,p,o) appeared in both."""
+    from jsonld_ex_ray.core.urdna2015 import canonical_quads
+
+    s = ("bnode", "b0")
+    p = ("iri", "http://ex/p")
+    o = ("iri", "http://ex/o")
+    quads = [(s, p, o, None), (s, p, o, ("iri", "http://ex/g"))]
+    out = canonical_quads(quads)
+    assert len(out) == 2
+    graphs = {q[3] for q in out}
+    assert None in graphs and ("iri", "http://ex/g") in graphs

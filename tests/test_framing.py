@@ -744,3 +744,118 @@ def test_embed_never_applies_inside_lists():
     # the list item is a bare reference; its content survives top-level
     assert root["lst"] == [{"@id": "http://ex.org/a"}]
     assert any(n.get("name") == "A" for n in nodes)
+
+
+def test_array_wrapped_id_wildcard_does_not_crash():
+    """{"@id": [{}]} — the array-wrapped wildcard must behave like {} and
+    never reach expand_iri with an unhashable value."""
+    from jsonld_ex_ray.core import frame
+
+    doc = {"@context": {"@vocab": "http://ex/"}, "@id": "http://ex/a", "p": "v"}
+    out = frame(doc, {"@context": doc["@context"], "@id": [{}]})
+    nodes = out.get("@graph", [out])
+    assert any(n.get("@id") == "http://ex/a" for n in nodes)
+
+
+def test_value_pattern_array_matches_any():
+    """spec: an ARRAY of value patterns matches when ANY pattern matches,
+    not only the first element."""
+    from jsonld_ex_ray.core import frame
+
+    ctx = {"@vocab": "http://ex/"}
+    doc = {
+        "@context": ctx,
+        "@graph": [
+            {"@id": "http://ex/x", "p": "b"},
+            {"@id": "http://ex/y", "p": "z"},
+        ],
+    }
+    out = frame(doc, {"@context": ctx, "p": [{"@value": "a"}, {"@value": "b"}]})
+    ids = {n.get("@id") for n in out.get("@graph", [out])}
+    assert "http://ex/x" in ids and "http://ex/y" not in ids
+
+
+def test_node_pattern_empty_id_array_matches_none():
+    """A property subframe {"@id": []} is match-none for node values."""
+    from jsonld_ex_ray.core import frame
+
+    ctx = {"@vocab": "http://ex/"}
+    doc = {
+        "@context": ctx,
+        "@graph": [
+            {"@id": "http://ex/x", "p": {"@id": "http://ex/t"}},
+            {"@id": "http://ex/y", "q": "s"},
+        ],
+    }
+    out = frame(
+        doc, {"@context": ctx, "@requireAll": True, "p": {"@id": []}}
+    )
+    ids = {n.get("@id") for n in out.get("@graph", [out])}
+    assert "http://ex/x" not in ids
+
+
+def test_embed_link_raises_not_implemented():
+    import pytest
+
+    from jsonld_ex_ray.core import JsonLdError, frame
+
+    doc = {"@context": {"@vocab": "http://ex/"}, "p": "v"}
+    with pytest.raises(JsonLdError):
+        frame(doc, {"@context": doc["@context"], "@embed": "@link"})
+
+
+def test_processing_mode_10_keeps_blank_node_ids():
+    from jsonld_ex_ray.core import JsonLdOptions, frame
+
+    ctx = {"@vocab": "http://ex/"}
+    # anonymous inner node, embedded exactly once under a NAMED root (a
+    # wildcard frame would re-emit the bnode top-level, making it
+    # doubly-referenced and legitimately unpruned)
+    doc = {"@context": ctx, "@id": "http://ex/a", "p": {"q": "v"}}
+    out11 = frame(doc, {"@context": ctx, "@id": "http://ex/a"})
+    out10 = frame(
+        doc,
+        {"@context": ctx, "@id": "http://ex/a"},
+        JsonLdOptions(processing_mode="json-ld-1.0"),
+    )
+
+    def has_bnode_id(e):
+        if isinstance(e, list):
+            return any(has_bnode_id(x) for x in e)
+        if isinstance(e, dict):
+            v = e.get("@id")
+            return (isinstance(v, str) and v.startswith("_:")) or any(
+                has_bnode_id(x) for k, x in e.items() if k != "@id"
+            )
+        return False
+
+    assert not has_bnode_id(out11)  # 1.1 prunes singly-used bnode ids
+    assert has_bnode_id(out10)  # 1.0 retains them
+
+
+def test_included_recursion_restores_outer_embed_tracking():
+    """@included frames get fresh embed space, but the OUTER tree's
+    embed-once bookkeeping must survive: q must emit a reference for the
+    node already embedded under p, even after @included ran between
+    them."""
+    from jsonld_ex_ray.core import frame
+
+    ctx = {"@vocab": "http://ex/"}
+    doc = {
+        "@context": ctx,
+        "@id": "http://ex/a",
+        "p": {"@id": "http://ex/x", "name": "X"},
+        "q": {"@id": "http://ex/x"},
+    }
+    out = frame(
+        doc,
+        {"@context": ctx, "@id": "http://ex/a",
+         "p": {"@included": [{"@id": "http://ex/x"}]}, "q": {}},
+    )
+    node = out if "@graph" not in out else next(
+        n for n in out["@graph"] if n.get("@id") == "http://ex/a"
+    )
+    p_val, q_val = node["p"], node["q"]
+    embedded = [v for v in (p_val, q_val) if isinstance(v, dict) and "name" in v]
+    refs = [v for v in (p_val, q_val) if isinstance(v, dict) and list(v) == ["@id"]]
+    assert len(embedded) == 1 and len(refs) == 1  # @once: one embed + one ref
