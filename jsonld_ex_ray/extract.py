@@ -29,7 +29,9 @@ _FENCE_RE = re.compile(r"```(?:json(?:ld)?|json-ld)\s*\n(.*?)```", re.DOTALL)
 _CONTEXT_TOKEN = '"@context"'
 
 # scan caps — bound worst-case cost per row at corpus scale
-MAX_CONTENT_BYTES = 8 * 1024 * 1024  # beyond this: truncation error record
+MAX_CONTENT_BYTES = 8 * 1024 * 1024  # CHARACTER cap; beyond: error record
+
+_SCRIPT_CLOSE_RE = re.compile(r"</script", re.IGNORECASE)
 MAX_EMBEDDED_CANDIDATES = 64  # "@context" occurrences scanned per file
 MAX_BACKTRACK = 16384  # chars walked back to find the enclosing "{"
 
@@ -69,18 +71,30 @@ def register_detector(name: str, fn, prepend: bool = False) -> None:
         DETECTORS.append(entry)
 
 
-def extract_payloads(content: str, lang: str, path: str) -> tuple[list[str], list[str]]:
-    """→ (payload_json_strings, errors). Deterministic, bounded."""
+def extract_payloads(
+    content: str, lang: str, path: str, detectors: list | None = None
+) -> tuple[list[str], list[str]]:
+    """→ (payload_json_strings, errors). Deterministic, bounded.
+    ``detectors`` overrides the module registry (pipelines snapshot the
+    DRIVER's registry and ship it to workers — a bare module global never
+    leaves the driver process)."""
     errors: list[str] = []
     if content is None:
-        return [], errors
+        # a null content cell is data loss the lineage must record, not
+        # silently skip (per-row errors must never vanish)
+        return [], ["missing content (null cell or undecodable source)"]
     if len(content) > MAX_CONTENT_BYTES:
-        return [], [f"content exceeds {MAX_CONTENT_BYTES} bytes; skipped"]
+        # the cap counts CHARACTERS (UTF-8 byte length would cost an
+        # extra full encode on the hot path; multibyte content may reach
+        # ~4x this in bytes — the bound exists to catch pathological
+        # inputs, not to be a precise byte quota)
+        return [], [f"content exceeds {MAX_CONTENT_BYTES} characters; skipped"]
 
     lang = (lang or "").lower()
+    path = path or ""
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
 
-    for _, detector in DETECTORS:
+    for _, detector in DETECTORS if detectors is None else detectors:
         result = detector(content, lang, ext)
         if result is not None:
             return result
@@ -98,7 +112,15 @@ def extract_payloads(content: str, lang: str, path: str) -> tuple[list[str], lis
     payloads: list[str] = []
 
     # 2. HTML script blocks
-    if lang in _HTML_LANGS or ext in ("html", "htm", "xhtml") or "<script" in content[:4096].lower() or "</script>" in content.lower():
+    # gate: bounded-prefix check, then a compiled IGNORECASE search — never
+    # content.lower(), which allocates a full copy of an up-to-8M string
+    # per row just to answer a yes/no
+    if (
+        lang in _HTML_LANGS
+        or ext in ("html", "htm", "xhtml")
+        or "<script" in content[:4096].lower()
+        or _SCRIPT_CLOSE_RE.search(content) is not None
+    ):
         for m in _SCRIPT_RE.finditer(content):
             block = m.group(1).strip()
             if not block:

@@ -55,7 +55,13 @@ def build_triples(
         )
     else:
         ds = source
-    ds = ds.map_batches(extract_batch, batch_format="pyarrow", zero_copy_batch=True)
+    # snapshot the DRIVER's detector registry into the task closure —
+    # register_detector mutations never reach worker processes otherwise
+    from .stages.extract import make_extract_batch
+
+    ds = ds.map_batches(
+        make_extract_batch(), batch_format="pyarrow", zero_copy_batch=True
+    )
     if context_registry is None and options is None:
         # static registry → task-based kernel with per-worker cached state
         # (no actor-pool startup, elastic scheduling; see stages/triples.py)
@@ -215,6 +221,19 @@ def _relabel_doc(group: pa.Table) -> pa.Table:
         rows = rows.set_column(
             rows.schema.get_field_index(col), col, pa.array(vals, pa.string())
         )
+    # linker-produced canon columns (EntityLinker runs BEFORE this stage)
+    # carry pass-through bnode labels — rewrite them too, or they dangle
+    # against the relabeled subj/obj
+    for col, is_obj in (("subj_canon", False), ("obj_canon", True)):
+        if col in rows.schema.names:
+            old = rows.column(col).to_pylist()
+            vals = [
+                canon(v, True if not is_obj else k == "bnode")
+                for v, k in zip(old, kinds)
+            ]
+            rows = rows.set_column(
+                rows.schema.get_field_index(col), col, pa.array(vals, pa.string())
+            )
     return rows.sort_by(
         [("graph", "ascending"), ("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
     )

@@ -44,6 +44,11 @@ def clean_corpus(
         import pyarrow.compute as pc
         import ray
 
+        # the near-dup branch consumes the cleaned stream three times
+        # (band rows, candidate-text fetch, final drop filter) —
+        # checkpoint it once in the object store or the quality +
+        # repetition + exact-dedup chain re-executes per consumer
+        ds = ds.materialize()
         dups = minhash_lsh_duplicates(ds).materialize()
         if dups.count():
             tbls = [t for t in ray.get(dups.to_arrow_refs()) if t.num_rows]

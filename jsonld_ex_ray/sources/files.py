@@ -35,7 +35,9 @@ def read_jsonld_files(paths, **build_kwargs):
             try:
                 contents.append(body.decode("utf-8"))
             except UnicodeDecodeError:
-                contents.append("")
+                # null → the extraction stage emits a 'missing content'
+                # ERROR row (a silent '' made undecodable files vanish)
+                contents.append(None)
         for p in paths_col:
             ext = p.rsplit(".", 1)[-1].lower() if "." in p else ""
             langs.append({"jsonld": "jsonld", "json": "json", "html": "html", "md": "markdown"}.get(ext, "text"))
@@ -53,24 +55,39 @@ def read_jsonld_files(paths, **build_kwargs):
     return build_triples(repo_rows, **build_kwargs)
 
 
-def read_nquads(paths):
+def read_nquads(paths, *, scope_bnodes_per_file: bool = False):
     """N-Quads text shards → triple Dataset (subj, pred, obj, obj_kind,
     obj_datatype, obj_lang, graph) — the inverse of ``write_nquads`` and
     the ingest path for external RDF dumps. Parsing is per-line and
     embarrassingly parallel: ``ray.data.read_text`` splits shards into
-    blocks and each batch parses independently."""
+    blocks and each batch parses independently.
+
+    Blank-node scoping: N-Quads labels are DOCUMENT-scoped, so two
+    independent dumps both using ``_:b0`` name two different nodes. Pass
+    ``scope_bnodes_per_file=True`` when ingesting unrelated files — every
+    label is prefixed with a hash of its source path. The default keeps
+    labels as-is because ``write_nquads`` shards ONE dataset across many
+    files with dataset-scoped labels (a bnode may span shards); per-file
+    scoping would wrongly split such nodes."""
+    import hashlib
+
     import ray.data
 
     from ..core.nquads import parse_nquads
     from ..core.rdf_generation import XSD_STRING
 
-    ds = ray.data.read_text(paths)
+    ds = ray.data.read_text(paths, include_paths=scope_bnodes_per_file)
 
     def parse(batch: pa.Table) -> pa.Table:
         out = {k: [] for k in ("subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang", "graph")}
-        for line in batch.column("text").to_pylist():
+        if scope_bnodes_per_file:
+            src_paths = batch.column("path").to_pylist()
+            scopes = [hashlib.md5(p.encode()).hexdigest()[:8] + "-" for p in src_paths]
+        else:
+            scopes = [""] * batch.num_rows
+        for line, scope in zip(batch.column("text").to_pylist(), scopes):
             for s, p, o, g in parse_nquads(line):
-                out["subj"].append(f"_:{s[1]}" if s[0] == "bnode" else s[1])
+                out["subj"].append(f"_:{scope}{s[1]}" if s[0] == "bnode" else s[1])
                 out["pred"].append(p[1])
                 if o[0] == "lit":
                     out["obj"].append(o[1])
@@ -78,14 +95,14 @@ def read_nquads(paths):
                     out["obj_datatype"].append(o[2] or XSD_STRING)
                     out["obj_lang"].append(o[3])
                 else:
-                    out["obj"].append(f"_:{o[1]}" if o[0] == "bnode" else o[1])
+                    out["obj"].append(f"_:{scope}{o[1]}" if o[0] == "bnode" else o[1])
                     out["obj_kind"].append(o[0])
                     out["obj_datatype"].append(None)
                     out["obj_lang"].append(None)
                 if g is None:
                     out["graph"].append(None)
                 else:
-                    out["graph"].append(f"_:{g[1]}" if g[0] == "bnode" else g[1])
+                    out["graph"].append(f"_:{scope}{g[1]}" if g[0] == "bnode" else g[1])
         return pa.table(
             {
                 "subj": pa.array(out["subj"], pa.string()),

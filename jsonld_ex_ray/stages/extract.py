@@ -28,34 +28,52 @@ PAYLOAD_SCHEMA = pa.schema(
 )
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
-    repos = batch.column("repo").to_pylist()
-    paths = batch.column("path").to_pylist()
-    commits = batch.column("commit").to_pylist()
-    langs = batch.column("lang").to_pylist()
-    contents = batch.column("content").to_pylist()
+def make_extract_batch(detectors: list | None = None):
+    """Build the extraction kernel with the detector registry SNAPSHOT
+    taken on the driver (a module-global registry mutated by
+    register_detector never reaches Ray worker processes on its own —
+    the snapshot rides the task closure instead)."""
+    from ..extract import DETECTORS
 
-    out: dict[str, list] = {name: [] for name in PAYLOAD_SCHEMA.names}
-    for repo, path, commit, lang, content in zip(repos, paths, commits, langs, contents):
-        sha = hashlib.sha256((content or "").encode("utf-8")).hexdigest()
-        payloads, errors = extract_payloads(content, lang, path)
-        base = f"{repo}@{commit}:{path}"
-        for i, payload in enumerate(payloads):
-            out["doc_id"].append(f"{base}#{i}")
-            out["repo"].append(repo)
-            out["path"].append(path)
-            out["commit"].append(commit)
-            out["content_sha256"].append(sha)
-            out["payload"].append(payload)
-            out["error_code"].append(None)
-            out["error_message"].append(None)
-        for msg in errors:
-            out["doc_id"].append(f"{base}#!")
-            out["repo"].append(repo)
-            out["path"].append(path)
-            out["commit"].append(commit)
-            out["content_sha256"].append(sha)
-            out["payload"].append(None)
-            out["error_code"].append("extraction failed")
-            out["error_message"].append(msg[:500])
-    return pa.Table.from_pydict(out, schema=PAYLOAD_SCHEMA)
+    snapshot = list(DETECTORS) if detectors is None else list(detectors)
+
+    def extract_batch(batch: pa.Table) -> pa.Table:
+        repos = batch.column("repo").to_pylist()
+        paths = batch.column("path").to_pylist()
+        commits = batch.column("commit").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        contents = batch.column("content").to_pylist()
+
+        out: dict[str, list] = {name: [] for name in PAYLOAD_SCHEMA.names}
+        for repo, path, commit, lang, content in zip(repos, paths, commits, langs, contents):
+            sha = hashlib.sha256((content or "").encode("utf-8")).hexdigest()
+            payloads, errors = extract_payloads(content, lang, path, detectors=snapshot)
+            base = f"{repo}@{commit}:{path}"
+            for i, payload in enumerate(payloads):
+                out["doc_id"].append(f"{base}#{i}")
+                out["repo"].append(repo)
+                out["path"].append(path)
+                out["commit"].append(commit)
+                out["content_sha256"].append(sha)
+                out["payload"].append(payload)
+                out["error_code"].append(None)
+                out["error_message"].append(None)
+            for i, msg in enumerate(errors):
+                # '#!{i}' keeps error lineage unique per file (a shared
+                # '#!' id conflated multiple errors from one file)
+                out["doc_id"].append(f"{base}#!{i}")
+                out["repo"].append(repo)
+                out["path"].append(path)
+                out["commit"].append(commit)
+                out["content_sha256"].append(sha)
+                out["payload"].append(None)
+                out["error_code"].append("extraction failed")
+                out["error_message"].append(msg[:500])
+        return pa.Table.from_pydict(out, schema=PAYLOAD_SCHEMA)
+
+    return extract_batch
+
+
+# worker-local default (uses whatever registry the importing process has):
+# pipelines prefer make_extract_batch(), which snapshots the DRIVER registry
+extract_batch = make_extract_batch()

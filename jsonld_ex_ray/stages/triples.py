@@ -92,6 +92,13 @@ class JsonLdToTriples:
             isinstance(doc, dict)
             and "@context" in doc
             and self.options.base is None
+            # options that alter expansion semantics force the full
+            # expand() path: the cached fast path never applies
+            # expand_context and fixes ordered=False, so taking it for
+            # such options would expand @context-bearing docs differently
+            # from @context-free ones
+            and self.options.expand_context is None
+            and not self.options.ordered
         ):
             key = json.dumps(doc["@context"], sort_keys=True, separators=(",", ":"))
             active = self._ctx_cache.get(key)

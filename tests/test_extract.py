@@ -91,3 +91,53 @@ def test_oversized_content_is_skipped_with_error():
     big = "x" * (ex.MAX_CONTENT_BYTES + 1)
     payloads, errors = extract_payloads(big, "text", "big.txt")
     assert payloads == [] and len(errors) == 1
+
+
+def test_detector_registry_snapshot_reaches_kernel():
+    """make_extract_batch snapshots the DRIVER registry into the task
+    closure — a module-global registry alone never reaches Ray worker
+    processes (review-found silent no-op)."""
+    import pyarrow as pa
+
+    from jsonld_ex_ray.extract import DETECTORS, register_detector
+    from jsonld_ex_ray.stages.extract import make_extract_batch
+
+    def notebook_detector(content, lang, ext):
+        if ext == "ipynb":
+            return (['{"@id":"http://ex/nb","@context":{}}'], [])
+        return None
+
+    register_detector("notebook", notebook_detector)
+    try:
+        kernel = make_extract_batch()  # snapshot taken HERE (driver)
+    finally:
+        DETECTORS.clear()  # simulate a fresh worker process registry
+
+    batch = pa.table(
+        {
+            "repo": ["r"], "path": ["nb.ipynb"], "commit": ["c"],
+            "lang": ["json"], "content": ["{}"],
+        }
+    )
+    out = kernel(batch)
+    assert out.num_rows == 1
+    assert out.column("payload")[0].as_py() == '{"@id":"http://ex/nb","@context":{}}'
+
+
+def test_null_content_and_null_path_become_error_rows():
+    import pyarrow as pa
+
+    from jsonld_ex_ray.stages.extract import make_extract_batch
+
+    batch = pa.table(
+        {
+            "repo": ["r", "r"], "path": ["a.jsonld", None], "commit": ["c", "c"],
+            "lang": ["jsonld", None], "content": [None, '{"@context":{},"@id":"x"}'],
+        }
+    )
+    out = make_extract_batch()(batch).to_pandas()
+    err = out[out.error_code.notna()]
+    assert len(err) == 1 and "missing content" in err.error_message.iloc[0]
+    assert err.doc_id.iloc[0].endswith("#!0")  # indexed error lineage
+    ok = out[out.error_code.isna()]
+    assert len(ok) == 1  # null path doesn't kill the row

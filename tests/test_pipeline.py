@@ -391,3 +391,31 @@ def test_triples_to_jsonld_list_graph_routes_whole(ray_session):
             "https://x.example/items": [{"@list": [{"@value": "a"}, {"@value": "b"}]}],
         }
     ]
+
+
+def test_linker_canon_columns_follow_bnode_relabeling(ray_session, tmp_path):
+    """Review-found: EntityLinker's subj_canon/obj_canon passed bnode
+    labels through BEFORE canonicalization rewrote subj/obj — the canon
+    columns dangled. After canonicalize_bnodes, a bnode row's canon
+    columns must equal its relabeled identifiers."""
+    from jsonld_ex_ray.gen import write_corpus
+    from jsonld_ex_ray.pipeline import build_triples, canonicalize_bnodes, triples_only
+    from jsonld_ex_ray.stages.linker import EntityLinker
+
+    corpus = str(tmp_path / "repos.parquet")
+    write_corpus(corpus, 60, seed=33)
+    triples = triples_only(build_triples(corpus, concurrency=1))
+    linked = triples.map_batches(
+        EntityLinker,
+        fn_constructor_kwargs={"alias_to_iri": {}},
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+    out = canonicalize_bnodes(linked).to_pandas()
+    bn = out[out.subj.str.startswith("_:")]
+    assert len(bn) > 0  # corpus plants bnodes
+    assert (bn.subj == bn.subj_canon).all()
+    ob = out[(out.obj_kind == "bnode") & out.obj.str.startswith("_:")]
+    if len(ob):
+        assert (ob.obj == ob.obj_canon).all()
+    assert bn.subj.str.contains("-c14n").all()  # actually relabeled

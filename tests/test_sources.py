@@ -128,3 +128,20 @@ def test_kg_export_reimport_roundtrip(ray_session, tmp_path):
         axis=1,
     )
     assert key(back) == key(src)
+
+
+def test_read_nquads_scope_bnodes_per_file(ray_session, tmp_path):
+    """Two independent dumps both using _:b0 name DIFFERENT nodes:
+    per-file scoping keeps them apart; the default (shards of one
+    dataset) keeps labels verbatim."""
+    from jsonld_ex_ray.sources import read_nquads
+
+    (tmp_path / "a.nq").write_text('_:b0 <http://x/p> "1" .\n')
+    (tmp_path / "b.nq").write_text('_:b0 <http://x/p> "2" .\n')
+    merged = read_nquads([str(tmp_path / "a.nq"), str(tmp_path / "b.nq")]).to_pandas()
+    assert set(merged.subj) == {"_:b0"}  # default: verbatim labels
+    scoped = read_nquads(
+        [str(tmp_path / "a.nq"), str(tmp_path / "b.nq")], scope_bnodes_per_file=True
+    ).to_pandas()
+    assert len(set(scoped.subj)) == 2  # two distinct nodes survive
+    assert all(s.startswith("_:") and "-b0" in s for s in scoped.subj)
