@@ -58,16 +58,24 @@ class BloomFilter:
 def build_bloom(ds, col: str, *, n_items: int | None = None, fp_rate: float = 0.01):
     """One streaming pass over ``ds[col]`` → a BloomFilter (driver holds
     only the bit array; per-block key sets are folded in as they
-    arrive). ``n_items`` defaults to ``ds.count()`` (one extra cheap
-    pass over parquet metadata)."""
+    arrive). ``n_items`` defaults to ``ds.count()`` — for a TRANSFORMED
+    lazy input the dataset is materialized first so the sizing count and
+    the fold pass don't each re-execute the upstream plan (for raw
+    parquet reads count() is metadata-only and materialization is
+    skipped by passing ``n_items`` explicitly)."""
     import ray
 
     if n_items is None:
+        ds = ds.materialize()
         n_items = ds.count()
     bf = BloomFilter.sized(n_items, fp_rate)
+    # close over the two ints, NOT bf — a closure referencing bf would
+    # cloudpickle the driver's full zeroed bit array (~1.2 GB at the
+    # 10⁹-key design point) into every task spec
+    n_bits, k = bf.n_bits, bf.k
 
     def fold(batch: pa.Table) -> pa.Table:
-        local = BloomFilter(bf.n_bits, bf.k)
+        local = BloomFilter(n_bits, k)
         local.add(batch.column(col))
         return pa.table({"bits": pa.array([local.bits.tobytes()], pa.large_binary())})
 

@@ -284,6 +284,14 @@ def pagerank(
         .materialize()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge set (all-literal objects / empty corpus): empty
+        # ranks, not a ZeroDivisionError in 1/n
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
+        )
 
     degrees = groupby_agg_bucketed(
         edges, ["src"], [("dst", "count", "out_degree")], num_buckets=num_buckets

@@ -131,10 +131,15 @@ def _png_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def _png_encode(pixels: np.ndarray) -> bytes:
-    """Minimal RGB8 PNG encoder (filter 0 rows) — used by the synthetic
-    media generator so decode tests run against REAL image payloads."""
+    """Minimal 8-bit PNG encoder (filter 0 rows) for gray / RGB / RGBA —
+    the shapes ``_png_decode`` produces, so resize round-trips every
+    supported input (an RGB-only encoder made valid gray/RGBA images
+    error rows). Raises for unsupported channel counts — never an assert
+    that python -O would strip into silently corrupt output."""
     h, w, c = pixels.shape
-    assert c == 3 and pixels.dtype == np.uint8
+    color_type = {1: 0, 3: 2, 4: 6}.get(c)
+    if color_type is None or pixels.dtype != np.uint8:
+        raise ValueError(f"unsupported pixel shape for PNG encode: {pixels.shape} {pixels.dtype}")
     raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -145,7 +150,7 @@ def _png_encode(pixels: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -201,11 +206,13 @@ def _decode(kind: str, payload: bytes, meta: dict) -> dict:
         w, h, px = _png_decode(payload)
         gray = px[..., :3].mean(axis=2) if px.shape[2] >= 3 else px[..., 0].astype(np.float64)
         feat = [w / 4096.0, h / 4096.0, float(gray.mean()) / 255.0, float(gray.std()) / 255.0]
-        # 3x4 downsampled luminance grid → 12 values
+        # 3x4 downsampled luminance grid → 12 values; images smaller than
+        # the grid produce EMPTY cells whose .mean() is NaN — emit 0.0
+        # for those instead of poisoning the feature vector
         gh = np.array_split(gray, 3, axis=0)
         for band in gh:
             for cell in np.array_split(band, 4, axis=1):
-                feat.append(float(cell.mean()) / 255.0)
+                feat.append(float(cell.mean()) / 255.0 if cell.size else 0.0)
         return {"width": w, "height": h, "duration_ms": 0, "feature": feat[:FEATURE_DIM]}
     if kind == "audio" and payload[:4] == b"RIFF":
         rate, n, samples = _wav_decode(payload)
@@ -440,8 +447,12 @@ class FrameSampler:
         ):
             try:
                 # malformed meta of ANY shape (bad JSON, null duration, a
-                # string) degrades to duration 0, never a dead task
-                dur = int((json.loads(meta) if meta else {}).get("duration_ms", 0) or 0)
+                # string, valid-JSON non-objects like 'null'/'[1]')
+                # degrades to duration 0, never a dead task
+                parsed = json.loads(meta) if meta else {}
+                if not isinstance(parsed, dict):
+                    parsed = {}
+                dur = int(parsed.get("duration_ms", 0) or 0)
             except (ValueError, TypeError):
                 dur = 0
             n = min(max(dur, 0) // self.every_ms + 1, self.max_frames)

@@ -39,7 +39,7 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     nonempty = pc.greater(pc.utf8_length(text), 0)
     spaces = pc.count_substring(text, " ")
     ws = pc.if_else(nonempty, pc.add(spaces, 1), pa.scalar(0, pa.int64()))
-    bpe = pc.count_substring_regex(text, r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+    bpe = pc.count_substring_regex(text, _BPE_RE.pattern)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
@@ -423,7 +423,10 @@ def doc_top_tfidf(ds, text_col: str = "text", id_col: str = "doc_id", num_bucket
     if len(terms_sorted) and terms_sorted[0] == "":
         n_docs = float(dfs_sorted[0])
         terms_sorted, dfs_sorted = terms_sorted[1:], dfs_sorted[1:]
-    ref = ray.put((terms_sorted.astype(str), dfs_sorted, n_docs))
+    # broadcast as OBJECT arrays: .astype(str) builds a fixed-width <U
+    # matrix padded to the longest term, so one 4096-char token would
+    # multiply the whole vocabulary broadcast by its length
+    ref = ray.put((terms_sorted, dfs_sorted, n_docs))
 
     def score(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -460,8 +463,18 @@ def doc_top_tfidf(ds, text_col: str = "text", id_col: str = "doc_id", num_bucket
         dict_terms = np.asarray(codes.dictionary.to_pylist(), dtype=object)
         # map each run's term to its global df via the broadcast vocab
         run_terms = dict_terms[run_code] if len(run_code) else np.zeros(0, object)
-        pos = np.searchsorted(tsort, run_terms.astype(str)) if len(run_terms) else np.zeros(0, np.int64)
+        pos = np.searchsorted(tsort, run_terms) if len(run_terms) else np.zeros(0, np.int64)
         pos = np.clip(pos, 0, max(len(tsort) - 1, 0))
+        if len(run_terms) and len(tsort):
+            # loud on vocabulary misses (a nondeterministic upstream would
+            # otherwise borrow a NEIGHBOR term's df and score plausibly
+            # wrong tfidf values)
+            if not (tsort[pos] == run_terms).all():
+                missing = run_terms[tsort[pos] != run_terms][:3]
+                raise ValueError(
+                    f"terms missing from the pass-1 vocabulary: {missing!r} — "
+                    "is the upstream pipeline nondeterministic between passes?"
+                )
         run_df = dsort[pos] if len(tsort) else np.ones(len(run_terms))
         tf = run_len / n_words[run_doc]
         s = tf * np.log(nd / run_df)
@@ -469,7 +482,7 @@ def doc_top_tfidf(ds, text_col: str = "text", id_col: str = "doc_id", num_bucket
         # per-doc argmax with lexicographic tie-break: sort runs by
         # (doc, -score, term) and take the first run of each doc
         if len(s):
-            o3 = np.lexsort((run_terms.astype(str), -s, run_doc))
+            o3 = np.lexsort((run_terms, -s, run_doc))
             first = np.r_[True, run_doc[o3][1:] != run_doc[o3][:-1]]
             sel = o3[first]
             out_doc_idx = run_doc[sel]

@@ -485,3 +485,57 @@ def test_batch_and_perdoc_tokenization_parity():
         for row in pc.utf8_split_whitespace(pa.array(probes)).to_pylist()
     ]
     assert arrow == [p.split() for p in probes]
+
+
+def test_png_roundtrip_gray_and_rgba_resize(ray_session):
+    """Review-found: the encoder was RGB-only, so valid gray/RGBA PNGs
+    always became error rows in the resize stage."""
+    from jsonld_ex_ray.ops.multimodal import ImageResizer, _png_decode, _png_encode
+
+    gray = ((np.arange(36).reshape(6, 6, 1) * 7) % 256).astype(np.uint8)
+    rgba = np.dstack([gray[..., 0]] * 4).astype(np.uint8)
+    for px in (gray, rgba):
+        payload = _png_encode(px)
+        batch = pa.table(
+            {"media_id": pa.array([1], pa.int64()), "payload": pa.array([payload], pa.binary())}
+        )
+        out = ImageResizer(target_size=(3, 3))(batch).to_pandas()
+        assert out.error_code.isna().all(), out.error_code.tolist()
+        w, h, px2 = _png_decode(out.payload.iloc[0])
+        assert (w, h, px2.shape[2]) == (3, 3, px.shape[2])
+
+
+def test_tiny_png_features_never_nan(ray_session):
+    """Images smaller than the 3x4 luminance grid must emit 0.0 for the
+    empty cells, not NaN."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.multimodal import MEDIA_SCHEMA, _png_encode, decode_media
+
+    px = np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)  # 1x2 RGB
+    tbl = pa.Table.from_pydict(
+        {
+            "media_id": [1], "kind": ["image"],
+            "payload": [_png_encode(px)], "meta": ['{"width":2,"height":1}'],
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = decode_media(ray.data.from_arrow(tbl), concurrency=1, batch_size=4).to_pandas()
+    assert out.width.iloc[0] == 2 and out.height.iloc[0] == 1
+    assert not any(np.isnan(v) for v in out.feature.iloc[0])
+
+
+def test_frame_sampler_survives_non_object_meta(ray_session):
+    from jsonld_ex_ray.ops.multimodal import FrameSampler
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "payload": pa.array([b"x"] * 4, pa.binary()),
+            "meta": pa.array(["null", '"str"', "[1]", '{"duration_ms": null}']),
+        }
+    )
+    out = FrameSampler(every_ms=100)(batch).to_pandas()
+    # every row degrades to duration 0 → exactly one frame row each
+    assert sorted(out.media_id) == [1, 2, 3, 4]
+    assert (out.frame_idx == 0).all()
