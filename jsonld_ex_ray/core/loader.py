@@ -50,9 +50,12 @@ class StaticLoader:
         self.documents[url] = document
 
     def load(self, url: str, options: Any = None) -> RemoteDocument:
-        if url not in self.documents:
+        # fragments select content WITHIN a document (HTML scripts) — the
+        # registry is keyed by base URL, like every other loader here
+        base = url if url in self.documents else url.split("#", 1)[0]
+        if base not in self.documents:
             raise JsonLdError("loading document failed", f"not in static registry: {url}")
-        return RemoteDocument(document=self.documents[url], document_url=url)
+        return RemoteDocument(document=self.documents[base], document_url=base)
 
 
 class FileLoader:
@@ -77,7 +80,12 @@ class FileLoader:
         if not base.startswith(self.url_prefix):
             raise JsonLdError("loading document failed", f"outside prefix: {url}")
         rel = base[len(self.url_prefix) :]
-        path = os.path.join(self.root, rel)
+        path = os.path.realpath(os.path.join(self.root, rel))
+        # containment check: '..' segments (or symlinks) in the URL tail
+        # must not escape the serve root
+        root_real = os.path.realpath(self.root)
+        if not (path == root_real or path.startswith(root_real + os.sep)):
+            raise JsonLdError("loading document failed", f"outside serve root: {url}")
         if not os.path.isfile(path):
             raise JsonLdError("loading document failed", f"no such file: {url}")
         ext = rel.rsplit(".", 1)[-1].lower() if "." in rel else ""

@@ -78,6 +78,21 @@ def _escape(s: str) -> str:
     return "".join(out)
 
 
+def _escape_iri(s: str) -> str:
+    """IRIREF escaping (N-Triples grammar): characters that terminate or
+    corrupt a <...> token become \\uXXXX. Plain IRIs pass through
+    untouched (the common case allocates nothing new)."""
+    if not any(c in '<>"{}|^`\\' or ord(c) <= 0x20 for c in s):
+        return s
+    out = []
+    for c in s:
+        if c in '<>"{}|^`\\' or ord(c) <= 0x20:
+            out.append(f"\\u{ord(c):04X}")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
 def parse_nquads(text: str) -> list[tuple]:
     """Parse N-Quads text → list of (subj, pred, obj, graph|None) term tuples."""
     from .rdf_generation import XSD_STRING
@@ -85,12 +100,14 @@ def parse_nquads(text: str) -> list[tuple]:
     quads = []
     # split on real newlines only — str.splitlines also breaks on \f/\v/
     #   etc., which are legal raw inside literals
-    for line in text.split("\n"):
-        line = line.strip()
+    for raw_line in text.split("\n"):
+        line = raw_line.strip()
         if not line or line.startswith("#"):
             continue
         if line.endswith("."):
             line = line[:-1]
+        else:
+            raise ValueError(f"N-Quads line missing terminating '.': {raw_line!r}")
         terms = []
         pos = 0
         while pos < len(line):
@@ -112,10 +129,19 @@ def parse_nquads(text: str) -> list[tuple]:
                     terms.append(("lit", lex, RDF_LANGSTRING, lang))
                 else:
                     terms.append(("lit", lex, dt or XSD_STRING, None))
+        # strict: a malformed trailing term used to silently TRUNCATE a
+        # quad into a well-formed triple, and stray term counts silently
+        # dropped the whole line — both corrupt ingested data invisibly
+        if line[pos:].strip():
+            raise ValueError(f"malformed N-Quads term at col {pos}: {raw_line!r}")
         if len(terms) == 3:
             quads.append((terms[0], terms[1], terms[2], None))
         elif len(terms) == 4:
             quads.append((terms[0], terms[1], terms[2], terms[3]))
+        else:
+            raise ValueError(
+                f"N-Quads line has {len(terms)} terms (want 3 or 4): {raw_line!r}"
+            )
     return quads
 
 
@@ -124,7 +150,10 @@ def term_to_nquads(term: tuple) -> str:
 
     kind = term[0]
     if kind == "iri":
-        return f"<{term[1]}>"
+        # IRIs need escaping too (parse unescapes them): a raw '>' or
+        # control char would emit malformed N-Quads that re-parse as a
+        # DIFFERENT term — and urdna2015 hashes these serializations
+        return f"<{_escape_iri(term[1])}>"
     if kind == "bnode":
         return f"_:{term[1]}"
     _, lex, dt, lang = term

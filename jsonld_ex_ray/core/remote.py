@@ -54,7 +54,9 @@ def parse_link_header(value: str) -> list[dict]:
 
 _SCRIPT_TAG_RE = re.compile(r"<script\b([^>]*)>(.*?)</script\s*>", re.IGNORECASE | re.DOTALL)
 _TYPE_ATTR_RE = re.compile(
-    r"""type\s*=\s*["']application/ld\+json[^"']*["']""", re.IGNORECASE
+    # the media type must END or be followed by ';parameters' — a bare
+    # prefix match would accept types like application/ld+json-ext
+    r"""type\s*=\s*["']application/ld\+json\s*(?:;[^"']*)?["']""", re.IGNORECASE
 )
 _ID_ATTR_RE = re.compile(r"""id\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
 _BASE_TAG_RE = re.compile(r"""<base\b[^>]*href\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
@@ -107,8 +109,10 @@ def extract_html_document(
     return parse(scripts[0][1])
 
 
-def _extract_html_scripts(body: str, extract_all: bool):
-    return extract_html_document(body, None, extract_all)
+def _rel_matches(link: dict, rel: str) -> bool:
+    """RFC 8288 rel matching: the attribute is a whitespace-separated,
+    case-insensitive list of relation types."""
+    return rel.lower() in (link.get("rel") or "").lower().split()
 
 
 _PROFILE_RE = re.compile(r'profile="?([^;"]+)"?')
@@ -128,15 +132,15 @@ class HTTPSemanticsLoader:
     + loop detection, HTML passthrough for script extraction."""
 
     max_redirects: int = 5
+    # accepted for constructor compatibility only: HTML script extraction
+    # happens at the API layer (api.py), where the URL fragment and
+    # options.extract_all_scripts are in scope — loaders return raw HTML
     extract_all_scripts: bool = False
 
     def _get(self, url: str) -> SimResponse:  # pragma: no cover - abstract
         raise NotImplementedError
 
     def load(self, url: str, options=None) -> RemoteDocument:
-        extract_all = self.extract_all_scripts
-        if options is not None and getattr(options, "extract_all_scripts", False):
-            extract_all = True
         seen: list[str] = []
         current = url
         for _ in range(self.max_redirects + 1):
@@ -145,8 +149,15 @@ class HTTPSemanticsLoader:
             seen.append(current)
             resp = self._get(current)
 
-            # HTTP redirects
-            if resp.status in (301, 302, 303, 307, 308) and resp.location:
+            # HTTP redirects — a 3xx WITHOUT a Location is a protocol
+            # error, never a document (an empty body would otherwise
+            # fall through to content-type dispatch and json.loads(''))
+            if resp.status in (301, 302, 303, 307, 308):
+                if not resp.location:
+                    raise JsonLdError(
+                        "loading document failed",
+                        f"redirect without Location at {current}",
+                    )
                 current = resolve(current, resp.location)
                 continue
 
@@ -157,22 +168,32 @@ class HTTPSemanticsLoader:
                 for link in parse_link_header(header)
             ]
 
+            def parse_body(body: str):
+                try:
+                    return json.loads(body)
+                except ValueError as e:
+                    # raw JSONDecodeError would escape every JsonLdError-
+                    # only handler (context loading, failure caching)
+                    raise JsonLdError(
+                        "loading document failed", f"invalid JSON body at {current}: {e}"
+                    )
+
             if ct == "application/ld+json":
                 return RemoteDocument(
-                    document=json.loads(resp.body),
+                    document=parse_body(resp.body),
                     document_url=current,
                     content_type=ct,
                     profile=_profile_of(resp.content_type),
                 )
             if ct == "application/json" or ct.endswith("+json"):
-                context_links = [l for l in links if l.get("rel") == JSONLD_CONTEXT_REL]
+                context_links = [l for l in links if _rel_matches(l, JSONLD_CONTEXT_REL)]
                 if len(context_links) > 1:
                     raise JsonLdError("multiple context link headers", current)
                 context_url = (
                     resolve(current, context_links[0]["target"]) if context_links else None
                 )
                 return RemoteDocument(
-                    document=json.loads(resp.body),
+                    document=parse_body(resp.body),
                     document_url=current,
                     content_type=ct,
                     context_url=context_url,
@@ -182,7 +203,7 @@ class HTTPSemanticsLoader:
             alternates = [
                 l
                 for l in links
-                if l.get("rel") == "alternate" and l.get("type") == "application/ld+json"
+                if _rel_matches(l, "alternate") and l.get("type") == "application/ld+json"
             ]
             if alternates:
                 current = resolve(current, alternates[0]["target"])
@@ -266,6 +287,16 @@ class HttpLoader(HTTPSemanticsLoader):
     def _get(self, url: str) -> SimResponse:
         import urllib.error
         import urllib.request
+        from urllib.parse import urlsplit
+
+        # scheme allowlist at EVERY fetch (redirect targets included):
+        # urllib's default opener carries a FileHandler, so a hostile
+        # 'Location: file:///etc/passwd' would otherwise read local files
+        scheme = urlsplit(url).scheme.lower()
+        if scheme not in ("http", "https"):
+            raise JsonLdError(
+                "loading document failed", f"unsupported URL scheme {scheme!r} at {url}"
+            )
 
         class _NoRedirect(urllib.request.HTTPRedirectHandler):
             def redirect_request(self, req, fp, code, msg, headers, newurl):

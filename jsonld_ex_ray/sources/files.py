@@ -85,8 +85,14 @@ def read_nquads(paths, *, scope_bnodes_per_file: bool = False):
             scopes = [hashlib.md5(p.encode()).hexdigest()[:8] + "-" for p in src_paths]
         else:
             scopes = [""] * batch.num_rows
+        bad = 0
         for line, scope in zip(batch.column("text").to_pylist(), scopes):
-            for s, p, o, g in parse_nquads(line):
+            try:
+                parsed = parse_nquads(line)
+            except ValueError:
+                bad += 1  # strict parser: malformed lines raise; ingest
+                continue  # skips them LOUDLY (logged below), never dies
+            for s, p, o, g in parsed:
                 out["subj"].append(f"_:{scope}{s[1]}" if s[0] == "bnode" else s[1])
                 out["pred"].append(p[1])
                 if o[0] == "lit":
@@ -103,6 +109,12 @@ def read_nquads(paths, *, scope_bnodes_per_file: bool = False):
                     out["graph"].append(None)
                 else:
                     out["graph"].append(f"_:{scope}{g[1]}" if g[0] == "bnode" else g[1])
+        if bad:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "read_nquads: skipped %d malformed line(s) in this batch", bad
+            )
         return pa.table(
             {
                 "subj": pa.array(out["subj"], pa.string()),

@@ -297,3 +297,113 @@ def test_urdna_same_triple_in_default_and_named_graph():
     assert len(out) == 2
     graphs = {q[3] for q in out}
     assert None in graphs and ("iri", "http://ex/g") in graphs
+
+
+def test_nquads_parse_rejects_malformed_lines():
+    """Strict parsing: a malformed trailing term must raise, not silently
+    truncate a quad into a well-formed triple (review-found)."""
+    import pytest
+
+    from jsonld_ex_ray.core.nquads import parse_nquads
+
+    with pytest.raises(ValueError, match="malformed"):
+        parse_nquads('<http://s> <http://p> <http://o> "unterminated .')
+    with pytest.raises(ValueError, match="terms"):
+        parse_nquads("<http://s> <http://p> .")
+    with pytest.raises(ValueError, match="terminating"):
+        parse_nquads("<http://s> <http://p> <http://o>")
+    # comments and blanks still fine
+    assert parse_nquads("# comment\n\n<http://s> <http://p> <http://o> .") != []
+
+
+def test_nquads_iri_escaping_round_trips():
+    from jsonld_ex_ray.core.nquads import parse_nquads, serialize_nquads
+
+    weird = ("iri", 'http://e/a>b <c> "d\\e')
+    quads = [(weird, ("iri", "http://p"), ("lit", "x", "http://www.w3.org/2001/XMLSchema#string", None), None)]
+    text = serialize_nquads(quads)
+    back = parse_nquads(text)
+    assert back[0][0] == weird  # exact IRI survives
+
+
+def test_file_loader_blocks_path_traversal(tmp_path):
+    import pytest
+
+    from jsonld_ex_ray.core import JsonLdError
+    from jsonld_ex_ray.core.loader import FileLoader
+
+    (tmp_path / "doc.jsonld").write_text('{"@context": {}}')
+    secret = tmp_path.parent / f"{tmp_path.name}-secret.txt"
+    secret.write_text("secret")
+    fl = FileLoader("https://ex/tests/", str(tmp_path))
+    assert fl.load("https://ex/tests/doc.jsonld").document == {"@context": {}}
+    with pytest.raises(JsonLdError):
+        fl.load(f"https://ex/tests/../{secret.name}")
+
+
+def test_static_loader_strips_fragment():
+    from jsonld_ex_ray.core.loader import StaticLoader
+
+    sl = StaticLoader({"https://a/doc": {"@context": {}}})
+    assert sl.load("https://a/doc#frag").document == {"@context": {}}
+
+
+def test_http_loader_rejects_file_scheme():
+    import pytest
+
+    from jsonld_ex_ray.core import JsonLdError
+    from jsonld_ex_ray.core.remote import HttpLoader
+
+    with pytest.raises(JsonLdError, match="scheme"):
+        HttpLoader().load("file:///etc/passwd")
+
+
+def test_redirect_without_location_and_bad_json_are_jsonld_errors():
+    import pytest
+
+    from jsonld_ex_ray.core import JsonLdError
+    from jsonld_ex_ray.core.remote import SimResponse, SimulatedHTTPLoader
+
+    loader = SimulatedHTTPLoader(
+        {
+            "https://a/redir": SimResponse(status=301, location=None),
+            "https://a/bad": SimResponse(
+                status=200, content_type="application/ld+json", body="{bad"
+            ),
+        }
+    )
+    with pytest.raises(JsonLdError, match="Location"):
+        loader.load("https://a/redir")
+    with pytest.raises(JsonLdError, match="invalid JSON body"):
+        loader.load("https://a/bad")
+
+
+def test_link_rel_matching_is_case_insensitive_multivalue():
+    from jsonld_ex_ray.core.remote import SimResponse, SimulatedHTTPLoader
+
+    loader = SimulatedHTTPLoader(
+        {
+            "https://a/doc": SimResponse(
+                status=200,
+                content_type="text/turtle",
+                body="",
+                link_headers=['<alt.jsonld>; rel="Alternate stylesheet"; type="application/ld+json"'],
+            ),
+            "https://a/alt.jsonld": SimResponse(
+                status=200, content_type="application/ld+json", body='{"@context": {}}'
+            ),
+        }
+    )
+    doc = loader.load("https://a/doc")
+    assert doc.document == {"@context": {}}
+
+
+def test_script_type_attr_requires_exact_media_type():
+    from jsonld_ex_ray.core.remote import extract_html_document
+
+    html = (
+        '<script type="application/ld+json-ext">not ld</script>'
+        '<script type="application/ld+json">{"@context":{},"@id":"http://x"}</script>'
+    )
+    doc = extract_html_document(html, None, False)
+    assert doc.get("@id") == "http://x"  # first REAL ld+json script wins
