@@ -186,17 +186,19 @@ def groupby_agg_bucketed(ds, keys: list[str], aggs, num_buckets: int = 64):
     def partial(batch: pa.Table) -> pa.Table:
         t = _partial_table(batch, keys, partials)
         # version-stable vectorized hash: identical bucket ids on every
-        # worker even in a mixed-version cluster (ops/hashing.py)
-        return t.append_column("bucket", bucket_ids(t, keys, num_buckets, seed=0))
+        # worker even in a mixed-version cluster (ops/hashing.py).
+        # '__bucket' (not 'bucket'): a user column named 'bucket' must
+        # not collide with the shuffle key
+        return t.append_column("__bucket", bucket_ids(t, keys, num_buckets, seed=0))
 
     def combine(group: pa.Table) -> pa.Table:
         # arrow-native combine+finalize: no pandas conversion on the
         # wide path (strings never copied out of arrow)
-        return _finalize_arrow(group.drop_columns(["bucket"]), keys, aggs, partials)
+        return _finalize_arrow(group.drop_columns(["__bucket"]), keys, aggs, partials)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
+        .groupby("__bucket")
         .map_groups(combine, batch_format="pyarrow")
     )
 
@@ -241,7 +243,8 @@ def distinct_count(ds, col: str, num_buckets: int = 64):
     from .hashing import bucket_ids
 
     def local_unique(batch: pa.Table) -> pa.Table:
-        u = pc.unique(batch.column(col).combine_chunks())
+        # SQL count(DISTINCT col) ignores NULL — drop it before counting
+        u = pc.drop_null(pc.unique(batch.column(col).combine_chunks()))
         t = pa.table({col: u})
         return t.append_column("__bucket", bucket_ids(t, [col], num_buckets, seed=0))
 
@@ -435,6 +438,19 @@ def grouped_exact_quantiles(
     ``groupby_agg_bucketed`` percentile sketches instead. → pandas
     DataFrame(group_col, q<percent>…), one row per group, sorted."""
     import pandas as pd
+
+    def nan_to_null(batch: pa.Table) -> pa.Table:
+        # the per-group n comes from arrow 'count' (non-NULL), while the
+        # histogram/pick passes drop NaN — a NaN value would inflate n
+        # past the collected counts and corrupt the rank arithmetic, so
+        # canonicalize NaN→null up front (SQL aggregates skip NULL too)
+        v = batch.column(col)
+        if pa.types.is_floating(v.type):
+            v2 = pc.if_else(pc.is_nan(v), pa.scalar(None, v.type), v)
+            batch = batch.set_column(batch.schema.get_field_index(col), col, v2)
+        return batch
+
+    ds = ds.map_batches(nan_to_null, batch_format="pyarrow", zero_copy_batch=True)
 
     stats = ds.map_batches(
         lambda b: _partial_table(

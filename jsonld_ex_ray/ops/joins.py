@@ -67,6 +67,24 @@ def _union_schema(left_schema, right_schema, right_cols: list[str]) -> pa.Schema
     return pa.schema(fields)
 
 
+def _make_tagger(schema: pa.Schema, side: int, key_cols: list[str], num_buckets: int):
+    """Tag-union kernel shared by the bucketed joins: pad to the union
+    schema, stamp the side, bucket on the join key."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = _pad_to_schema(batch, schema)
+        idx_side = schema.get_field_index("__side")
+        idx_bucket = schema.get_field_index("__bucket")
+        out = out.set_column(
+            idx_side, "__side", pa.nulls(batch.num_rows, pa.int8()).fill_null(side)
+        )
+        return out.set_column(
+            idx_bucket, "__bucket", _bucket_array(batch, key_cols, num_buckets)
+        )
+
+    return fn
+
+
 def hash_join_bucketed(
     left_ds,
     right_ds,
@@ -100,22 +118,16 @@ def hash_join_bucketed(
     left_names = list(left_schema.names)
     schema = _union_schema(left_schema, right_schema, [right_on, *right_cols])
 
-    def tag(side: int, key: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            out = _pad_to_schema(batch, schema)
-            idx_side = schema.get_field_index("__side")
-            idx_bucket = schema.get_field_index("__bucket")
-            out = out.set_column(
-                idx_side, "__side", pa.nulls(batch.num_rows, pa.int8()).fill_null(side)
-            )
-            return out.set_column(
-                idx_bucket, "__bucket", _bucket_array(batch, [key], num_buckets)
-            )
-
-        return fn
-
-    tagged_left = left_ds.map_batches(tag(0, left_on), batch_format="pyarrow", zero_copy_batch=True)
-    tagged_right = right_ds.map_batches(tag(1, right_on), batch_format="pyarrow", zero_copy_batch=True)
+    tagged_left = left_ds.map_batches(
+        _make_tagger(schema, 0, [left_on], num_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    tagged_right = right_ds.map_batches(
+        _make_tagger(schema, 1, [right_on], num_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     both = tagged_left.union(tagged_right)
 
     right_keep = [right_on] + [c for c in right_cols if c != right_on]
@@ -174,17 +186,24 @@ def asof_join_broadcast(
     suffix: str = "_right",
     allow_exact_matches: bool = False,
     direction: str = "backward",
+    concurrency=(2, 8),
 ):
     """For each left row, attach the nearest prior (direction='backward')
     right row by ``on`` (within the same ``by`` group). Right-side value
     columns are suffixed. → Dataset(left columns + right value columns).
-    Partitioning assumption: the RIGHT side fits in worker memory."""
+    Partitioning assumption: the RIGHT side fits in worker memory.
+    ``concurrency`` sizes the probe actor pool (autoscaling range by
+    default — a fixed tiny cap would idle a large cluster)."""
     import pandas as pd
     import ray
 
     rdf = right_table.to_pandas().sort_values(on).reset_index(drop=True)
     if right_value_cols is None:
         right_value_cols = [c for c in rdf.columns if c not in (on, by)]
+    # broadcast ONLY the requested columns (the whole right table used to
+    # ship and merge regardless of right_value_cols)
+    keep = [on] + ([by] if by else []) + [c for c in right_value_cols if c not in (on, by)]
+    rdf = rdf[keep]
     right_ref = ray.put(rdf)
 
     class AsofMerge:
@@ -209,7 +228,7 @@ def asof_join_broadcast(
         fn_constructor_kwargs={"ref": right_ref},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=concurrency,
     )
 
 
@@ -235,22 +254,16 @@ def asof_join_bucketed(
     left_names = list(left_schema.names)
     schema = _union_schema(left_schema, right_schema, [on, by, *right_value_cols])
 
-    def tag(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            out = _pad_to_schema(batch, schema)
-            idx_side = schema.get_field_index("__side")
-            idx_bucket = schema.get_field_index("__bucket")
-            out = out.set_column(
-                idx_side, "__side", pa.nulls(batch.num_rows, pa.int8()).fill_null(side)
-            )
-            return out.set_column(
-                idx_bucket, "__bucket", _bucket_array(batch, [by], num_buckets)
-            )
-
-        return fn
-
-    tagged_left = left_ds.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
-    tagged_right = right_ds.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    tagged_left = left_ds.map_batches(
+        _make_tagger(schema, 0, [by], num_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    tagged_right = right_ds.map_batches(
+        _make_tagger(schema, 1, [by], num_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     both = tagged_left.union(tagged_right)
 
     right_keep = [by, on] + [c for c in right_value_cols if c not in (by, on)]

@@ -114,13 +114,18 @@ def ivf_topk(
     probe = set(np.argsort(-(centroids @ qn))[:nprobe].tolist())
 
     def local(batch: pa.Table) -> pa.Table:
+        # empty outputs keep the CORPUS id type (hardcoded int64 would
+        # schema-clash with string-id blocks at union/sort time)
+        empty = pa.table(
+            {id_col: batch.column(id_col).slice(0, 0), "sim": pa.array([], pa.float64())}
+        )
         if batch.num_rows == 0:
-            return pa.table({id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+            return empty
         m = _normalize(_to_matrix(batch.column(emb_col)))
         assign = np.argmax(m @ centroids.T, axis=1)
         mask = np.isin(assign, list(probe))
         if not mask.any():
-            return pa.table({id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+            return empty
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)[mask]
         r = round_half_away(m[mask] @ qn, round_to)
         idx = np.lexsort((ids, -r))[:k]  # same key as the global sort
@@ -154,6 +159,8 @@ def embedding_cosine_duplicates(
     cents = fit_centroids(np.asarray(sample), n_clusters=n_clusters)
 
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], pa.int32()))
         m = _normalize(_to_matrix(batch.column(emb_col)))
         a = np.argmax(m @ cents.T, axis=1)
         return batch.append_column("bucket", pa.array(a.tolist(), pa.int32()))
@@ -215,6 +222,15 @@ def ivf_recall_at_k(
     probe = np.argsort(-(centroids @ Q.T), axis=0)[:nprobe].T  # (nq, nprobe)
 
     def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "q": pa.array([], pa.int32()),
+                    id_col: batch.column(id_col).slice(0, 0),
+                    "sim": pa.array([], pa.float64()),
+                    "kind": pa.array([], pa.string()),
+                }
+            )
         m = _normalize(_to_matrix(batch.column(emb_col)))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         assign = np.argmax(m @ centroids.T, axis=1)
@@ -283,6 +299,14 @@ def assign_clusters(
     cents = np.asarray(centroids, dtype=np.float64)
 
     def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col).slice(0, 0),
+                    "cluster": pa.array([], pa.int32()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
         m = _normalize(_to_matrix(batch.column(emb_col)))
         sims = m @ cents.T
         assign = np.argmax(sims, axis=1)

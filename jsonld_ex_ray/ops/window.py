@@ -19,8 +19,10 @@ from .agg import groupby_agg_lowcard
 
 
 def _epoch_seconds(col: pa.ChunkedArray) -> pa.ChunkedArray:
-    # timestamp[us] → int64 seconds (vectorized)
-    return pc.divide(pc.cast(col, pa.int64()), 1_000_000)
+    # unit-robust: normalize to µs FIRST (a timestamp[s]/[ms]/[ns] column
+    # cast straight to int64 would scale every window by up to 10⁶)
+    us = pc.cast(pc.cast(col, pa.timestamp("us"), safe=False), pa.int64())
+    return pc.divide(us, 1_000_000)
 
 
 def tumbling_window_agg(
@@ -311,14 +313,20 @@ def keyed_running_sum(
             sort_keys=[(key_col, "ascending"), ("__us", "ascending"), (id_col, "ascending")],
         )
         g = g.take(idx).drop_columns(["__us"])
-        vals = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        keys = g.column(key_col).to_numpy(zero_copy_only=False)
-        run = np.cumsum(vals)
-        newkey = np.r_[True, keys[1:] != keys[:-1]] if len(keys) else np.zeros(0, bool)
-        starts = np.flatnonzero(newkey)
-        # per-key offset: cumulative total BEFORE the key's first row
-        offs = np.repeat(np.r_[0.0, run[starts[1:] - 1]] if len(starts) else [], np.diff(np.r_[starts, len(keys)]))
-        out = run - offs
+        # SEGMENTED per-key cumsum (polars cum_sum().over) — the additions
+        # run serially within each key in row order, exactly like SQL's
+        # window sum. The previous global-cumsum-minus-offset trick
+        # computed (T + v + …) − T, whose cancellation error grows with
+        # the bucket's cumulative total T and would break the 2dp oracle
+        # parity once T reaches ~1e14 at corpus scale.
+        import polars as pl
+
+        out = (
+            pl.from_arrow(g.select([key_col, value_col]))
+            .select(pl.col(value_col).cast(pl.Float64).cum_sum().over(key_col))
+            .to_series()
+            .to_numpy()
+        )
         if round_to is not None:
             out = round_half_away(out, round_to)
         return g.append_column(out_col, pa.array(out, pa.float64()))

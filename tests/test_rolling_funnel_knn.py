@@ -539,3 +539,48 @@ def test_frame_sampler_survives_non_object_meta(ray_session):
     # every row degrades to duration 0 → exactly one frame row each
     assert sorted(out.media_id) == [1, 2, 3, 4]
     assert (out.frame_idx == 0).all()
+
+
+def test_grouped_quantiles_ignore_nan(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import grouped_exact_quantiles
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 3 + ["b"] * 4),
+            "v": pa.array([1.0, 2.0, float("nan"), 10.0, 20.0, 30.0, float("nan")]),
+        }
+    )
+    out = grouped_exact_quantiles(ray.data.from_arrow(t), "g", "v", [0.5, 1.0])
+    a = out[out.g == "a"].iloc[0]
+    b = out[out.g == "b"].iloc[0]
+    assert (a.q50, a.q100) == (1.5, 2.0)  # NaN excluded from n AND values
+    assert (b.q50, b.q100) == (20.0, 30.0)
+
+
+def test_keyed_running_sum_exact_at_large_magnitudes(ray_session):
+    """Per-key sums must be SERIAL within the key (polars cum_sum.over),
+    not global-cumsum-minus-offset — the subtraction loses the small
+    key's precision once a preceding key's total is huge."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.window import keyed_running_sum
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = {
+        "k": pa.array(["a", "a", "b", "b", "b"]),
+        "ts": pa.array([base + np.timedelta64(i, "s") for i in range(5)]),
+        "id": pa.array(list(range(5)), pa.int64()),
+        "v": pa.array([1e14, 1e14, 0.01, 0.01, 0.01]),
+    }
+    out = (
+        keyed_running_sum(
+            ray.data.from_arrow(pa.table(rows)), "k", "ts", "id", "v",
+            round_to=None, num_buckets=1,
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    b = out[out.k == "b"].running_sum.tolist()
+    assert b == [0.01, 0.02, 0.03]  # exact — no cancellation residue
