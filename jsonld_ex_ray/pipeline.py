@@ -25,9 +25,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .stages.extract import extract_batch
 from .stages.linker import EntityLinker
-from .stages.triples import TRIPLE_SCHEMA, JsonLdToTriples
+from .stages.triples import JsonLdToTriples
 
 
 def build_triples(
@@ -143,28 +142,39 @@ def _triple_key_cols(batch: pa.Table, num_buckets: int) -> pa.Table:
     return batch.append_column("bucket", pa.array(bucket, pa.int32()))
 
 
+_TRIPLE_ID_COLS = ["graph", "subj", "pred", "obj", "obj_datatype", "obj_lang"]
+
+
 def dedup_triples(ds, num_buckets: int = 64):
     """Exact global triple dedup (set semantics of RDF.Graph.add,
-    reference decoder.ex:98-99, lifted cross-document): hash-key the
-    triple, map-side pre-dedup within each block (combiner), then ONE
-    shuffle keyed on ``hash(key) % num_buckets`` — a bounded number of
-    groups, each deduped VECTORIZED inside its map_groups call.
-    (groupby on the raw key spawns one Python call per distinct triple —
-    the wrong shape at any scale.)"""
+    reference decoder.ex:98-99, lifted cross-document): hash the triple
+    for BUCKET ROUTING only, map-side pre-dedup within each block
+    (combiner), then ONE shuffle keyed on ``hash % num_buckets`` — a
+    bounded number of groups, each deduped VECTORIZED inside its
+    map_groups call. (groupby on the raw key spawns one Python call per
+    distinct triple — the wrong shape at any scale.)
+
+    Identity is decided by the ACTUAL column values (polars row-encoded
+    first-distinct over the six identity columns — full rows ride the
+    shuffle anyway), never by the hash: a hash-only identity would let a
+    crafted 128-bit collision in ingested repo content silently delete a
+    distinct triple. The hash only routes, where a collision is harmless
+    co-location."""
 
     import polars as pl
 
     def _first_mask(tbl: pa.Table) -> pa.Array:
-        # boolean keep-mask computed in polars (vectorized), applied as an
-        # arrow filter — zero table conversion, strings never copied
-        m = pl.from_arrow(tbl.select(["tk1", "tk2"])).select(
-            pl.struct(["tk1", "tk2"]).is_first_distinct()
+        # boolean keep-mask computed in polars (vectorized, row-encoded
+        # value equality — null distinct from ""), applied as an arrow
+        # filter — zero table conversion, strings never copied
+        m = pl.from_arrow(tbl.select(_TRIPLE_ID_COLS)).select(
+            pl.struct(_TRIPLE_ID_COLS).is_first_distinct()
         )
         return m.to_arrow().column(0).cast(pa.bool_())
 
     def local_dedup(batch: pa.Table) -> pa.Table:
         batch = _triple_key_cols(batch, num_buckets)
-        # map-side combine: first occurrence per 128-bit key in the block
+        # map-side combine: first VALUE-distinct occurrence in the block
         return batch.filter(_first_mask(batch))
 
     ds = triples_only(ds).map_batches(
@@ -495,7 +505,10 @@ def _sharded_triples(ds, num_shards: int):
     testing): → Dataset(triple columns + __g, __shard, __bucket)."""
     from .core.rdf_generation import RDF_FIRST, RDF_REST
 
-    t = triples_only(ds)
+    # three consumers (list-key scan, closure scan, the returned shard
+    # pipeline) — checkpoint once or a lazy input (a full build_triples
+    # chain!) re-executes extraction per pass
+    t = triples_only(ds).materialize()
 
     def _gkey(g: pa.Array, node: pa.Array) -> pa.Array:
         # (graph, node) composite key — list semantics are per-graph
@@ -617,15 +630,31 @@ def frame_docs(ds, frame_doc: dict, *, doc_col: str = "doc", options=None):
 # ---------------------------------------------------------------------------
 
 
-def _read_done_shards(manifest_path: str) -> set[int]:
-    done: set[int] = set()
+def _manifest_records(manifest_path: str) -> list[dict]:
+    """Parse manifest lines, SKIPPING torn/partial ones: a writer killed
+    mid-append leaves a truncated JSON line, and crashing on it would
+    permanently break resume — the exact failure the checkpoint layer
+    exists to survive. A shard whose 'done' record was torn is simply
+    reprocessed (rmtree-on-rerun keeps that safe)."""
+    recs: list[dict] = []
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             for line in f:
-                rec = json.loads(line)
-                if rec.get("status") == "done":
-                    done.add(rec["shard"])
-    return done
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue  # torn line from a killed writer
+                if isinstance(rec, dict):
+                    recs.append(rec)
+    return recs
+
+
+def _read_done_shards(manifest_path: str) -> set[int]:
+    return {
+        r["shard"]
+        for r in _manifest_records(manifest_path)
+        if r.get("status") == "done" and "shard" in r
+    }
 
 
 def _claim_shard(state_dir: str, shard: int, token: str) -> bool:
@@ -666,8 +695,7 @@ def _claim_shard(state_dir: str, shard: int, token: str) -> bool:
                     content = _read_claim(claim)
                     if content == token:
                         return True  # already ours (re-entry)
-                    pid = _claim_pid(content)
-                    if pid and _pid_alive(pid):
+                    if _claim_alive(content):
                         return False  # live concurrent writer
                     # stale claim from a killed run: safe to break — no
                     # other examiner can interleave under the mutex
@@ -721,6 +749,36 @@ def _claim_pid(content: str) -> int:
         return 0
 
 
+def _proc_start(pid: int) -> int:
+    """Process start time (clock ticks since boot, /proc stat field 22) —
+    disambiguates a RECYCLED pid from the original claim holder. 0 when
+    /proc is unavailable (non-Linux): liveness then degrades to
+    pid-only."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            data = f.read()
+        return int(data.rsplit(b")", 1)[1].split()[19])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def _claim_alive(content: str) -> bool:
+    """A claim is live iff its pid exists AND (when recorded) the pid's
+    start time matches — a pid recycled onto an unrelated long-lived
+    process must not make a dead run's claim immortal (the shard would
+    be skipped forever with no error)."""
+    pid = _claim_pid(content)
+    if not pid or not _pid_alive(pid):
+        return False
+    parts = content.split(":")
+    if len(parts) >= 3 and parts[1].isdigit():
+        recorded = int(parts[1])
+        actual = _proc_start(pid)
+        if recorded and actual and recorded != actual:
+            return False  # same pid number, different process
+    return True
+
+
 def _pid_alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)
@@ -740,8 +798,7 @@ def _sweep_stale_claims(state_dir: str) -> None:
             if not name.endswith(".claim"):
                 continue
             path = os.path.join(state_dir, name)
-            pid = _claim_pid(_read_claim(path))
-            if not pid or not _pid_alive(pid):
+            if not _claim_alive(_read_claim(path)):
                 try:
                     os.unlink(path)
                 except FileNotFoundError:
@@ -778,14 +835,23 @@ def run_checkpointed(
     state_dir = os.path.join(out_dir, "_state")
     os.makedirs(state_dir, exist_ok=True)
     manifest_path = os.path.join(state_dir, "manifest.jsonl")
-    token = f"{os.getpid()}:{uuid.uuid4().hex}"  # per-call claim identity
+    # per-call claim identity: pid + process START TIME (recycled-pid
+    # disambiguation) + uuid (thread disambiguation within one process)
+    token = f"{os.getpid()}:{_proc_start(os.getpid())}:{uuid.uuid4().hex}"
     _sweep_stale_claims(state_dir)
     done = _read_done_shards(manifest_path)
 
     shards = [
         input_files[i : i + shard_size] for i in range(0, len(input_files), shard_size)
     ]
+    # seed the error-budget counters from ALREADY-DONE shards so the gate
+    # is genuinely cumulative across resumes (a fresh-counter resume
+    # would forget a prior run's 9.9% error mass and never trip)
     metrics = {"shards_total": len(shards), "shards_skipped": len(done), "triples": 0, "errors": 0}
+    for rec in _manifest_records(manifest_path):
+        if rec.get("status") == "done" and rec.get("shard") in done:
+            metrics["triples"] += int(rec.get("triples", 0))
+            metrics["errors"] += int(rec.get("errors", 0))
     for i, files in enumerate(shards):
         if i in done:
             continue
@@ -858,7 +924,7 @@ def _write_metrics_parquet(manifest_path: str, state_dir: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    recs = [json.loads(line) for line in open(manifest_path)]
+    recs = _manifest_records(manifest_path)  # tolerant of a missing file
     if not recs:
         return
     table = pa.table(
@@ -884,8 +950,29 @@ def _write_metrics_parquet(manifest_path: str, state_dir: str) -> None:
 
 def read_triples(out_dir: str):
     """Read back a checkpointed run's triples (error rows filtered at scan
-    time via parquet predicate pushdown)."""
+    time via parquet predicate pushdown). Only shards the manifest marks
+    DONE are read: a shard dir left by a writer killed mid-write (or one
+    a concurrent writer is writing right now) would otherwise leak
+    partial rows into the result with no error."""
     import ray.data
 
-    ds = ray.data.read_parquet(os.path.join(out_dir, "triples"))
+    base = os.path.join(out_dir, "triples")
+    manifest = os.path.join(out_dir, "_state", "manifest.jsonl")
+    done = _read_done_shards(manifest)
+    paths: list[str] = []
+    if os.path.isdir(base):
+        for d in sorted(os.listdir(base)):
+            if not d.startswith("shard=") or int(d.split("=", 1)[1]) not in done:
+                continue
+            shard_dir = os.path.join(base, d)
+            paths.extend(
+                os.path.join(shard_dir, f)
+                for f in sorted(os.listdir(shard_dir))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table({c: pa.array([], pa.string()) for c in _TRIPLE_ID_COLS})
+        )
+    ds = ray.data.read_parquet(paths)
     return triples_only(ds)

@@ -179,3 +179,62 @@ def test_claim_never_stolen_while_live(tmp_path):
             t.join()
         assert len(winners) == 1, winners
         _release_claim(state, 0)
+
+
+def test_torn_manifest_line_does_not_break_resume(ray_session, tmp_path):
+    """A writer killed mid-append leaves a truncated JSON line; resume
+    must skip it (reprocessing that shard) instead of dying forever in
+    json.loads — and the metrics writer must tolerate it too."""
+    files = _corpus(tmp_path, n_shards=3, files_per=20)
+    out = str(tmp_path / "out")
+    m1 = run_checkpointed(files, out, shard_size=1, concurrency=1)
+    manifest = os.path.join(out, "_state", "manifest.jsonl")
+    with open(manifest, "a") as f:
+        f.write('{"shard": 9, "status": "do')  # torn mid-append
+    m2 = run_checkpointed(files, out, shard_size=1, concurrency=1)
+    assert m2["shards_skipped"] == len(files)
+    assert read_triples(out).count() == m1["triples"]
+
+
+def test_empty_input_and_missing_manifest(ray_session, tmp_path):
+    """run_checkpointed([]) on a fresh dir must not crash writing metrics
+    for a manifest that never existed."""
+    out = str(tmp_path / "out_empty")
+    m = run_checkpointed([], out, shard_size=1, concurrency=1)
+    assert m["shards_total"] == 0
+    assert read_triples(out).count() == 0  # and reading back is safe
+
+
+def test_error_budget_is_cumulative_across_resume(ray_session, tmp_path):
+    """The gate seeds its counters from done shards: a resume must see
+    the PRIOR run's error mass, not start from zero."""
+    files = _corpus(tmp_path, n_shards=3, files_per=40)
+    out = str(tmp_path / "out_budget")
+    m1 = run_checkpointed(files, out, shard_size=1, concurrency=1, max_error_rate=0.99)
+    assert m1["errors"] > 0
+    # resume over the SAME (fully done) corpus with a tiny budget: all
+    # shards skip, but the seeded cumulative counters still reflect the
+    # true error mass in the returned metrics
+    m2 = run_checkpointed(files, out, shard_size=1, concurrency=1, max_error_rate=0.99)
+    assert m2["shards_skipped"] == len(files)
+    assert m2["errors"] == m1["errors"] and m2["triples"] == m1["triples"]
+
+
+def test_read_triples_skips_unfinished_shards(ray_session, tmp_path):
+    """A shard dir without a 'done' manifest record (killed mid-write or
+    a concurrent writer's work-in-progress) must not leak partial rows
+    into read_triples."""
+    files = _corpus(tmp_path, n_shards=3, files_per=20)
+    out = str(tmp_path / "out_partial")
+    m = run_checkpointed(files, out, shard_size=1, concurrency=1)
+    manifest = os.path.join(out, "_state", "manifest.jsonl")
+    recs = [json.loads(l) for l in open(manifest)]
+    victim = recs[-1]["shard"]
+    with open(manifest, "w") as f:
+        for r in recs:
+            if r["shard"] != victim:
+                f.write(json.dumps(r) + "\n")
+    # shard dir still on disk, but no longer marked done
+    kept = read_triples(out).count()
+    dropped = [r for r in recs if r["shard"] == victim][0]["triples"]
+    assert kept == m["triples"] - dropped
