@@ -16,9 +16,6 @@ from .errors import JsonLdError
 from .iri import relativize
 from .options import JsonLdOptions
 
-_CONTAINER_SORT = "".join
-
-
 def _container_key(container: frozenset[str]) -> str:
     return "".join(sorted(container)) or "@none"
 
@@ -348,11 +345,17 @@ def compact_value(active: Context, active_property: str | None, value: dict) -> 
     if "@index" in result and "@index" in container:
         del result["@index"]
 
+    # a surviving @index (term has no @index container) pins the map form:
+    # unwrapping to a bare scalar would silently DROP the @index on
+    # round-trip (jsonld.js/pyld preserve it; the Elixir reference shares
+    # this gap — conformance-neutral, the W3C suite never isolates it)
+    indexed = "@index" in result
+
     if type_mapping == "@none":
         pass  # @type:@none terms make no type/language assumptions: keep map
-    elif "@type" in result and result["@type"] == type_mapping:
+    elif not indexed and "@type" in result and result["@type"] == type_mapping:
         result = result["@value"]
-    elif ("@language" in result or "@direction" in result) and (
+    elif not indexed and ("@language" in result or "@direction" in result) and (
         (result.get("@language") or "").lower() == (language or "").lower()
         and result.get("@direction") == direction
         and isinstance(result.get("@value"), str)
@@ -523,7 +526,7 @@ def compact_element(
             item_active_property = compact_iri(
                 active, expanded_property, value=expanded_value, vocab=True, reverse=inside_reverse
             )
-            nest_result, container_ = _nest_target(active, result, item_active_property)
+            nest_result, _ = _nest_target(active, result, item_active_property)
             existing = nest_result.get(item_active_property)
             if existing is None:
                 nest_result[item_active_property] = []

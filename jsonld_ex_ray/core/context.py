@@ -497,6 +497,17 @@ def create_term_definition(
         raise JsonLdError("invalid term definition", repr(value))
 
     definition = TermDefinition()
+    # default protection comes from the LOCAL CONTEXT's @protected, not
+    # only the caller's parameter (jsonld.js derives it the same way):
+    # dependency-created terms (a compact-IRI prefix created from inside
+    # expand_iri's re-expansion validation) must inherit the context's
+    # protection, or a later context silently redefines them
+    if (
+        not protected
+        and local_context.get("@protected") is True
+        and options.processing_mode != "json-ld-1.0"
+    ):
+        protected = True
     definition.protected = protected
 
     # 11. @protected
@@ -575,7 +586,11 @@ def create_term_definition(
             if iri == "@context":
                 raise JsonLdError("invalid keyword alias", "@context")
             definition.iri_mapping = iri
-            if (":" in term[1:-1] if len(term) > 2 else ":" in term[1:]) or "/" in term:
+            # interior colon only — the TRAILING char is excluded for every
+            # term length (ref slice(1..-2)); the old 2-char special case
+            # made "a:" spuriously fail re-expansion validation while
+            # "ab:" passed
+            if ":" in term[1:-1] or "/" in term:
                 defined[term] = True
                 reexpanded = expand_iri(
                     active, term, vocab=True, local_context=local_context, defined=defined
@@ -594,8 +609,19 @@ def create_term_definition(
         if parts:
             prefix, suffix = parts
             if prefix in local_context:
+                # thread the protection flags through (ref term_definition
+                # .ex:494-503): a prefix created as a DEPENDENCY of a
+                # @protected term must itself be protected, or a later
+                # context silently redefines it
                 create_term_definition(
-                    active, local_context, prefix, defined, base_url=base_url
+                    active,
+                    local_context,
+                    prefix,
+                    defined,
+                    base_url=base_url,
+                    protected=protected,
+                    override_protected=override_protected,
+                    remote_contexts=remote_contexts,
                 )
             prefix_def = active.term_definitions.get(prefix)
             if prefix_def is not None and prefix_def.iri_mapping:

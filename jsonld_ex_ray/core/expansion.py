@@ -379,16 +379,23 @@ def _expand_entries(
             index_keys = sorted(value.keys()) if ordered else list(value.keys())
             for index in index_keys:
                 index_value = value[index]
+                # spec 13.8.3: map context initializes to the PREVIOUS
+                # context for @id/@type containers, but is only ever USED
+                # (≠ active) when a @type index term carries a scoped
+                # context — which is processed AGAINST the previous
+                # context (13.8.3.2); every other path resets to active
+                # (13.8.3.3, including @type without a scoped context)
                 map_context = active
-                if "@id" in container or "@type" in container:
-                    if active.previous_context is not None:
-                        map_context = active.previous_context
+                if ("@id" in container or "@type" in container) and active.previous_context is not None:
+                    map_context = active.previous_context
                 if "@type" in container:
                     index_td = map_context.term_definitions.get(index)
                     if index_td is not None and index_td.local_context is not NOT_PRESENT:
                         map_context = map_context.process(
                             index_td.local_context, index_td.base_url
                         )
+                    else:
+                        map_context = active
                 else:
                     map_context = active
                 expanded_index = expand_iri(active, index, vocab=True)
@@ -405,7 +412,11 @@ def _expand_entries(
                     if "@graph" in container and not _is_graph_object(item):
                         item = {"@graph": _as_array(item)}
                     if "@index" in container:
-                        if td is not None and td.index_mapping is not None and index != "@none":
+                        # guard on the EXPANDED index: an aliased @none key
+                        # ({"none": "@none"}) must leave the item untouched,
+                        # not inject a bogus index property (ref
+                        # expansion.ex:622)
+                        if td is not None and td.index_mapping is not None and expanded_index != "@none":
                             # property-valued index
                             index_prop = expand_iri(active, td.index_mapping, vocab=True)
                             re_expanded = expand_value(active, td.index_mapping, index)

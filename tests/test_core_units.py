@@ -407,3 +407,63 @@ def test_script_type_attr_requires_exact_media_type():
     )
     doc = extract_html_document(html, None, False)
     assert doc.get("@id") == "http://x"  # first REAL ld+json script wins
+
+
+def test_compact_value_preserves_index_without_index_container():
+    """Review-found (shared with the Elixir reference): unwrapping a
+    typed/language-matched value object to a bare scalar must not drop a
+    surviving @index."""
+    from jsonld_ex_ray.core import compact, expand
+
+    ctx = {"p": {"@id": "http://ex/p", "@type": "http://ex/T"}}
+    doc = [{"http://ex/p": [{"@value": "v", "@type": "http://ex/T", "@index": "idx"}]}]
+    c = compact(doc, {"@context": ctx})
+    assert expand(c) == expand(doc)  # @index round-trips
+
+
+def test_aliased_none_index_key_injects_nothing():
+    """Property-valued index maps must compare the EXPANDED index against
+    @none: an aliased key must leave items untouched."""
+    import json
+
+    from jsonld_ex_ray.core import expand
+
+    out = expand(
+        {
+            "@context": {
+                "none": "@none",
+                "prop": {"@id": "http://ex/prop", "@container": "@index", "@index": "http://ex/name"},
+            },
+            "prop": {"none": {"@id": "http://ex/item"}},
+        }
+    )
+    assert "http://ex/name" not in json.dumps(out)
+
+
+def test_protected_prefix_created_as_dependency():
+    """A compact-IRI prefix materialized as a DEPENDENCY of a @protected
+    term inherits the context's protection — a later context must not
+    silently redefine it."""
+    import pytest
+
+    from jsonld_ex_ray.core import JsonLdError, expand
+
+    with pytest.raises(JsonLdError, match="protected term redefinition"):
+        expand(
+            {
+                "@context": [
+                    {"@protected": True, "foo:bar": "http://foo/bar", "foo": "http://foo/"},
+                    {"foo": "http://other/"},
+                ],
+                "foo:x": "v",
+            }
+        )
+
+
+def test_two_char_trailing_colon_term():
+    """'a:' must pass re-expansion validation exactly like 'ab:' (the
+    interior-colon check excludes the trailing char at every length)."""
+    from jsonld_ex_ray.core import expand
+
+    out = expand({"@context": {"a": "http://other/", "a:": "http://ex/y"}, "a:": "v"})
+    assert out == [{"http://ex/y": [{"@value": "v"}]}]
