@@ -1185,9 +1185,11 @@ def _q_events_window_users(sf_dir: str):
     def assign(batch: pa.Table) -> pa.Table:
         # unit-robust: normalize to µs first (a timestamp[ns] source would
         # silently scale the windows 1000× through a raw int64 cast)
+        from jsonld_ex_ray.ops.window import _floor_div
+
         us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us"), safe=False), pa.int64())
-        secs = pc.divide(us, 1_000_000)
-        ws = pc.cast(pc.multiply(pc.divide(secs, 3600), 3600), pa.int64())
+        secs = _floor_div(us, 1_000_000)
+        ws = pc.cast(pc.multiply(_floor_div(secs, 3600), 3600), pa.int64())
         return pa.table(
             {"window_start": ws, "user_id": batch.column("user_id")}
         )
@@ -1378,7 +1380,13 @@ def _q_dedup_clusters(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    """Ordered so every SQL-oracled query lands inside the driver's
+    50-query correctness window: oracled queries first, rows-only /
+    no_oracle queries last. There are 51 oracled queries for 50 slots;
+    the one deliberately placed at position 51 is
+    ``doc_repetition_filter`` — a thin filter variant of
+    ``doc_repetition`` (same kernel, in-window, oracle-green r03)."""
+    base = {
         "lineitem_agg": _q_lineitem_agg,
         "top_orders": _q_top_orders,
         "orders_by_segment": _q_orders_by_segment,
@@ -1453,6 +1461,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _q_kg_mentions,
         "kg_error_stats": _q_kg_error_stats,
     }
+    oracled = set(oracle_sql())
+    ordered: dict[str, Callable[[str], Any]] = {}
+    for name in base:  # stable partition, original relative order kept
+        if name in oracled and name != "doc_repetition_filter":
+            ordered[name] = base[name]
+    if "doc_repetition_filter" in base:
+        ordered["doc_repetition_filter"] = base["doc_repetition_filter"]
+    for name in base:
+        if name not in ordered:
+            ordered[name] = base[name]
+    return ordered
 
 
 def _text_quality_sql() -> str:
@@ -1619,7 +1638,11 @@ def oracle_sql() -> dict[str, str]:
                      ) AS session_seq
               FROM flags
             )
-            SELECT user_id, session_seq,
+            SELECT user_id,
+                   -- DuckDB windowed sum over INTEGER is HUGEINT, which
+                   -- pandas fetches as float64 (1.0 != 1 under the
+                   -- driver's value hash) — cast back to BIGINT.
+                   CAST(session_seq AS BIGINT) AS session_seq,
                    count(*) AS n_events,
                    CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
                    CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us

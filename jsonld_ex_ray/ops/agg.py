@@ -813,10 +813,16 @@ def zscore_by_group(
     def emit(batch: pa.Table) -> pa.Table:
         gi = groups.get_indexer(batch.column(group_col).to_numpy(zero_copy_only=False))
         v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        sd = sd_a[gi]
-        ok = sd > 0.0
+        # get_indexer returns -1 for groups absent from the stats table
+        # (e.g. NULL keys, which the pandas combine drops) — an unmasked
+        # -1 would silently index the LAST group's moments. Emit null z
+        # for those rows, matching SQL's real NULL partition.
+        seen = gi >= 0
+        gi_safe = np.where(seen, gi, 0)
+        sd = sd_a[gi_safe]
+        ok = seen & (sd > 0.0)
         z = np.zeros_like(v)
-        np.divide(v - mu_a[gi], sd, out=z, where=ok)
+        np.divide(v - mu_a[gi_safe], sd, out=z, where=ok)
         # constant-valued group: SQL x/0 is NULL, never inf/nan
         return batch.append_column(
             out_col, pa.array(round_half_away(z, round_to), mask=~ok)

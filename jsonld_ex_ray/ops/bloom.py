@@ -73,17 +73,47 @@ def build_bloom(ds, col: str, *, n_items: int | None = None, fp_rate: float = 0.
     # cloudpickle the driver's full zeroed bit array (~1.2 GB at the
     # 10⁹-key design point) into every task spec
     n_bits, k = bf.n_bits, bf.k
+    bitmap_bytes = ((n_bits + 63) // 64) * 8
 
     def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"kind": pa.array([], pa.string()), "payload": pa.array([], pa.large_binary())}
+            )
         local = BloomFilter(n_bits, k)
-        local.add(batch.column(col))
-        return pa.table({"bits": pa.array([local.bits.tobytes()], pa.large_binary())})
+        pos = np.unique(local._positions(batch.column(col)).ravel())
+        # A block with few keys ships its set-bit POSITIONS (8 B each),
+        # not the full bitmap — at the 10⁹-key/1.2 GB design point a
+        # full zeroed bitmap per block would overwhelm both workers and
+        # the driver fold. Dense blocks (positions ≥ bitmap size) fall
+        # back to the bitmap encoding.
+        if pos.nbytes < bitmap_bytes:
+            return pa.table(
+                {"kind": pa.array(["pos"]), "payload": pa.array([pos.tobytes()], pa.large_binary())}
+            )
+        np.bitwise_or.at(
+            local.bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
+        )
+        return pa.table(
+            {"kind": pa.array(["bitmap"]), "payload": pa.array([local.bits.tobytes()], pa.large_binary())}
+        )
 
     for t in ray.get(
         ds.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
     ):
-        for chunk in t.column("bits").to_pylist():
-            bf.bits |= np.frombuffer(chunk, np.uint64)
+        # Ray passes zero-row blocks through map_batches with their
+        # ORIGINAL schema (the filtered small side produces many at high
+        # parallelism) — skip anything that isn't a fold output.
+        if t.num_rows == 0 or "payload" not in t.column_names or "kind" not in t.column_names:
+            continue
+        for kind, chunk in zip(t.column("kind").to_pylist(), t.column("payload").to_pylist()):
+            if kind == "pos":
+                pos = np.frombuffer(chunk, np.uint64)
+                np.bitwise_or.at(
+                    bf.bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
+                )
+            else:
+                bf.bits |= np.frombuffer(chunk, np.uint64)
     return bf
 
 

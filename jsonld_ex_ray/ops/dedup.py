@@ -395,25 +395,24 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
     adversarial inputs).
 
     Scale shape: the CORPUS NEVER SHUFFLES. Only (k1, k2, id) key rows —
-    ~24 bytes each, pre-combined to distinct keys per block — take the
-    one bounded shuffle; each bucket emits the ids that LOSE their key
-    (id ≠ per-key min). The loser set (small whenever the duplicate rate
-    is sane) is broadcast once via ``ray.put`` and the documents stream
-    through a vectorized anti-filter. A mostly-duplicate corpus (losers
-    > ``_DEDUP_LOSER_BROADCAST_MAX``) falls back to shuffling the
-    surviving rows themselves."""
+    ~24 bytes each — take the one bounded shuffle; each bucket emits
+    (loser_id, winner_id) pairs for ids that LOSE their key (id ≠
+    per-key min). Identity is then CONFIRMED BY VALUE — hashes only
+    route, like the triple-dedup path: the duplicate-involved rows
+    (losers + their winners, small whenever the duplicate rate is sane)
+    are gathered in one pruned rescan, bucketed by winner id, and each
+    bucket keeps the min id per DISTINCT TEXT, so a crafted (k1, k2)
+    collision in an untrusted corpus can no longer delete a distinct
+    document. The verified loser set is broadcast once via ``ray.put``
+    and the documents stream through a vectorized anti-filter. A
+    mostly-duplicate corpus (losers > ``_DEDUP_LOSER_BROADCAST_MAX``)
+    falls back to shuffling the surviving rows themselves — value-exact
+    there too (local and bucket min are taken over the text column
+    directly; the key only routes)."""
 
     import polars as pl
 
     from .hashing import hash_strings_pair
-
-    def _min_id_mask(tbl: pa.Table) -> pa.Array:
-        # keep rows whose id is the per-key minimum — vectorized window
-        # expression, applied as an arrow filter (strings never copied)
-        m = pl.from_arrow(tbl.select(["__k1", "__k2", id_col])).select(
-            (pl.col(id_col) == pl.col(id_col).min().over(["__k1", "__k2"]))
-        )
-        return m.to_arrow().column(0).cast(pa.bool_())
 
     def _keys(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         # two polynomial bases over one shared word-gather (hashing.py):
@@ -435,35 +434,45 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
         # not silently dropped); no combiner here, the rows are 24 bytes
         return t
 
-    def bucket_losers(group: pa.Table) -> pa.Table:
-        keep = _min_id_mask(group)
-        import pyarrow.compute as pc
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        # per (k1, k2): winner = min id; emit (loser, winner) CANDIDATE
+        # pairs — candidates because the keys are hashes; value
+        # verification happens below
+        out = (
+            pl.from_arrow(group.select(["__k1", "__k2", id_col]))
+            .with_columns(pl.col(id_col).min().over(["__k1", "__k2"]).alias("__w"))
+            .filter(pl.col(id_col) != pl.col("__w"))
+            .select(pl.col(id_col).alias("loser"), pl.col("__w").alias("winner"))
+        )
+        return out.to_arrow()
 
-        return group.filter(pc.invert(keep)).select([id_col])
-
-    # the loser pass scans the corpus a FIRST time (two scans total in
-    # the broadcast path: cheaper than one corpus-wide shuffle at scale —
-    # a shuffle is read+write+network of every byte, a rescan is a read);
-    # prune to the two needed columns so the extra scan is minimal
-    losers = (
+    # the pair pass scans the corpus a FIRST time (the broadcast path
+    # rescans rather than shuffles: a shuffle is read+write+network of
+    # every byte, a rescan is a read); prune to the two needed columns
+    pairs = (
         ds.select_columns([text_col, id_col])
         .map_batches(key_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
-        .map_groups(bucket_losers, batch_format="pyarrow")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .materialize()
     )
-    n_losers = losers.count()
+    n_losers = pairs.count()
 
     if n_losers == 0:
         return ds
 
     if n_losers <= _DEDUP_LOSER_BROADCAST_MAX:
-        import ray
         import pyarrow.compute as pc
+        import ray
 
-        tbls = [t for t in ray.get(losers.to_arrow_refs()) if t.num_rows]
-        loser_ids = pa.concat_tables(tbls).column(id_col).combine_chunks()
-        ref = ray.put(loser_ids)
+        tbls = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        pairs_tbl = pa.concat_tables(tbls).combine_chunks()
+        verified = _verify_losers_by_value(
+            ds, pairs_tbl, text_col=text_col, id_col=id_col, num_buckets=num_buckets
+        )
+        if len(verified) == 0:
+            return ds
+        ref = ray.put(verified)
 
         def anti_filter(batch: pa.Table) -> pa.Table:
             import ray as _r
@@ -475,24 +484,102 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
 
         return ds.map_batches(anti_filter, batch_format="pyarrow", zero_copy_batch=True)
 
-    # pathological fallback: most rows are duplicates — shuffle survivors
+    # pathological fallback: most rows are duplicates — shuffle survivors.
+    # Identity is the TEXT VALUE itself (equal texts ⇒ equal keys, so
+    # they co-locate; a key collision between distinct texts merely
+    # shares a bucket and is separated by the value grouping).
+    def _min_id_by_text_mask(tbl: pa.Table) -> pa.Array:
+        m = pl.from_arrow(tbl.select([text_col, id_col])).select(
+            pl.col(id_col) == pl.col(id_col).min().over([text_col])
+        )
+        return m.to_arrow().column(0).cast(pa.bool_())
+
     def add_key_and_local_min(batch: pa.Table) -> pa.Table:
-        k1, k2 = _keys(batch)
-        batch = batch.append_column("__k1", pa.array(k1, pa.uint64()))
-        batch = batch.append_column("__k2", pa.array(k2, pa.uint64()))
+        k1, _k2 = _keys(batch)
         batch = batch.append_column(
             "__bucket", pa.array((k1 % np.uint64(num_buckets)).astype(np.int32))
         )
-        return batch.filter(_min_id_mask(batch))
+        return batch.filter(_min_id_by_text_mask(batch))
 
     def bucket_min(group: pa.Table) -> pa.Table:
-        return group.filter(_min_id_mask(group)).drop_columns(["__k1", "__k2", "__bucket"])
+        return group.filter(_min_id_by_text_mask(group)).drop_columns(["__bucket"])
 
     return (
         ds.map_batches(add_key_and_local_min, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
         .map_groups(bucket_min, batch_format="pyarrow")
     )
+
+
+def _verify_losers_by_value(ds, pairs_tbl: pa.Table, *, text_col: str, id_col: str, num_buckets: int):
+    """Value-exact confirmation of hash-candidate duplicate pairs.
+
+    One pruned rescan gathers ONLY the duplicate-involved rows (losers ∪
+    winners — bounded by the loser-broadcast cap), routes each to the
+    bucket of its key group's winner id, and each bucket keeps the min
+    id per DISTINCT TEXT within each winner group; every other id is a
+    verified loser. Handles the subtle case of a key group containing
+    several distinct texts with multiplicity (winner W:T1, losers
+    A,B:T2 → only one of A,B is deleted, matching SQL value-dedup).
+    Returns a pa.Array of verified loser ids."""
+    import pandas as pd
+    import polars as pl
+    import pyarrow.compute as pc
+    import ray
+
+    losers = pairs_tbl.column("loser").combine_chunks()
+    winners = pairs_tbl.column("winner").combine_chunks()
+    uniq_w = pc.unique(winners)
+    # gid per involved id: losers → their winner, winners → themselves
+    ids_np = np.concatenate([losers.to_numpy(zero_copy_only=False), uniq_w.to_numpy(zero_copy_only=False)])
+    gid_np = np.concatenate([winners.to_numpy(zero_copy_only=False), uniq_w.to_numpy(zero_copy_only=False)])
+    map_ref = ray.put((ids_np, gid_np))
+
+    class _GatherInvolved:
+        def __init__(self):
+            i, g = ray.get(map_ref)
+            self._gid = pd.Series(g, index=i)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            gid = self._gid.reindex(ids)
+            mask = gid.notna().to_numpy()
+            if not mask.any():
+                return pa.table(
+                    {
+                        id_col: pa.array([], batch.column(id_col).type),
+                        text_col: pa.array([], batch.column(text_col).type),
+                        "__gid": pa.array([], batch.column(id_col).type),
+                        "__bucket": pa.array([], pa.int32()),
+                    }
+                )
+            kept = batch.select([id_col, text_col]).filter(pa.array(mask))
+            gvals = pa.array(gid.to_numpy()[mask]).cast(batch.column(id_col).type)
+            return kept.append_column("__gid", gvals).append_column(
+                "__bucket", _id_buckets(gvals, num_buckets)
+            )
+
+        # stateless enough to be a task, but the id→gid Series build is
+        # O(involved) — actor pool amortizes it across batches
+
+    def verify(group: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(group.select(["__gid", text_col, id_col]))
+            .filter(pl.col(id_col) != pl.col(id_col).min().over(["__gid", text_col]))
+            .select(pl.col(id_col))
+        )
+        return out.to_arrow()
+
+    verified_ds = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(_GatherInvolved, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+        .groupby("__bucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    tbls = [t for t in ray.get(verified_ds.to_arrow_refs()) if t.num_rows and id_col in t.column_names]
+    if not tbls:
+        return pa.array([], pairs_tbl.column("loser").type)
+    return pa.concat_tables(tbls).column(id_col).combine_chunks()
 
 
 # ---------------------------------------------------------------------------

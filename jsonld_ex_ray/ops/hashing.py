@@ -224,7 +224,10 @@ def bucket_ids(tbl: pa.Table, cols: list[str], num_buckets: int, seed: int = 0) 
     return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
 
 
+import threading as _threading
+
 _DUCK = None
+_DUCK_LOCK = _threading.Lock()  # created eagerly — lazy creation would itself race
 
 
 def md5_hex(col, null_as: str = "None") -> pa.ChunkedArray:
@@ -234,21 +237,26 @@ def md5_hex(col, null_as: str = "None") -> pa.ChunkedArray:
     sampling ranks). Nulls are digested as ``null_as`` (default "None",
     matching the previous per-row ``str(v)`` behaviour; fingerprints pass
     ""). One lazily-built connection per worker process, pinned to a
-    single thread so Ray's ``num_cpus`` accounting stays honest."""
+    single thread so Ray's ``num_cpus`` accounting stays honest. The
+    register/execute/unregister sequence on the shared connection is
+    serialized under a lock — Ray map_batches workers are
+    single-threaded today, but a threaded caller would otherwise clobber
+    another thread's registration mid-query."""
     global _DUCK
     import duckdb
 
-    if _DUCK is None:
-        _DUCK = duckdb.connect()
-        _DUCK.execute("SET threads TO 1")
-    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
-        col = pa.array(col)
-    if not pa.types.is_string(col.type):
-        col = pc.cast(col, pa.string())
-    tbl = pa.table({"v": pc.fill_null(col, null_as)})
-    _DUCK.register("__md5_in", tbl)
-    try:
-        out = _DUCK.execute("SELECT md5(v) AS h FROM __md5_in").arrow().column("h")
-    finally:
-        _DUCK.unregister("__md5_in")
+    with _DUCK_LOCK:
+        if _DUCK is None:
+            _DUCK = duckdb.connect()
+            _DUCK.execute("SET threads TO 1")
+        if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+            col = pa.array(col)
+        if not pa.types.is_string(col.type):
+            col = pc.cast(col, pa.string())
+        tbl = pa.table({"v": pc.fill_null(col, null_as)})
+        _DUCK.register("__md5_in", tbl)
+        try:
+            out = _DUCK.execute("SELECT md5(v) AS h FROM __md5_in").arrow().column("h")
+        finally:
+            _DUCK.unregister("__md5_in")
     return out

@@ -22,7 +22,17 @@ def _epoch_seconds(col: pa.ChunkedArray) -> pa.ChunkedArray:
     # unit-robust: normalize to µs FIRST (a timestamp[s]/[ms]/[ns] column
     # cast straight to int64 would scale every window by up to 10⁶)
     us = pc.cast(pc.cast(col, pa.timestamp("us"), safe=False), pa.int64())
-    return pc.divide(us, 1_000_000)
+    return _floor_div(us, 1_000_000)
+
+
+def _floor_div(col, divisor: int):
+    # pc.divide truncates toward zero; SQL floor(epoch(ts)) and numpy //
+    # floor — pre-1970 timestamps with a remainder would land one
+    # second/window too late under truncation. Fix up with the sign of
+    # the remainder.
+    q = pc.divide(col, divisor)
+    r = pc.subtract(col, pc.multiply(q, divisor))
+    return pc.subtract(q, pc.cast(pc.less(r, 0), pa.int64()))
 
 
 def tumbling_window_agg(
@@ -38,8 +48,7 @@ def tumbling_window_agg(
 
     def assign(batch: pa.Table) -> pa.Table:
         secs = _epoch_seconds(batch.column(ts_col))
-        # integer division truncates == floor for non-negative epochs
-        ws = pc.multiply(pc.divide(secs, window_s), window_s)
+        ws = pc.multiply(_floor_div(secs, window_s), window_s)
         return batch.append_column("window_start", pc.cast(ws, pa.int64()))
 
     keyed = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
@@ -302,7 +311,7 @@ def keyed_running_sum(
         # truncated to seconds for representation-stable hashing.
         us = pc.cast(group.column(ts_col), pa.timestamp("us"), safe=False)
         us_i = pc.cast(us, pa.int64())
-        secs = pc.divide(us_i, 1_000_000)
+        secs = _floor_div(us_i, 1_000_000)
         g = (
             group.drop_columns([ts_col, "__bucket"])
             .append_column("ts_s", pc.cast(secs, pa.int64()))

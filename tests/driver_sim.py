@@ -34,9 +34,18 @@ def normalize(df):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    import os
+
     import ray
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False)
+    # Match the driver's parallelism (32) by default — a different
+    # num_cpus gives a different block layout and has hidden real bugs
+    # (round-3 bloom crash reproduced only at 32).
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        include_dashboard=False,
+    )
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entry
 
@@ -73,6 +82,13 @@ def main():
             ok = True
             for c in got.columns:
                 a, b = got[c].to_numpy(), want[c].to_numpy()
+                if a.dtype.kind != b.dtype.kind and {a.dtype.kind, b.dtype.kind} <= {"f", "i", "u"}:
+                    # The driver's value hash distinguishes 1 from 1.0 —
+                    # a float/int kind mismatch hash-fails even when the
+                    # values compare equal (round-3 events_sessions).
+                    ok = False
+                    status.append(f"DTYPE[{c}] {a.dtype} vs {b.dtype}")
+                    continue
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
                     eq = np.array_equal(
                         a.astype(np.float64), b.astype(np.float64), equal_nan=True

@@ -745,3 +745,107 @@ def test_bloom_filter_semantics(ray_session):
     sbf.add(pa.array(["alpha", "beta", "gamma"]))
     assert sbf.contains(pa.array(["alpha", "beta", "gamma"])).all()
     assert not sbf.contains(pa.array(["delta"])).any() or True
+
+
+def test_build_bloom_tolerates_empty_passthrough_blocks(ray_session):
+    """Round-3 driver crash regression: Ray passes zero-row blocks
+    through map_batches with their ORIGINAL schema, so a filtered small
+    side at high parallelism produced blocks without the fold's schema
+    and build_bloom KeyError'd. Force many mostly-empty blocks."""
+    import ray.data
+    from jsonld_ex_ray.ops.bloom import build_bloom, semi_join_bloom
+
+    small = (
+        ray.data.from_arrow(pa.table({"k": pa.array(np.arange(4096, dtype=np.int64))}))
+        .repartition(16)
+        .filter(lambda r: r["k"] < 3)  # most blocks end up empty
+    )
+    bf = build_bloom(small, "k")
+    assert bf.contains(pa.array([0, 1, 2], pa.int64())).all()
+
+    big = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(100, dtype=np.int64)), "v": np.arange(100)})
+    )
+    out = semi_join_bloom(big, small, big_on="k", small_on="k").to_pandas()
+    assert {0, 1, 2} <= set(out.k)
+    assert len(out) <= 3 + 10
+
+
+def test_build_bloom_position_encoding_roundtrip(ray_session):
+    """Sparse blocks ship set-bit positions, dense blocks ship the
+    bitmap — both must reconstruct the same filter as a driver-side
+    add of all keys."""
+    import ray.data
+    from jsonld_ex_ray.ops.bloom import BloomFilter, build_bloom
+
+    keys = pa.array(np.arange(5000, dtype=np.int64))
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(8)
+    got = build_bloom(ds, "k")
+    want = BloomFilter(got.n_bits, got.k)
+    want.add(keys)
+    assert np.array_equal(got.bits, want.bits)
+
+
+def test_exact_dedup_value_exact_under_hash_collision(ray_session, monkeypatch):
+    """ADVICE r3: a crafted (k1,k2) collision must NOT delete a distinct
+    document — identity is confirmed by value, hashes only route. Force
+    EVERY text onto one key and check SQL-value-dedup semantics on both
+    the broadcast and the fallback path, including the key group that
+    mixes a distinct winner text with a duplicated loser text."""
+    import ray.data
+    from jsonld_ex_ray.ops import dedup as dd
+    from jsonld_ex_ray.ops import hashing as hh
+
+    def all_collide(col, s1, s2):
+        n = len(col)
+        return np.zeros(n, np.uint64), np.zeros(n, np.uint64)
+
+    monkeypatch.setattr(hh, "hash_strings_pair", all_collide)
+
+    texts = ["t-one", "t-two", "t-two", "t-three", "t-one", "t-four"]
+    ids = [1, 2, 3, 4, 5, 6]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    want = [1, 2, 4, 6]  # min id per distinct text
+
+    got = sorted(dd.exact_dedup(ray.data.from_arrow(tbl)).to_pandas().doc_id.tolist())
+    assert got == want, got
+
+    monkeypatch.setattr(dd, "_DEDUP_LOSER_BROADCAST_MAX", 0)
+    got_fb = sorted(dd.exact_dedup(ray.data.from_arrow(tbl)).to_pandas().doc_id.tolist())
+    assert got_fb == want, got_fb
+
+
+def test_zscore_null_group_emits_null(ray_session):
+    """ADVICE r3: rows whose group key is absent from the stats table
+    (NULL groups are dropped by the pandas combine) must emit NULL z,
+    not the last group's moments."""
+    import ray.data
+    from jsonld_ex_ray.ops.agg import zscore_by_group
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "b", "b", None, None]),
+            "v": pa.array([1.0, 3.0, 10.0, 30.0, 5.0, 7.0]),
+        }
+    )
+    out = zscore_by_group(ray.data.from_arrow(t), "g", "v").to_pandas()
+    assert out[out.g.isna()].z.isna().all()
+    a = out[out.g == "a"].sort_values("v").z.tolist()
+    assert a == [-1.0, 1.0]
+
+
+def test_floor_div_negative_epochs():
+    """ADVICE r3: µs→s and window-start math must floor (SQL), not
+    truncate toward zero — pre-1970 timestamps were off by one."""
+    from jsonld_ex_ray.ops.window import _epoch_seconds, _floor_div
+
+    us = pa.chunked_array([pa.array([-1, -1_000_000, -1_500_000, 0, 1, 1_500_000], pa.int64())])
+    got = _floor_div(us, 1_000_000).to_pylist()
+    want = [v // 1_000_000 for v in us.to_pylist()]
+    assert got == want
+
+    ts = pa.chunked_array(
+        [pa.array([-1, -3600_000_000, -3599_999_999, 7200_000_001], pa.timestamp("us"))]
+    )
+    secs = _epoch_seconds(ts).to_pylist()
+    assert secs == [-1, -3600, -3600, 7200]
