@@ -45,20 +45,67 @@ def _corpus_path(sf: float, seed: int = 42, heavy: float = 0.0, shards: int = 32
     return path
 
 
-def _best_of(fn, repeats: int = 2) -> float:
-    """Min wall over ``repeats`` runs — this host shows intermittent
-    multi-minute 2-3x degradations (external contention), so a single
-    sample regularly lies about the engine."""
-    best = None
+def _load_gate(threshold: float = 0.7, timeout: float = 180.0, poll: float = 5.0) -> list[float]:
+    """Bounded wait for the 1-min loadavg to drop below ``threshold`` —
+    this host shows intermittent external load spikes (to 12+) that
+    inflate a one-shot sample 2-3×. Returns the observed samples so a
+    contaminated run is self-evident in the emitted JSON."""
+    samples = []
+    t0 = time.monotonic()
+    while True:
+        la = os.getloadavg()[0]
+        samples.append(round(la, 2))
+        if la < threshold or time.monotonic() - t0 > timeout:
+            return samples
+        time.sleep(poll)
+
+
+def _median_of(fn, repeats: int = 3) -> tuple[float, list[float]]:
+    """Median wall over ``repeats`` runs (median, not min: robust to a
+    mid-bench load spike without optimistically discarding real cost).
+    Returns (median, all samples) — samples are emitted so the spread
+    is visible."""
+    samples = []
     for _ in range(repeats):
         t0 = time.monotonic()
         fn()
-        dt = time.monotonic() - t0
-        best = dt if best is None or dt < best else best
-    return round(best, 3)
+        samples.append(round(time.monotonic() - t0, 3))
+    s = sorted(samples)
+    mid = s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+    return round(mid, 3), samples
 
 
 def run_queries(sf_dir: str, num_cpus: int) -> dict:
+    sf = _sf_from_dir(sf_dir)
+    corpus = _corpus_path(sf)
+    import pyarrow.dataset as pads
+
+    n_files = pads.dataset(corpus).count_rows()
+
+    results: dict[str, float] = {}
+    extras: dict = {}
+    samples: dict[str, list[float]] = {}
+    extras["load_gate"] = _load_gate()
+
+    # flagship COLD number: median of 3 FRESH-process runs (each pays
+    # worker spin-up + context processing, none shares a warm session —
+    # the only honest repeatable "cold"; in-process repeats are warm).
+    # Children run strictly sequentially, before this process holds a
+    # Ray session (concurrent sessions contaminate timings badly).
+    cold = [
+        _single_run_subprocess(sf_dir, num_cpus, repeats=1, plain=True)
+        for _ in range(3)
+    ]
+    cold_secs = sorted(r["sec"] for r in cold)
+    results["kg_triples"] = cold_secs[1]
+    samples["kg_triples"] = [r["sec"] for r in cold]
+    n_triples = cold[0]["n_triples"]
+    dt = results["kg_triples"]
+    extras["files_per_sec"] = round(n_files / dt, 1)
+    extras["triples_per_sec"] = round(n_triples / dt, 1)
+    extras["n_files"] = n_files
+    extras["n_triples"] = n_triples
+
     import ray
 
     if not ray.is_initialized():
@@ -68,19 +115,11 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
             include_dashboard=False,
             log_to_driver=False,
         )
-    sf = _sf_from_dir(sf_dir)
-    corpus = _corpus_path(sf)
-    import pyarrow.dataset as pads
 
-    n_files = pads.dataset(corpus).count_rows()
-
-    results: dict[str, float] = {}
-    extras: dict[str, float] = {}
-
-    # flagship: KG triple extraction (files → triples). Materialized ONCE
-    # (the real chain extracts once and checkpoints — full_kg.py); the
-    # wide stages below are timed over the materialized triples so their
-    # numbers are the SHUFFLE cost, not a re-run of extraction.
+    # materialize triples ONCE in-session (the real chain extracts once
+    # and checkpoints — full_kg.py); the wide stages below are timed over
+    # the materialized triples so their numbers are the SHUFFLE cost, not
+    # a re-run of extraction.
     from jsonld_ex_ray.pipeline import build_triples, triples_only
 
     state: dict = {}
@@ -96,32 +135,21 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
         ).materialize()
         state["n_triples"] = state["mat"].count()
 
-    # cold first (comparable to round 1: worker spin-up + context
-    # processing included), then a warm re-run — the steady-state number a
-    # long-running ingest actually sees (per-worker context caches hot)
-    t0 = time.monotonic()
-    run_extract()
-    results["kg_triples"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    run_extract()
-    extras["kg_triples_warm"] = round(time.monotonic() - t0, 3)
+    run_extract()  # in-session warm-up (spins workers, fills ctx caches)
+    warm, warm_samples = _median_of(run_extract)
+    extras["kg_triples_warm"] = warm
+    samples["kg_triples_warm"] = warm_samples
+    extras["files_per_sec_warm"] = round(n_files / warm, 1)
     triples_mat = state["mat"]
-    n_triples = state["n_triples"]
-    dt = results["kg_triples"]
-    extras["files_per_sec"] = round(n_files / dt, 1)
-    extras["triples_per_sec"] = round(n_triples / dt, 1)
-    extras["files_per_sec_warm"] = round(n_files / extras["kg_triples_warm"], 1)
-    extras["n_files"] = n_files
-    extras["n_triples"] = n_triples
 
     # shuffle-stage visibility: exact dedup + salted graph materialize over
     # the materialized triples (wide ops at sf scale)
     from jsonld_ex_ray.pipeline import dedup_triples, materialize_graph
 
-    results["kg_dedup"] = _best_of(
+    results["kg_dedup"], samples["kg_dedup"] = _median_of(
         lambda: extras.__setitem__("n_dedup", dedup_triples(triples_mat).count())
     )
-    results["kg_materialize"] = _best_of(
+    results["kg_materialize"], samples["kg_materialize"] = _median_of(
         lambda: extras.__setitem__("n_subjects", materialize_graph(triples_mat).count())
     )
     del triples_mat
@@ -141,7 +169,7 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
         return fn
 
     for name in ("lineitem_agg", "doc_dedup_exact", "dedup_minhash", "ann_topk", "text_quality"):
-        results[name] = _best_of(run_query(name))
+        results[name], samples[name] = _median_of(run_query(name))
 
     # headline value = the round-1-comparable core set; ops added later are
     # timed separately so round-over-round walls stay apples-to-apples
@@ -161,8 +189,10 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
         "user_hitters",
         "orders_last_ship",
     ):
-        extra_queries[name] = _best_of(run_query(name))
+        extra_queries[name], samples[name] = _median_of(run_query(name))
 
+    extras["load_end"] = round(os.getloadavg()[0], 2)
+    extras["samples"] = samples
     return {
         "metric": "kg_construct_pipeline_wall",
         "value": total,
@@ -175,15 +205,18 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_single(sf_dir: str, num_cpus: int) -> dict:
-    """Flagship pipeline only (used by --scaling child processes)."""
+def run_single(sf_dir: str, num_cpus: int, plain: bool = False) -> dict:
+    """Flagship pipeline only, in a fresh process (used by --scaling and
+    by the headline's cold-sample children). ``plain`` uses the standard
+    headline corpus instead of the heavy scaling corpus."""
     import ray
 
+    load_gate = _load_gate(timeout=60.0)
     ray.init(
         address="local", num_cpus=num_cpus, include_dashboard=False, log_to_driver=False
     )
     sf = _sf_from_dir(sf_dir)
-    corpus = _corpus_path(sf, heavy=0.5)
+    corpus = _corpus_path(sf) if plain else _corpus_path(sf, heavy=0.5)
     import pyarrow.dataset as pads
 
     n_files = pads.dataset(corpus).count_rows()
@@ -207,14 +240,18 @@ def run_single(sf_dir: str, num_cpus: int) -> dict:
         "triples_per_sec": round(n_triples / dt, 1),
         "n_files": n_files,
         "n_triples": n_triples,
+        "load_gate": load_gate,
     }
 
 
-def _single_run_subprocess(sf_dir: str, cpus: int, repeats: int) -> dict:
+def _single_run_subprocess(sf_dir: str, cpus: int, repeats: int, plain: bool = False) -> dict:
     best = None
+    cmd = [sys.executable, os.path.abspath(__file__), "--single-run", "--cpus", str(cpus), "--sf-dir", sf_dir]
+    if plain:
+        cmd.append("--plain")
     for _ in range(repeats):
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single-run", "--cpus", str(cpus), "--sf-dir", sf_dir],
+            cmd,
             capture_output=True,
             text=True,
             check=True,
@@ -280,7 +317,7 @@ if __name__ == "__main__":
         print(json.dumps({"metric": "stats", "rows": mat.count(), "num_cpus": num_cpus}))
         ray.shutdown()
     elif "--single-run" in args:
-        print(json.dumps(run_single(sf_dir, num_cpus)))
+        print(json.dumps(run_single(sf_dir, num_cpus, plain="--plain" in args)))
     elif "--scaling-wide" in args:
         print(json.dumps(run_scaling(sf_dir, low=8, high=32)))
     elif "--scaling-mid" in args:

@@ -104,27 +104,6 @@ def _partial_table(batch: pa.Table, keys: list[str], partials) -> pa.Table:
     return tbl.rename_columns([rename.get(n, n) for n in tbl.schema.names])
 
 
-def _finalize_df(df, keys: list[str], aggs, partials, sort: bool):
-    """Combine partial rows (pandas DataFrame) → final aliased columns."""
-    grouped = df.groupby(keys, as_index=False, sort=sort)
-    combine_map = {name: comb for name, (_spec, comb) in partials.items()}
-    out = grouped.agg({name: comb for name, comb in combine_map.items()})
-    result = out[keys].copy()
-    for col, op, alias, nd in aggs:
-        if op == "count":
-            vals = out["__cnt_all"]
-        elif op == "sum":
-            vals = out[f"__sum_{col}"]
-        elif op == "mean":
-            vals = out[f"__sum_{col}"] / out[f"__cnt_{col}"]
-        else:
-            vals = out[f"__{op}_{col}"]
-        if nd is not None:
-            vals = round_half_away(vals.astype(np.float64), nd)
-        result[alias] = vals
-    return result
-
-
 def _finalize_arrow(tbl: pa.Table, keys: list[str], aggs, partials) -> pa.Table:
     """Arrow-native combine of partial rows → final aliased columns (the
     per-bucket path of ``groupby_agg_bucketed`` — key columns stay in
@@ -167,9 +146,18 @@ def groupby_agg_lowcard(ds, keys: list[str], aggs):
         return _partial_table(batch, keys, partials)
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    # final combine: tiny (n_blocks × n_groups rows) — safe to collect
-    df = parts.to_pandas()
-    result = _finalize_df(df, keys, aggs, partials, sort=True)
+    # final combine: tiny (n_blocks × n_groups rows) — safe to collect.
+    # Arrow-native (same kernel as the bucketed path): no pandas
+    # groupby, and null group keys form a real group like SQL's
+    # GROUP BY (pandas groupby silently drops them).
+    import ray
+
+    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        import pandas as pd
+
+        return pd.DataFrame(columns=[*keys, *[a[2] for a in aggs]])
+    result = _finalize_arrow(pa.concat_tables(tbls), keys, aggs, partials).to_pandas()
     return result.sort_values(keys).reset_index(drop=True)
 
 
@@ -419,6 +407,8 @@ def grouped_exact_quantiles(
     qs: list[float],
     bins: int = 4096,
     round_to: int = 6,
+    max_hist_groups: int | None = None,
+    num_buckets: int = 64,
 ):
     """EXACT per-group ``quantile_cont`` — the keyed version of
     ``exact_quantiles``: three streaming passes, no global sort, no
@@ -432,12 +422,19 @@ def grouped_exact_quantiles(
     3. stream only the values inside each group's target bins and
        interpolate exactly like SQL ``quantile_cont``.
 
-    Driver state is O(n_groups × bins): sized for analytics-grade group
-    cardinality (types, languages, days — up to ~10⁴ groups at the
-    default ``bins``); for key cardinalities beyond that use
-    ``groupby_agg_bucketed`` percentile sketches instead. → pandas
-    DataFrame(group_col, q<percent>…), one row per group, sorted."""
+    Driver histogram state is O(n_groups × bins) and each block emits a
+    partial of that size, so the histogram path is GATED on group
+    cardinality: above ``max_hist_groups`` (default sized so a per-block
+    partial stays ≤ 8 MB) the call transparently switches to
+    ``grouped_quantiles_bucketed`` — one bounded shuffle of 16-byte
+    (group, value) rows on hash(group), exact vectorized
+    ``quantile_cont`` inside each bucket, driver state O(n_groups) final
+    rows only. → pandas DataFrame(group_col, q<percent>…), one row per
+    group, sorted."""
     import pandas as pd
+
+    if max_hist_groups is None:
+        max_hist_groups = max(16, (8 << 20) // (bins * 8))
 
     def nan_to_null(batch: pa.Table) -> pa.Table:
         # the per-group n comes from arrow 'count' (non-NULL), while the
@@ -452,22 +449,40 @@ def grouped_exact_quantiles(
 
     ds = ds.map_batches(nan_to_null, batch_format="pyarrow", zero_copy_batch=True)
 
-    stats = ds.map_batches(
-        lambda b: _partial_table(
-            b,
-            [group_col],
-            {
-                "__cnt": ((col, "count"), _COMBINE_SUM),
-                "__min": ((col, "min"), _COMBINE_MIN),
-                "__max": ((col, "max"), _COMBINE_MAX),
-            },
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas()
-    st = stats.groupby(group_col).agg(
-        n=("__cnt", "sum"), lo=("__min", "min"), hi=("__max", "max")
-    ).sort_index()
+    # per-group (count, min, max) via map-side partials + ONE bounded
+    # shuffle — the driver sees nothing until after the cardinality gate
+    # (a driver combine would collect O(groups × blocks) partial rows)
+    from .hashing import bucket_ids
+
+    _stat_partials = {
+        "__cnt": ((col, "count"), _COMBINE_SUM),
+        "__min": ((col, "min"), _COMBINE_MIN),
+        "__max": ((col, "max"), _COMBINE_MAX),
+    }
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        t = _partial_table(batch, [group_col], _stat_partials)
+        return t.append_column("__bucket", bucket_ids(t, [group_col], num_buckets, seed=0))
+
+    def stat_combine(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__bucket"])
+        out = t.group_by([group_col]).aggregate(
+            [("__cnt", "sum"), ("__min", "min"), ("__max", "max")]
+        )
+        names = {"__cnt_sum": "n", "__min_min": "lo", "__max_max": "hi"}
+        return out.rename_columns([names.get(c, c) for c in out.schema.names])
+
+    stats_ds = (
+        ds.map_batches(stat_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(stat_combine, batch_format="pyarrow")
+        .materialize()
+    )
+    if stats_ds.count() > max_hist_groups:
+        return grouped_quantiles_bucketed(
+            ds, group_col, col, qs, num_buckets=num_buckets, round_to=round_to
+        )
+    st = stats_ds.to_pandas().set_index(group_col).sort_index()
     groups = pd.Index(st.index)
     n_g = len(groups)
     lo = st["lo"].to_numpy(np.float64)
@@ -545,6 +560,61 @@ def grouped_exact_quantiles(
         out[f"q{int(round(q * 100))}"][g] = float(round_half_away(np.array([val]), round_to)[0])
 
     return pd.DataFrame(out).sort_values(group_col).reset_index(drop=True)
+
+
+def grouped_quantiles_bucketed(
+    ds,
+    group_col: str,
+    col: str,
+    qs: list[float],
+    *,
+    num_buckets: int = 64,
+    round_to: int = 6,
+):
+    """EXACT per-group ``quantile_cont`` at UNBOUNDED group cardinality
+    (the 10⁵+-groups shape the histogram path can't hold): one bounded
+    shuffle of ~16-byte (group, value) rows on ``hash(group)``,
+    vectorized per-group linear interpolation inside each bucket
+    (polars group_by.quantile — same (n−1)·q rule as SQL
+    ``quantile_cont``). The driver receives only the final
+    one-row-per-group table; NaN canonicalizes to null and all-null
+    groups emit null quantiles (SQL parity). Partitioning assumption:
+    a single group's values fit in one bucket's memory — salt the
+    group key upstream if one group dominates the corpus."""
+    import polars as pl
+
+    from .hashing import bucket_ids
+
+    qcols = [f"q{int(round(q * 100))}" for q in qs]
+
+    def emit(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, col])
+        v = t.column(col)
+        if pa.types.is_floating(v.type):
+            v = pc.if_else(pc.is_nan(v), pa.scalar(None, v.type), v)
+            t = t.set_column(t.schema.get_field_index(col), col, v)
+        return t.append_column("__bucket", bucket_ids(t, [group_col], num_buckets, seed=0))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__bucket"])
+        aggs = [
+            pl.col(col).quantile(q, interpolation="linear").alias(c)
+            for q, c in zip(qs, qcols)
+        ]
+        out = pl.from_arrow(t).group_by(group_col).agg(aggs).to_arrow()
+        cols = {group_col: out.column(group_col)}
+        for c in qcols:
+            vals = out.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            mask = np.isnan(vals)
+            cols[c] = pa.array(round_half_away(vals, round_to), mask=mask)
+        return pa.table(cols)
+
+    res = (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return res.to_pandas().sort_values(group_col).reset_index(drop=True)
 
 
 def topk(ds, sort_cols: list[str], descending: list[bool], k: int):

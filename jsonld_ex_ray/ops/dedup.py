@@ -511,6 +511,11 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
     )
 
 
+# per-worker-process cache: broadcast-ref hex → id→gid pandas Series
+# (bounded: one entry per live exact_dedup verification pass)
+_INVOLVED_CACHE: dict = {}
+
+
 def _verify_losers_by_value(ds, pairs_tbl: pa.Table, *, text_col: str, id_col: str, num_buckets: int):
     """Value-exact confirmation of hash-candidate duplicate pairs.
 
@@ -534,33 +539,33 @@ def _verify_losers_by_value(ds, pairs_tbl: pa.Table, *, text_col: str, id_col: s
     ids_np = np.concatenate([losers.to_numpy(zero_copy_only=False), uniq_w.to_numpy(zero_copy_only=False)])
     gid_np = np.concatenate([winners.to_numpy(zero_copy_only=False), uniq_w.to_numpy(zero_copy_only=False)])
     map_ref = ray.put((ids_np, gid_np))
+    ref_key = map_ref.hex()
 
-    class _GatherInvolved:
-        def __init__(self):
+    def gather(batch: pa.Table) -> pa.Table:
+        # plain tasks, not an actor pool (pool spin-up dominates at small
+        # scale); the O(involved) id→gid Series build is amortized via a
+        # per-worker-process cache keyed by the broadcast ref
+        ser = _INVOLVED_CACHE.get(ref_key)
+        if ser is None:
             i, g = ray.get(map_ref)
-            self._gid = pd.Series(g, index=i)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            gid = self._gid.reindex(ids)
-            mask = gid.notna().to_numpy()
-            if not mask.any():
-                return pa.table(
-                    {
-                        id_col: pa.array([], batch.column(id_col).type),
-                        text_col: pa.array([], batch.column(text_col).type),
-                        "__gid": pa.array([], batch.column(id_col).type),
-                        "__bucket": pa.array([], pa.int32()),
-                    }
-                )
-            kept = batch.select([id_col, text_col]).filter(pa.array(mask))
-            gvals = pa.array(gid.to_numpy()[mask]).cast(batch.column(id_col).type)
-            return kept.append_column("__gid", gvals).append_column(
-                "__bucket", _id_buckets(gvals, num_buckets)
+            ser = _INVOLVED_CACHE[ref_key] = pd.Series(g, index=i)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        gid = ser.reindex(ids)
+        mask = gid.notna().to_numpy()
+        if not mask.any():
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.column(id_col).type),
+                    text_col: pa.array([], batch.column(text_col).type),
+                    "__gid": pa.array([], batch.column(id_col).type),
+                    "__bucket": pa.array([], pa.int32()),
+                }
             )
-
-        # stateless enough to be a task, but the id→gid Series build is
-        # O(involved) — actor pool amortizes it across batches
+        kept = batch.select([id_col, text_col]).filter(pa.array(mask))
+        gvals = pa.array(gid.to_numpy()[mask]).cast(batch.column(id_col).type)
+        return kept.append_column("__gid", gvals).append_column(
+            "__bucket", _id_buckets(gvals, num_buckets)
+        )
 
     def verify(group: pa.Table) -> pa.Table:
         out = (
@@ -572,7 +577,7 @@ def _verify_losers_by_value(ds, pairs_tbl: pa.Table, *, text_col: str, id_col: s
 
     verified_ds = (
         ds.select_columns([id_col, text_col])
-        .map_batches(_GatherInvolved, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+        .map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
         .map_groups(verify, batch_format="pyarrow")
     )

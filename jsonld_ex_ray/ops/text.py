@@ -356,19 +356,72 @@ def redact_pii(ds, cols: list[str]):
     )
 
 
-def doc_top_tfidf(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
+def _doc_term_tf(batch: pa.Table, text_col: str):
+    """Distinct (row, term) runs with tf = run_len / row_word_count — the
+    shared pass-2 kernel of both TF-IDF variants (dictionary-encode +
+    lexsort run-length, zero per-doc Python). Returns
+    ``(run_doc_idx int64[], run_terms object[], tf float64[])``."""
+    import numpy as np
+
+    n = batch.num_rows
+    text = pc.fill_null(batch.column(text_col), "")
+    words = pc.utf8_split_whitespace(text)
+    flat = pc.list_flatten(words)
+    parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    par = parents[keep.to_numpy(zero_copy_only=False)]
+    codes = flat.dictionary_encode()
+    ci = codes.indices.to_numpy(zero_copy_only=False)
+    n_words = np.bincount(par, minlength=n).astype(np.float64)
+
+    order = np.lexsort((ci, par))
+    pd_, cd_ = par[order], ci[order]
+    if len(pd_):
+        newrun = np.r_[True, (pd_[1:] != pd_[:-1]) | (cd_[1:] != cd_[:-1])]
+        starts = np.flatnonzero(newrun)
+        run_len = np.diff(np.r_[starts, len(pd_)]).astype(np.float64)
+        run_doc = pd_[newrun].astype(np.int64)
+        run_code = cd_[newrun]
+    else:
+        run_len = np.zeros(0)
+        run_doc = np.zeros(0, np.int64)
+        run_code = np.zeros(0, np.int64)
+    dict_terms = np.asarray(codes.dictionary.to_pylist(), dtype=object)
+    run_terms = dict_terms[run_code] if len(run_code) else np.zeros(0, object)
+    tf = run_len / n_words[run_doc] if len(run_doc) else np.zeros(0)
+    return run_doc, run_terms, tf
+
+
+def doc_top_tfidf(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    max_broadcast_vocab: int = 1_000_000,
+):
     """Per-document top TF-IDF term: the classic two-pass corpus job.
 
     Pass 1 builds the document-frequency table — per-batch DISTINCT
     (term) sets per doc (combiner) → ``groupby_agg_bucketed`` over terms
     (ONE bounded shuffle) — plus the corpus doc count from the same pass.
-    The vocabulary is then BROADCAST once via ``ray.put`` (sorted term
-    hashes + df, a few MB for natural-language vocabularies; a corpus
-    with an unbounded vocabulary would use the bucketed-join variant
-    instead). Pass 2 streams documents once: per-(doc, term) counts via
-    the dictionary-encode + lexsort run-length kernel, tf·idf =
-    (count/n_words)·ln(N/df), per-doc argmax with lexicographic-term
-    tie-break so the result is deterministic and oracle-checkable.
+    The variant is then picked by VOCABULARY SIZE:
+
+    - ≤ ``max_broadcast_vocab`` distinct terms (natural-language
+      corpora): the vocabulary is broadcast once via ``ray.put`` (sorted
+      terms + df, a few MB) and pass 2 streams documents once — tf·idf =
+      (count/n_words)·ln(N/df), per-doc argmax with lexicographic-term
+      tie-break.
+    - above it (open vocabularies: code, multilingual, synthetic ids):
+      no driver/object-store vocab object is ever built — per-(doc,
+      term, tf) run rows take a bucketed equi-join against the df table
+      (``hash_join_bucketed`` on the term), then one bounded shuffle on
+      hash(doc) selects each document's argmax. Two bounded shuffles of
+      ~(distinct doc-term pair) rows, corpus text never shuffles.
+
+    Both variants produce identical rows (same kernel, same tie-break).
 
     → Dataset(doc_id, top_term, tfidf) over docs with ≥1 word.
     """
@@ -408,11 +461,14 @@ def doc_top_tfidf(ds, text_col: str = "text", id_col: str = "doc_id", num_bucket
     parts = ds.map_batches(
         distinct_terms, batch_format="pyarrow", zero_copy_batch=True
     )
-    df_tbl = (
-        groupby_agg_bucketed(parts, ["term"], [("df", "sum", "df")], num_buckets)
-        .to_arrow_refs()
-    )
-    tbls = [t for t in ray.get(df_tbl) if t.num_rows]
+    df_ds = groupby_agg_bucketed(
+        parts, ["term"], [("df", "sum", "df")], num_buckets
+    ).materialize()
+    if df_ds.count() > max_broadcast_vocab:
+        return _tfidf_bucketed(
+            ds, df_ds, text_col=text_col, id_col=id_col, num_buckets=num_buckets
+        )
+    tbls = [t for t in ray.get(df_ds.to_arrow_refs()) if t.num_rows]
     vocab = pa.concat_tables(tbls) if tbls else pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
     terms = vocab.column("term").to_pylist()
     dfs = np.asarray(vocab.column("df").to_pylist(), dtype=np.float64)
@@ -432,37 +488,8 @@ def doc_top_tfidf(ds, text_col: str = "text", id_col: str = "doc_id", num_bucket
         import numpy as np
 
         tsort, dsort, nd = ray.get(ref)
-        n = batch.num_rows
-        text = pc.fill_null(batch.column(text_col), "")
-        words = pc.utf8_split_whitespace(text)
-        flat = pc.list_flatten(words)
-        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
-        keep = pc.greater(pc.utf8_length(flat), 0)
-        flat = flat.filter(keep)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        par = parents[keep.to_numpy(zero_copy_only=False)]
-        codes = flat.dictionary_encode()
-        ci = codes.indices.to_numpy(zero_copy_only=False)
-        n_words = np.bincount(par, minlength=n).astype(np.float64)
-
-        # per-(doc, term) run lengths
-        order2 = np.lexsort((ci, par))
-        pd_, cd_ = par[order2], ci[order2]
-        if len(pd_):
-            newrun = np.r_[True, (pd_[1:] != pd_[:-1]) | (cd_[1:] != cd_[:-1])]
-            starts = np.flatnonzero(newrun)
-            run_len = np.diff(np.r_[starts, len(pd_)]).astype(np.float64)
-            run_doc = pd_[newrun]
-            run_code = cd_[newrun]
-        else:
-            run_len = np.zeros(0)
-            run_doc = np.zeros(0, np.int64)
-            run_code = np.zeros(0, np.int64)
-
-        dict_terms = np.asarray(codes.dictionary.to_pylist(), dtype=object)
+        run_doc, run_terms, tf = _doc_term_tf(batch, text_col)
         # map each run's term to its global df via the broadcast vocab
-        run_terms = dict_terms[run_code] if len(run_code) else np.zeros(0, object)
         pos = np.searchsorted(tsort, run_terms) if len(run_terms) else np.zeros(0, np.int64)
         pos = np.clip(pos, 0, max(len(tsort) - 1, 0))
         if len(run_terms) and len(tsort):
@@ -476,7 +503,6 @@ def doc_top_tfidf(ds, text_col: str = "text", id_col: str = "doc_id", num_bucket
                     "is the upstream pipeline nondeterministic between passes?"
                 )
         run_df = dsort[pos] if len(tsort) else np.ones(len(run_terms))
-        tf = run_len / n_words[run_doc]
         s = tf * np.log(nd / run_df)
 
         # per-doc argmax with lexicographic tie-break: sort runs by
@@ -501,6 +527,107 @@ def doc_top_tfidf(ds, text_col: str = "text", id_col: str = "doc_id", num_bucket
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _tfidf_bucketed(ds, df_ds, *, text_col: str, id_col: str, num_buckets: int):
+    """Open-vocabulary TF-IDF: the df table NEVER lands on the driver or
+    in a single broadcast object. Per-(doc, term, tf) run rows take a
+    bucketed equi-join against the df Dataset on hash(term), the scored
+    rows take one bounded shuffle on hash(doc) for the per-doc argmax.
+    Identical output to the broadcast variant (same kernel, same raw-
+    score ranking with lexicographic-term tie-break, same rounding)."""
+    import numpy as np
+    import ray
+
+    from .agg import round_half_away
+    from .dedup import _id_buckets
+    from .joins import hash_join_bucketed
+
+    # corpus doc count rides pass 1 as the "" sentinel term (empty string
+    # never survives whitespace tokenization) — pull it with a streaming
+    # vectorized filter over the materialized df table, no driver vocab
+    def sentinel_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(pc.fill_null(batch.column("term"), ""), ""))
+
+    sent = [
+        t
+        for t in ray.get(
+            df_ds.map_batches(
+                sentinel_only, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    n_docs = float(pa.concat_tables(sent).column("df")[0].as_py()) if sent else 0.0
+
+    sch = ds.schema()  # ray.data Schema wrapper: parallel names/types lists
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    def emit_runs(batch: pa.Table) -> pa.Table:
+        run_doc, run_terms, tf = _doc_term_tf(batch, text_col)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(run_doc, pa.int64())),
+                "term": pa.array(list(run_terms), pa.string()),
+                "tf": pa.array(tf, pa.float64()),
+            }
+        )
+
+    runs = ds.select_columns([id_col, text_col]).map_batches(
+        emit_runs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join_bucketed(
+        runs,
+        df_ds,
+        left_on="term",
+        right_on="term",
+        right_cols=["df"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [pa.field(id_col, id_type), pa.field("term", pa.string()), pa.field("tf", pa.float64())]
+        ),
+        right_schema=pa.schema(
+            [pa.field("term", pa.string()), pa.field("df", pa.int64())]
+        ),
+    )
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tf * np.log(n_docs / dfv)
+        out = pa.table(
+            {
+                id_col: batch.column(id_col),
+                "term": batch.column("term"),
+                "__s": pa.array(s, pa.float64()),
+            }
+        )
+        return out.append_column("__dbucket", _id_buckets(out.column(id_col), num_buckets))
+
+    def pick_top(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        top = (
+            pl.from_arrow(group.select([id_col, "term", "__s"]))
+            .sort([id_col, "__s", "term"], descending=[False, True, False])
+            .unique(subset=[id_col], keep="first", maintain_order=True)
+        ).to_arrow()
+        scores = round_half_away(
+            top.column("__s").to_numpy(zero_copy_only=False).astype(np.float64), 6
+        )
+        return pa.table(
+            {
+                "doc_id": top.column(id_col),
+                "top_term": top.column("term").cast(pa.string()),
+                "tfidf": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return (
+        joined.map_batches(score_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__dbucket")
+        .map_groups(pick_top, batch_format="pyarrow")
+    )
 
 
 def chunk_documents(

@@ -217,3 +217,70 @@ def test_hash_join_bucketed_mixed_key_widths(ray_session):
         .sort_values("lk")
     )
     assert len(out) == 3 and out.rv.tolist() == ["x", "y", "z"]
+
+
+def test_grouped_quantiles_bucketed_matches_hist_and_sql(ray_session):
+    """The high-cardinality bucketed variant must agree with both the
+    histogram path and DuckDB quantile_cont, including null values and
+    an all-null group."""
+    import duckdb
+    import ray.data
+    from jsonld_ex_ray.ops.agg import grouped_exact_quantiles
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    g = rng.integers(0, 37, n)
+    v = np.round(rng.normal(50, 20, n), 3)
+    tbl = pa.table(
+        {
+            "g": pa.array([f"grp{x:02d}" for x in g]),
+            "v": pa.array(v, pa.float64()),
+        }
+    )
+    # null values inside a group + one all-null group
+    extra = pa.table(
+        {
+            "g": pa.array(["grp00", "nullgrp", "nullgrp"]),
+            "v": pa.array([None, None, None], pa.float64()),
+        }
+    )
+    tbl = pa.concat_tables([tbl, extra])
+    ds = ray.data.from_arrow(tbl)
+    qs = [0.25, 0.5, 0.9]
+
+    hist = grouped_exact_quantiles(ds, "g", "v", qs, max_hist_groups=10_000)
+    buck = grouped_exact_quantiles(ds, "g", "v", qs, max_hist_groups=1)
+
+    con = duckdb.connect()
+    con.register("t", tbl)
+    sql = con.execute(
+        """SELECT g, round(quantile_cont(v, 0.25), 6) AS q25,
+                  round(quantile_cont(v, 0.50), 6) AS q50,
+                  round(quantile_cont(v, 0.90), 6) AS q90
+           FROM t GROUP BY g ORDER BY g""",
+    ).fetchdf()
+    import pandas as pd
+
+    for got, label in ((hist, "hist"), (buck, "bucketed")):
+        got = got.sort_values("g").reset_index(drop=True)
+        assert list(got.g) == list(sql.g), label
+        for c in ("q25", "q50", "q90"):
+            a = got[c].astype(float).to_numpy()
+            b = sql[c].astype(float).to_numpy()
+            assert np.allclose(a, b, equal_nan=True), (label, c)
+
+
+def test_grouped_quantiles_high_cardinality(ray_session):
+    """10⁵ groups must run through the bucketed path (the histogram
+    path's per-block partial would be groups×bins×8 B) and return one
+    exact row per group."""
+    import ray.data
+    from jsonld_ex_ray.ops.agg import grouped_exact_quantiles
+
+    n_groups = 100_000
+    ids = np.repeat(np.arange(n_groups, dtype=np.int64), 3)
+    vals = np.tile(np.array([1.0, 2.0, 10.0]), n_groups)
+    ds = ray.data.from_arrow(pa.table({"g": pa.array(ids), "v": pa.array(vals)}))
+    out = grouped_exact_quantiles(ds, "g", "v", [0.5])
+    assert len(out) == n_groups
+    assert (out.q50 == 2.0).all()

@@ -815,10 +815,10 @@ def test_exact_dedup_value_exact_under_hash_collision(ray_session, monkeypatch):
     assert got_fb == want, got_fb
 
 
-def test_zscore_null_group_emits_null(ray_session):
-    """ADVICE r3: rows whose group key is absent from the stats table
-    (NULL groups are dropped by the pandas combine) must emit NULL z,
-    not the last group's moments."""
+def test_zscore_null_group_matches_sql(ray_session):
+    """ADVICE r3: a NULL group key must never borrow another group's
+    moments. With the arrow-native lowcard combine, NULL forms a real
+    partition exactly like SQL GROUP BY — z over (5, 7) is ±1."""
     import ray.data
     from jsonld_ex_ray.ops.agg import zscore_by_group
 
@@ -829,7 +829,8 @@ def test_zscore_null_group_emits_null(ray_session):
         }
     )
     out = zscore_by_group(ray.data.from_arrow(t), "g", "v").to_pandas()
-    assert out[out.g.isna()].z.isna().all()
+    nulls = out[out.g.isna()].sort_values("v").z.tolist()
+    assert nulls == [-1.0, 1.0], nulls
     a = out[out.g == "a"].sort_values("v").z.tolist()
     assert a == [-1.0, 1.0]
 
@@ -849,3 +850,42 @@ def test_floor_div_negative_epochs():
     )
     secs = _epoch_seconds(ts).to_pylist()
     assert secs == [-1, -3600, -3600, 7200]
+
+
+def test_tfidf_bucketed_matches_broadcast(ray_session):
+    """The open-vocabulary bucketed-join variant (forced via
+    max_broadcast_vocab=0 — no driver/object-store vocab object is
+    built) must produce row-identical output to the broadcast variant,
+    including raw-score ranking and lexicographic tie-breaks."""
+    import ray.data
+    from jsonld_ex_ray.ops.text import doc_top_tfidf
+
+    rows = [
+        {"doc_id": 1, "text": "common common rare tie1 tie2"},
+        {"doc_id": 2, "text": "common solo"},
+        {"doc_id": 3, "text": "common"},
+        {"doc_id": 4, "text": ""},  # no words → no output row
+    ]
+    # open-vocab tail: every doc contributes unique terms
+    rows += [
+        {"doc_id": 100 + i, "text": f"uniq{i}a uniq{i}b common"} for i in range(40)
+    ]
+    ds = ray.data.from_items(rows)
+
+    def run(**kw):
+        return (
+            doc_top_tfidf(ds, num_buckets=8, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    a = run()
+    b = run(max_broadcast_vocab=0)
+    assert list(a.doc_id) == list(b.doc_id)
+    assert list(a.top_term) == list(b.top_term)
+    assert np.allclose(a.tfidf, b.tfidf)
+    assert 4 not in set(a.doc_id)
+    # every unique-term doc tops on one of its own terms (idf max)
+    tail = a[a.doc_id >= 100]
+    assert all(t.startswith("uniq") for t in tail.top_term)
