@@ -859,3 +859,243 @@ def test_included_recursion_restores_outer_embed_tracking():
     embedded = [v for v in (p_val, q_val) if isinstance(v, dict) and "name" in v]
     refs = [v for v in (p_val, q_val) if isinstance(v, dict) and list(v) == ["@id"]]
     assert len(embedded) == 1 and len(refs) == 1  # @once: one embed + one ref
+
+
+# ---------------------------------------------------------------------------
+# round-4 corner matrix: @embed modes × named graphs × lists
+# (the official w3c/json-ld-framing manifest is not vendored and the
+# sandbox has no network — these encode the spec rules for the corners
+# beyond the worked examples: embed flags interacting with @graph
+# partitions, list nodes and reverse properties)
+# ---------------------------------------------------------------------------
+
+NAMED_GRAPH_DOC = {
+    "@context": {"@vocab": "http://example.org/", "knows": {"@type": "@id"}},
+    "@graph": [
+        {
+            "@id": "http://example.org/alice",
+            "@type": "Person",
+            "name": "Alice",
+            "knows": "http://example.org/bob",
+        },
+        {
+            "@id": "http://example.org/g1",
+            "@graph": [
+                {
+                    "@id": "http://example.org/bob",
+                    "@type": "Person",
+                    "name": "Bob",
+                    "knows": "http://example.org/alice",
+                }
+            ],
+        },
+    ],
+}
+
+
+def test_embed_never_across_named_graph_boundary():
+    """@embed:@never leaves a node REF even when the referenced node's
+    properties live in a named graph (framing the @merged node map)."""
+    out = frame(
+        NAMED_GRAPH_DOC,
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "@id": "http://example.org/alice",
+            "@embed": "@never",
+        },
+    )
+    assert out["name"] == "Alice"
+    assert out["knows"] == {"@id": "http://example.org/bob"}
+
+
+def test_merged_graph_embeds_named_graph_node():
+    """Default framing merges named graphs: Bob's properties (defined
+    only inside g1) embed under Alice."""
+    out = frame(
+        NAMED_GRAPH_DOC,
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "@id": "http://example.org/alice",
+        },
+    )
+    bob = out["knows"]
+    assert bob["name"] == "Bob"
+    # @once (default): the back-reference to the already-embedded alice
+    # stays a ref, no infinite recursion
+    assert bob["knows"] == {"@id": "http://example.org/alice"}
+
+
+def test_list_members_from_named_graph_embed_once():
+    """@list of node refs whose definitions live in a named graph:
+    default @once embeds each member's properties inside the list."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@graph": [
+            {
+                "@id": "http://example.org/seq",
+                "items": {
+                    "@list": [
+                        {"@id": "http://example.org/a"},
+                        {"@id": "http://example.org/b"},
+                    ]
+                },
+            },
+            {
+                "@id": "http://example.org/g2",
+                "@graph": [
+                    {"@id": "http://example.org/a", "name": "first"},
+                    {"@id": "http://example.org/b", "name": "second"},
+                ],
+            },
+        ],
+    }
+    out = frame(
+        doc,
+        {"@context": {"@vocab": "http://example.org/"}, "@id": "http://example.org/seq"},
+    )
+    items = out["items"]["@list"]
+    assert [m["name"] for m in items] == ["first", "second"]
+
+    never = frame(
+        doc,
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "@id": "http://example.org/seq",
+            "@embed": "@never",
+        },
+    )
+    assert never["items"]["@list"] == [
+        {"@id": "http://example.org/a"},
+        {"@id": "http://example.org/b"},
+    ]
+
+
+def test_nested_list_of_lists_survives_framing():
+    doc = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@id": "http://example.org/m",
+        "matrix": {"@list": [{"@list": [1, 2]}, {"@list": [3]}]},
+    }
+    out = frame(doc, {"@context": {"@vocab": "http://example.org/"}})
+    assert out["matrix"]["@list"] == [{"@list": [1, 2]}, {"@list": [3]}]
+
+
+def test_embed_always_duplicates_inside_list():
+    """@embed:@always re-embeds a node at EVERY reference, including
+    list positions that repeat the same node."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@graph": [
+            {
+                "@id": "http://example.org/seq",
+                "items": {
+                    "@list": [
+                        {"@id": "http://example.org/a"},
+                        {"@id": "http://example.org/a"},
+                    ]
+                },
+            },
+            {"@id": "http://example.org/a", "name": "dup"},
+        ],
+    }
+    out = frame(
+        doc,
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "@id": "http://example.org/seq",
+            "@embed": "@always",
+        },
+    )
+    items = out["items"]["@list"]
+    assert len(items) == 2
+    assert all(m.get("name") == "dup" for m in items)
+
+
+def test_reverse_framing_with_embed_never():
+    """@reverse in the frame pulls referencing nodes in; @embed:@never
+    inside the reverse frame keeps them as refs."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/", "parent": {"@type": "@id"}},
+        "@graph": [
+            {"@id": "http://example.org/child1", "parent": "http://example.org/p", "name": "c1"},
+            {"@id": "http://example.org/child2", "parent": "http://example.org/p", "name": "c2"},
+            {"@id": "http://example.org/p", "name": "the parent"},
+        ],
+    }
+    out = frame(
+        doc,
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "@id": "http://example.org/p",
+            "@reverse": {"parent": {}},
+        },
+    )
+    assert out["name"] == "the parent"
+    rev = out["@reverse"]["parent"]
+    kids = rev if isinstance(rev, list) else [rev]
+    assert sorted(k["name"] for k in kids) == ["c1", "c2"]
+
+    never = frame(
+        doc,
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "@id": "http://example.org/p",
+            "@reverse": {"parent": {"@embed": "@never"}},
+        },
+    )
+    rev = never["@reverse"]["parent"]
+    kids = rev if isinstance(rev, list) else [rev]
+    assert sorted(kids, key=str) == [
+        {"@id": "http://example.org/child1"},
+        {"@id": "http://example.org/child2"},
+    ]
+
+
+def test_default_inside_list_frame_not_applied_to_members():
+    """@default belongs to node framing — list members that exist keep
+    their values; a missing property on an embedded list member gets the
+    nested frame's @default."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@graph": [
+            {
+                "@id": "http://example.org/seq",
+                "items": {"@list": [{"@id": "http://example.org/a"}]},
+            },
+            {"@id": "http://example.org/a", "name": "has-name"},
+        ],
+    }
+    out = frame(
+        doc,
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "@id": "http://example.org/seq",
+            "items": {"@list": [{"status": {"@default": "unknown"}}]},
+        },
+    )
+    member = out["items"]["@list"][0]
+    assert member["name"] == "has-name"
+    assert member["status"] == "unknown"
+
+
+def test_graph_property_content_preserved():
+    """A node carrying its own named graph (@graph inside the node
+    object) keeps that partition through framing when the frame asks
+    for it."""
+    doc = {
+        "@context": {"@vocab": "http://example.org/"},
+        "@id": "http://example.org/collection",
+        "name": "top",
+        "@graph": [
+            {"@id": "http://example.org/inner", "name": "inner node"}
+        ],
+    }
+    out = frame(
+        doc,
+        {
+            "@context": {"@vocab": "http://example.org/"},
+            "@id": "http://example.org/collection",
+            "@graph": {},
+        },
+    )
+    assert out.get("name") == "top"

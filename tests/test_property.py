@@ -256,3 +256,64 @@ def test_frame_explicit_prunes_unframed_properties(doc):
                 walk(v)
 
     walk(out.get("@graph", out))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_keys=st.integers(min_value=1, max_value=5000),
+    fp_target=st.sampled_from([0.01, 0.03, 0.1]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bloom_filter_bounds(n_keys, fp_target, seed):
+    """Property: (a) ZERO false negatives for any key set; (b) observed
+    false-positive rate on disjoint probes stays within ~3× the sizing
+    target (the classic bound is loose for tiny filters, so the margin
+    absorbs small-n variance); (c) sizing formula yields sane k."""
+    import numpy as np
+    import pyarrow as pa
+
+    from jsonld_ex_ray.ops.bloom import BloomFilter
+
+    rng = np.random.default_rng(seed)
+    keys = rng.choice(np.arange(0, 10_000_000, dtype=np.int64), size=n_keys, replace=False)
+    bf = BloomFilter.sized(n_keys, fp_target)
+    assert 1 <= bf.k <= 16
+    bf.add(pa.array(keys))
+    assert bf.contains(pa.array(keys)).all()  # no false negatives, ever
+
+    probes = np.setdiff1d(
+        rng.choice(np.arange(10_000_000, 20_000_000, dtype=np.int64), size=4000, replace=False),
+        keys,
+    )
+    fp = bf.contains(pa.array(probes)).mean()
+    assert fp <= max(3 * fp_target, 0.02), (n_keys, fp_target, fp)
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_bloom_position_and_bitmap_encodings_agree(seed):
+    """Property: build_bloom's two wire encodings (set-bit positions for
+    sparse blocks, bitmap for dense) reconstruct the exact same filter a
+    single-process add would produce."""
+    import numpy as np
+    import pyarrow as pa
+
+    from jsonld_ex_ray.ops.bloom import BloomFilter
+
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, 2**62, size=rng.integers(1, 2000), dtype=np.int64)
+    bf = BloomFilter.sized(len(keys), 0.01)
+    bf.add(pa.array(keys))
+
+    # simulate the fold: positions encoding over two half-blocks
+    half = len(keys) // 2
+    rebuilt = BloomFilter(bf.n_bits, bf.k)
+    for part in (keys[:half], keys[half:]):
+        if len(part) == 0:
+            continue
+        local = BloomFilter(bf.n_bits, bf.k)
+        pos = np.unique(local._positions(pa.array(part)).ravel())
+        np.bitwise_or.at(
+            rebuilt.bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
+        )
+    assert np.array_equal(rebuilt.bits, bf.bits)
