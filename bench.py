@@ -45,7 +45,7 @@ def _corpus_path(sf: float, seed: int = 42, heavy: float = 0.0, shards: int = 32
     return path
 
 
-def _load_gate(threshold: float = 0.7, timeout: float = 180.0, poll: float = 5.0) -> list[float]:
+def _load_gate(threshold: float = 0.5, timeout: float = 180.0, poll: float = 5.0) -> list[float]:
     """Bounded wait for the 1-min loadavg to drop below ``threshold`` —
     this host shows intermittent external load spikes (to 12+) that
     inflate a one-shot sample 2-3×. Returns the observed samples so a
@@ -193,6 +193,11 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
 
     extras["load_end"] = round(os.getloadavg()[0], 2)
     extras["samples"] = samples
+    # best-sample sum over the SAME headline set: the engine's clean
+    # cost when an external load spike contaminates a subset of the
+    # median samples (this host's documented failure mode — the raw
+    # samples above make any such spike self-evident)
+    extras["value_best"] = round(sum(min(samples[k]) for k in results), 3)
     return {
         "metric": "kg_construct_pipeline_wall",
         "value": total,

@@ -381,7 +381,13 @@ def _id_buckets(ids, num_buckets: int) -> pa.Array:
 _DEDUP_LOSER_BROADCAST_MAX = 2_000_000
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
+def exact_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    verify_by_value: bool = True,
+):
     """Keep the min-id row per distinct text. Returns the surviving rows.
 
     The dedup key is a 128-bit composite of two polynomial hashes of the
@@ -408,7 +414,13 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
     mostly-duplicate corpus (losers > ``_DEDUP_LOSER_BROADCAST_MAX``)
     falls back to shuffling the surviving rows themselves — value-exact
     there too (local and bucket min are taken over the text column
-    directly; the key only routes)."""
+    directly; the key only routes).
+
+    Verification costs one extra pruned (id, text) scan — the same
+    rescan-over-shuffle trade the keys-only design already makes. Pass
+    ``verify_by_value=False`` for hash-trusted (closed/curated) corpora
+    to skip it; untrusted training corpora should keep the default (a
+    crafted collision is a data-poisoning vector)."""
 
     import polars as pl
 
@@ -467,9 +479,20 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
 
         tbls = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
         pairs_tbl = pa.concat_tables(tbls).combine_chunks()
-        verified = _verify_losers_by_value(
-            ds, pairs_tbl, text_col=text_col, id_col=id_col, num_buckets=num_buckets
-        )
+        if not verify_by_value:
+            # hash-trusted mode (closed/curated corpora): skip the
+            # verification scan; identity is the 128-bit composite key
+            verified = pairs_tbl.column("loser").combine_chunks()
+        elif n_losers <= _DEDUP_VERIFY_DRIVER_MAX:
+            # few candidates: gather their texts in ONE pruned scan and
+            # compare on the driver (no shuffle, no extra materialize)
+            verified = _verify_losers_driver(
+                ds, pairs_tbl, text_col=text_col, id_col=id_col
+            )
+        else:
+            verified = _verify_losers_by_value(
+                ds, pairs_tbl, text_col=text_col, id_col=id_col, num_buckets=num_buckets
+            )
         if len(verified) == 0:
             return ds
         ref = ray.put(verified)
@@ -514,6 +537,62 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
 # per-worker-process cache: broadcast-ref hex → id→gid pandas Series
 # (bounded: one entry per live exact_dedup verification pass)
 _INVOLVED_CACHE: dict = {}
+
+# below this many candidate pairs the value verification happens on the
+# driver (one pruned gather scan, texts of dup-involved docs only);
+# above it the bucketed-shuffle verifier keeps driver memory bounded
+_DEDUP_VERIFY_DRIVER_MAX = 20_000
+
+
+def _verify_losers_driver(ds, pairs_tbl: pa.Table, *, text_col: str, id_col: str):
+    """Driver-side value confirmation for SMALL candidate-pair sets: one
+    pruned scan gathers (id, text) of the involved rows, the winner
+    grouping + min-id-per-distinct-text rule runs locally. Same
+    semantics as ``_verify_losers_by_value``."""
+    import pandas as pd
+    import polars as pl
+    import pyarrow.compute as pc
+    import ray
+
+    losers = pairs_tbl.column("loser").combine_chunks()
+    winners = pairs_tbl.column("winner").combine_chunks()
+    involved = pc.unique(pa.concat_arrays([losers, winners]))
+    ref = ray.put(involved)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        return batch.select([id_col, text_col]).filter(
+            pc.is_in(batch.column(id_col), value_set=ids)
+        )
+
+    tbls = [
+        t
+        for t in ray.get(
+            ds.select_columns([id_col, text_col])
+            .map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tbls:
+        return pa.array([], pairs_tbl.column("loser").type)
+    rows = pa.concat_tables(tbls).combine_chunks()
+    gid = pd.Series(
+        np.concatenate(
+            [winners.to_numpy(zero_copy_only=False), np.unique(winners.to_numpy(zero_copy_only=False))]
+        ),
+        index=np.concatenate(
+            [losers.to_numpy(zero_copy_only=False), np.unique(winners.to_numpy(zero_copy_only=False))]
+        ),
+    )
+    gvals = gid.reindex(rows.column(id_col).to_numpy(zero_copy_only=False)).to_numpy()
+    tbl = rows.append_column("__gid", pa.array(gvals).cast(rows.column(id_col).type))
+    out = (
+        pl.from_arrow(tbl)
+        .filter(pl.col(id_col) != pl.col(id_col).min().over(["__gid", text_col]))
+        .select(pl.col(id_col))
+    ).to_arrow()
+    return out.column(id_col).combine_chunks()
 
 
 def _verify_losers_by_value(ds, pairs_tbl: pa.Table, *, text_col: str, id_col: str, num_buckets: int):

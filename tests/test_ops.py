@@ -807,9 +807,16 @@ def test_exact_dedup_value_exact_under_hash_collision(ray_session, monkeypatch):
     tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
     want = [1, 2, 4, 6]  # min id per distinct text
 
+    # path 1: broadcast + driver-side verify (default for few pairs)
     got = sorted(dd.exact_dedup(ray.data.from_arrow(tbl)).to_pandas().doc_id.tolist())
     assert got == want, got
 
+    # path 2: broadcast + bucketed-shuffle verify (forced)
+    monkeypatch.setattr(dd, "_DEDUP_VERIFY_DRIVER_MAX", 0)
+    got_bk = sorted(dd.exact_dedup(ray.data.from_arrow(tbl)).to_pandas().doc_id.tolist())
+    assert got_bk == want, got_bk
+
+    # path 3: carry-rows fallback (mostly-duplicate corpus)
     monkeypatch.setattr(dd, "_DEDUP_LOSER_BROADCAST_MAX", 0)
     got_fb = sorted(dd.exact_dedup(ray.data.from_arrow(tbl)).to_pandas().doc_id.tolist())
     assert got_fb == want, got_fb
