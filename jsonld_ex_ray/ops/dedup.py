@@ -386,45 +386,53 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 64,
-    verify_by_value: bool = True,
+    verify: "str | bool" = "digest",
 ):
     """Keep the min-id row per distinct text. Returns the surviving rows.
 
-    The dedup key is a 128-bit composite of two polynomial hashes of the
-    text evaluated at independently-seeded bases (ops/hashing.py — no
-    per-row Python sha loop, one shared word-gather pass). Independent
-    bases matter: a finisher-only seed would make both halves collide
-    together whenever one 64-bit rowsum collides (expected once per ~4·10⁹
-    equal-length docs); with two bases a simultaneous collision needs the
-    difference polynomial to vanish at both points (~2⁻¹²⁸-class for
-    non-adversarial corpora; mod-2^64 polynomial caveats apply to
-    adversarial inputs).
+    Scale shape (all modes): the CORPUS NEVER SHUFFLES. Only fixed-width
+    key rows (digest words or hash words, plus the id) take the one
+    bounded shuffle; each bucket emits (loser_id, winner_id) pairs for
+    ids that LOSE their identity group (id ≠ per-group min). The loser
+    set is broadcast once via ``ray.put`` and the documents stream
+    through a vectorized anti-filter. A mostly-duplicate corpus (losers
+    > ``_DEDUP_LOSER_BROADCAST_MAX``) falls back to shuffling the
+    surviving rows themselves — value-exact there too (local and bucket
+    min are taken over the text column directly; the key only routes).
 
-    Scale shape: the CORPUS NEVER SHUFFLES. Only (k1, k2, id) key rows —
-    ~24 bytes each — take the one bounded shuffle; each bucket emits
-    (loser_id, winner_id) pairs for ids that LOSE their key (id ≠
-    per-key min). Identity is then CONFIRMED BY VALUE — hashes only
-    route, like the triple-dedup path: the duplicate-involved rows
-    (losers + their winners, small whenever the duplicate rate is sane)
-    are gathered in one pruned rescan, bucketed by winner id, and each
-    bucket keeps the min id per DISTINCT TEXT, so a crafted (k1, k2)
-    collision in an untrusted corpus can no longer delete a distinct
-    document. The verified loser set is broadcast once via ``ray.put``
-    and the documents stream through a vectorized anti-filter. A
-    mostly-duplicate corpus (losers > ``_DEDUP_LOSER_BROADCAST_MAX``)
-    falls back to shuffling the surviving rows themselves — value-exact
-    there too (local and bucket min are taken over the text column
-    directly; the key only routes).
+    ``verify`` selects how document identity is decided:
 
-    Verification costs one extra pruned (id, text) scan — the same
-    rescan-over-shuffle trade the keys-only design already makes. Pass
-    ``verify_by_value=False`` for hash-trusted (closed/curated) corpora
-    to skip it; untrusted training corpora should keep the default (a
-    crafted collision is a data-poisoning vector)."""
+    - ``"digest"`` (default): identity is the FULL 256-bit SHA-256 of
+      the text, computed vectorized (DuckDB kernel, ops/hashing.py
+      ``sha256_quads``) in the SAME pruned key scan and carried as four
+      uint64 words (~44 B/row shuffle). Merging two distinct documents
+      requires an actual SHA-256 collision — adversarially infeasible —
+      and NO second corpus scan is needed. NULL texts form their own
+      identity group (SQL ``GROUP BY`` semantics).
+    - ``"rescan"``: routing keys are two cheap polynomial hashes at
+      independently-seeded bases (a finisher-only seed would make both
+      halves collide together on any 64-bit rowsum collision); identity
+      is then CONFIRMED BY LITERAL VALUE — the duplicate-involved rows
+      (losers + their winners, small whenever the duplicate rate is
+      sane) are gathered in one extra pruned rescan, bucketed by winner
+      id, and each bucket keeps the min id per DISTINCT TEXT (driver
+      compare ≤ ``_DEDUP_VERIFY_DRIVER_MAX`` pairs, bucketed shuffle
+      above). The strongest guarantee, at the cost of a second scan.
+    - ``False``: polynomial keys only, no confirmation — for trusted
+      closed corpora where even the digest pass is unwanted
+      (~2⁻¹²⁸-class accidental risk; crafted mod-2^64 collisions are
+      feasible, so never use this on untrusted training data)."""
 
     import polars as pl
 
-    from .hashing import hash_strings_pair
+    from .hashing import hash_strings_pair, sha256_quads
+
+    if verify is True:  # legacy alias for the literal-value mode
+        verify = "rescan"
+    if verify not in ("digest", "rescan", False, None):
+        raise ValueError(f"verify must be 'digest', 'rescan' or False, got {verify!r}")
+    use_digest = verify == "digest"
+    group_cols = ["__d0", "__d1", "__d2", "__d3"] if use_digest else ["__k1", "__k2"]
 
     def _keys(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         # two polynomial bases over one shared word-gather (hashing.py):
@@ -432,27 +440,45 @@ def exact_dedup(
         return hash_strings_pair(batch.column(text_col), 11, 12)
 
     def key_rows(batch: pa.Table) -> pa.Table:
-        k1, k2 = _keys(batch)
-        t = pa.table(
-            {
-                "__k1": pa.array(k1, pa.uint64()),
-                "__k2": pa.array(k2, pa.uint64()),
-                id_col: batch.column(id_col),
-                "__bucket": pa.array((k1 % np.uint64(num_buckets)).astype(np.int32)),
-            }
-        )
+        if use_digest:
+            q = sha256_quads(batch.column(text_col))
+            import pyarrow.compute as pc
+
+            d0 = pc.fill_null(q.column("d0"), 0).combine_chunks().to_numpy()
+            t = pa.table(
+                {
+                    "__d0": q.column("d0"),
+                    "__d1": q.column("d1"),
+                    "__d2": q.column("d2"),
+                    "__d3": q.column("d3"),
+                    id_col: batch.column(id_col),
+                    "__bucket": pa.array((d0 % np.uint64(num_buckets)).astype(np.int32)),
+                }
+            )
+        else:
+            k1, k2 = _keys(batch)
+            t = pa.table(
+                {
+                    "__k1": pa.array(k1, pa.uint64()),
+                    "__k2": pa.array(k2, pa.uint64()),
+                    id_col: batch.column(id_col),
+                    "__bucket": pa.array((k1 % np.uint64(num_buckets)).astype(np.int32)),
+                }
+            )
         # every row flows (a block-local loser is already a global loser —
         # its block's min id bounds the global min — and must be REPORTED,
-        # not silently dropped); no combiner here, the rows are 24 bytes
+        # not silently dropped); no combiner here, the rows are ≤44 bytes
         return t
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        # per (k1, k2): winner = min id; emit (loser, winner) CANDIDATE
-        # pairs — candidates because the keys are hashes; value
-        # verification happens below
+        # per identity group: winner = min id; emit (loser, winner) pairs.
+        # Digest groups ARE the identity (SHA-256); polynomial groups are
+        # CANDIDATES — value verification happens below. polars windows
+        # group null keys together, so all-NULL digest rows (null text)
+        # form one identity group like SQL GROUP BY.
         out = (
-            pl.from_arrow(group.select(["__k1", "__k2", id_col]))
-            .with_columns(pl.col(id_col).min().over(["__k1", "__k2"]).alias("__w"))
+            pl.from_arrow(group.select([*group_cols, id_col]))
+            .with_columns(pl.col(id_col).min().over(group_cols).alias("__w"))
             .filter(pl.col(id_col) != pl.col("__w"))
             .select(pl.col(id_col).alias("loser"), pl.col("__w").alias("winner"))
         )
@@ -479,9 +505,9 @@ def exact_dedup(
 
         tbls = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
         pairs_tbl = pa.concat_tables(tbls).combine_chunks()
-        if not verify_by_value:
-            # hash-trusted mode (closed/curated corpora): skip the
-            # verification scan; identity is the 128-bit composite key
+        if verify != "rescan":
+            # digest mode: identity is already the full SHA-256 — the
+            # losers are final. False: hash-trusted opt-out, same path.
             verified = pairs_tbl.column("loser").combine_chunks()
         elif n_losers <= _DEDUP_VERIFY_DRIVER_MAX:
             # few candidates: gather their texts in ONE pruned scan and

@@ -260,3 +260,37 @@ def md5_hex(col, null_as: str = "None") -> pa.ChunkedArray:
         finally:
             _DUCK.unregister("__md5_in")
     return out
+
+
+def sha256_quads(col) -> pa.Table:
+    """Vectorized SHA-256 of a string column as four nullable uint64
+    words (big-endian digest order) — DuckDB's C kernel, no per-row
+    Python hashing. NULL inputs yield NULL words (callers group nulls
+    as their own identity class, like SQL ``GROUP BY``). Same
+    single-threaded locked-connection discipline as :func:`md5_hex`;
+    DuckDB CSEs the repeated ``sha256(v)`` so the digest is computed
+    once per row."""
+    global _DUCK
+    import duckdb
+
+    with _DUCK_LOCK:
+        if _DUCK is None:
+            _DUCK = duckdb.connect()
+            _DUCK.execute("SET threads TO 1")
+        if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+            col = pa.array(col)
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+            col = pc.cast(col, pa.string())
+        _DUCK.register("__sha_in", pa.table({"v": col}))
+        try:
+            out = _DUCK.execute(
+                "SELECT "
+                "('0x' || substr(sha256(v), 1, 16))::UBIGINT AS d0, "
+                "('0x' || substr(sha256(v), 17, 16))::UBIGINT AS d1, "
+                "('0x' || substr(sha256(v), 33, 16))::UBIGINT AS d2, "
+                "('0x' || substr(sha256(v), 49, 16))::UBIGINT AS d3 "
+                "FROM __sha_in"
+            ).arrow()
+        finally:
+            _DUCK.unregister("__sha_in")
+    return out

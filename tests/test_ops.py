@@ -788,10 +788,12 @@ def test_build_bloom_position_encoding_roundtrip(ray_session):
 
 def test_exact_dedup_value_exact_under_hash_collision(ray_session, monkeypatch):
     """ADVICE r3: a crafted (k1,k2) collision must NOT delete a distinct
-    document — identity is confirmed by value, hashes only route. Force
-    EVERY text onto one key and check SQL-value-dedup semantics on both
-    the broadcast and the fallback path, including the key group that
-    mixes a distinct winner text with a duplicated loser text."""
+    document. Force EVERY text onto one polynomial key and check
+    SQL-value-dedup semantics on all identity paths: the default digest
+    mode (identity = SHA-256, poly hashes unused), both rescan
+    verification tiers (identity confirmed by literal value), and the
+    carry-rows fallback — including the key group that mixes a distinct
+    winner text with a duplicated loser text."""
     import ray.data
     from jsonld_ex_ray.ops import dedup as dd
     from jsonld_ex_ray.ops import hashing as hh
@@ -807,19 +809,50 @@ def test_exact_dedup_value_exact_under_hash_collision(ray_session, monkeypatch):
     tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
     want = [1, 2, 4, 6]  # min id per distinct text
 
-    # path 1: broadcast + driver-side verify (default for few pairs)
-    got = sorted(dd.exact_dedup(ray.data.from_arrow(tbl)).to_pandas().doc_id.tolist())
-    assert got == want, got
+    def run(**kw):
+        return sorted(
+            dd.exact_dedup(ray.data.from_arrow(tbl), **kw).to_pandas().doc_id.tolist()
+        )
 
-    # path 2: broadcast + bucketed-shuffle verify (forced)
+    # path 0: digest mode (default) — crafted poly collisions are
+    # irrelevant, identity is the full SHA-256 carried in the key rows
+    assert run() == want
+
+    # path 1: rescan, broadcast + driver-side verify (few pairs)
+    assert run(verify="rescan") == want
+
+    # path 2: rescan, broadcast + bucketed-shuffle verify (forced)
     monkeypatch.setattr(dd, "_DEDUP_VERIFY_DRIVER_MAX", 0)
-    got_bk = sorted(dd.exact_dedup(ray.data.from_arrow(tbl)).to_pandas().doc_id.tolist())
-    assert got_bk == want, got_bk
+    assert run(verify="rescan") == want
 
-    # path 3: carry-rows fallback (mostly-duplicate corpus)
+    # path 3: carry-rows fallback (mostly-duplicate corpus) — value
+    # identity regardless of mode; poly keys only route buckets
     monkeypatch.setattr(dd, "_DEDUP_LOSER_BROADCAST_MAX", 0)
-    got_fb = sorted(dd.exact_dedup(ray.data.from_arrow(tbl)).to_pandas().doc_id.tolist())
-    assert got_fb == want, got_fb
+    assert run() == want
+    assert run(verify="rescan") == want
+
+
+def test_exact_dedup_digest_rescan_parity_and_nulls(ray_session):
+    """The digest (fused SHA-256) and rescan (literal value) modes pick
+    identical survivors, NULL texts form ONE identity group (SQL GROUP
+    BY semantics: min-id null row survives), and verify=False keeps the
+    hash-trusted fast path alive."""
+    import ray.data
+    from jsonld_ex_ray.ops import dedup as dd
+
+    texts = ["a", None, "b", "a", None, "", "b", "c", ""]
+    ids = [10, 11, 12, 13, 14, 15, 16, 17, 18]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    want = [10, 11, 12, 15, 17]  # min id per distinct text, NULL ≠ ""
+
+    def run(**kw):
+        return sorted(
+            dd.exact_dedup(ray.data.from_arrow(tbl), **kw).to_pandas().doc_id.tolist()
+        )
+
+    assert run() == want  # digest (default)
+    assert run(verify="rescan") == want
+    assert run(verify=False) == want
 
 
 def test_zscore_null_group_matches_sql(ray_session):
