@@ -249,12 +249,21 @@ def run_single(sf_dir: str, num_cpus: int, plain: bool = False) -> dict:
     }
 
 
+# monotonic timestamp of the last bench child's exit — children must not
+# overlap a previous raylet's teardown, but sleeping AFTER the last child
+# is dead wall time (15 s per headline run); settle lazily before launch
+_LAST_CHILD_EXIT: list[float] = [0.0]
+
+
 def _single_run_subprocess(sf_dir: str, cpus: int, repeats: int, plain: bool = False) -> dict:
     best = None
     cmd = [sys.executable, os.path.abspath(__file__), "--single-run", "--cpus", str(cpus), "--sf-dir", sf_dir]
     if plain:
         cmd.append("--plain")
     for _ in range(repeats):
+        settle = 5.0 - (time.monotonic() - _LAST_CHILD_EXIT[0])
+        if settle > 0:
+            time.sleep(settle)  # let the previous raylet's teardown finish
         out = subprocess.run(
             cmd,
             capture_output=True,
@@ -262,10 +271,10 @@ def _single_run_subprocess(sf_dir: str, cpus: int, repeats: int, plain: bool = F
             check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
+        _LAST_CHILD_EXIT[0] = time.monotonic()
         rec = json.loads(out.stdout.strip().splitlines()[-1])
         if best is None or rec["sec"] < best["sec"]:
             best = rec
-        time.sleep(5)  # let raylet teardown finish before the next run
     return best
 
 

@@ -21,6 +21,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _bit_positions(col, n_bits: int, k: int) -> np.ndarray:
+    """(k, len(col)) bit positions via double hashing — a free function
+    so the fold can compute a block's positions WITHOUT allocating a
+    full zeroed bitmap (at the 10⁹-key design point that allocation is
+    ~1.2 GB per block, pure waste on the sparse positions path)."""
+    from .hashing import _hash_column
+
+    h1 = _hash_column(col, seed=101)
+    h2 = _hash_column(col, seed=202) | np.uint64(1)  # odd → full-period
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return (h1[None, :] + i * h2[None, :]) % np.uint64(n_bits)
+
+
 class BloomFilter:
     __slots__ = ("bits", "n_bits", "k")
 
@@ -37,12 +50,7 @@ class BloomFilter:
         return cls(n_bits, min(k, 16))
 
     def _positions(self, col) -> np.ndarray:
-        from .hashing import _hash_column
-
-        h1 = _hash_column(col, seed=101)
-        h2 = _hash_column(col, seed=202) | np.uint64(1)  # odd → full-period
-        i = np.arange(self.k, dtype=np.uint64)[:, None]
-        return (h1[None, :] + i * h2[None, :]) % np.uint64(self.n_bits)
+        return _bit_positions(col, self.n_bits, self.k)
 
     def add(self, col) -> None:
         pos = self._positions(col).ravel()
@@ -80,17 +88,17 @@ def build_bloom(ds, col: str, *, n_items: int | None = None, fp_rate: float = 0.
             return pa.table(
                 {"kind": pa.array([], pa.string()), "payload": pa.array([], pa.large_binary())}
             )
-        local = BloomFilter(n_bits, k)
-        pos = np.unique(local._positions(batch.column(col)).ravel())
+        pos = np.unique(_bit_positions(batch.column(col), n_bits, k).ravel())
         # A block with few keys ships its set-bit POSITIONS (8 B each),
         # not the full bitmap — at the 10⁹-key/1.2 GB design point a
         # full zeroed bitmap per block would overwhelm both workers and
         # the driver fold. Dense blocks (positions ≥ bitmap size) fall
-        # back to the bitmap encoding.
+        # back to the bitmap encoding; only THEY allocate a bitmap.
         if pos.nbytes < bitmap_bytes:
             return pa.table(
                 {"kind": pa.array(["pos"]), "payload": pa.array([pos.tobytes()], pa.large_binary())}
             )
+        local = BloomFilter(n_bits, k)
         np.bitwise_or.at(
             local.bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
         )

@@ -560,9 +560,20 @@ def exact_dedup(
     )
 
 
-# per-worker-process cache: broadcast-ref hex → id→gid pandas Series
-# (bounded: one entry per live exact_dedup verification pass)
+# per-worker-process cache: broadcast-ref hex → id→gid pandas Series.
+# Evicted down to the most recent few refs on insert (a worker only ever
+# services one verification pass at a time; without eviction each
+# rescan-verify pass would pin its O(involved-ids) Series in every
+# long-lived worker forever).
 _INVOLVED_CACHE: dict = {}
+_INVOLVED_CACHE_MAX = 2
+
+
+def _involved_cache_put(key, value):
+    while len(_INVOLVED_CACHE) >= _INVOLVED_CACHE_MAX:
+        _INVOLVED_CACHE.pop(next(iter(_INVOLVED_CACHE)))
+    _INVOLVED_CACHE[key] = value
+    return value
 
 # below this many candidate pairs the value verification happens on the
 # driver (one pruned gather scan, texts of dup-involved docs only);
@@ -653,7 +664,7 @@ def _verify_losers_by_value(ds, pairs_tbl: pa.Table, *, text_col: str, id_col: s
         ser = _INVOLVED_CACHE.get(ref_key)
         if ser is None:
             i, g = ray.get(map_ref)
-            ser = _INVOLVED_CACHE[ref_key] = pd.Series(g, index=i)
+            ser = _involved_cache_put(ref_key, pd.Series(g, index=i))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         gid = ser.reindex(ids)
         mask = gid.notna().to_numpy()

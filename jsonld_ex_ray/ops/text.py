@@ -531,16 +531,19 @@ def doc_top_tfidf(
 
 def _tfidf_bucketed(ds, df_ds, *, text_col: str, id_col: str, num_buckets: int):
     """Open-vocabulary TF-IDF: the df table NEVER lands on the driver or
-    in a single broadcast object. Per-(doc, term, tf) run rows take a
-    bucketed equi-join against the df Dataset on hash(term), the scored
-    rows take one bounded shuffle on hash(doc) for the per-doc argmax.
+    in a single broadcast object. Per-(row, term, tf) run rows take a
+    bucketed LEFT join against the df Dataset on hash(term) — left, not
+    inner, so a term missing from the pass-1 vocabulary raises the same
+    loud ValueError as the broadcast variant instead of silently
+    dropping the run — then one bounded shuffle on a per-physical-row
+    tag selects each row's argmax (duplicate ``id_col`` values emit one
+    output row per input row, exactly like the broadcast variant).
     Identical output to the broadcast variant (same kernel, same raw-
     score ranking with lexicographic-term tie-break, same rounding)."""
     import numpy as np
     import ray
 
     from .agg import round_half_away
-    from .dedup import _id_buckets
     from .joins import hash_join_bucketed
 
     # corpus doc count rides pass 1 as the "" sentinel term (empty string
@@ -564,10 +567,19 @@ def _tfidf_bucketed(ds, df_ds, *, text_col: str, id_col: str, num_buckets: int):
     id_type = dict(zip(sch.names, sch.types))[id_col]
 
     def emit_runs(batch: pa.Table) -> pa.Table:
+        import os
+
         run_doc, run_terms, tf = _doc_term_tf(batch, text_col)
+        # __rid: a PHYSICAL-ROW tag (random 64-bit batch tag + row index)
+        # so the downstream argmax groups per input row, not per id value
+        # — duplicate ids must emit one output row each, like the
+        # broadcast variant. Internal only; never in the output.
+        tag = np.frombuffer(os.urandom(8), np.uint64)[0]
+        rid = tag + run_doc.astype(np.uint64)
         return pa.table(
             {
                 id_col: batch.column(id_col).take(pa.array(run_doc, pa.int64())),
+                "__rid": pa.array(rid, pa.uint64()),
                 "term": pa.array(list(run_terms), pa.string()),
                 "tf": pa.array(tf, pa.float64()),
             }
@@ -583,8 +595,14 @@ def _tfidf_bucketed(ds, df_ds, *, text_col: str, id_col: str, num_buckets: int):
         right_on="term",
         right_cols=["df"],
         num_buckets=num_buckets,
+        join_type="left",
         left_schema=pa.schema(
-            [pa.field(id_col, id_type), pa.field("term", pa.string()), pa.field("tf", pa.float64())]
+            [
+                pa.field(id_col, id_type),
+                pa.field("__rid", pa.uint64()),
+                pa.field("term", pa.string()),
+                pa.field("tf", pa.float64()),
+            ]
         ),
         right_schema=pa.schema(
             [pa.field("term", pa.string()), pa.field("df", pa.int64())]
@@ -592,25 +610,35 @@ def _tfidf_bucketed(ds, df_ds, *, text_col: str, id_col: str, num_buckets: int):
     )
 
     def score_rows(batch: pa.Table) -> pa.Table:
+        dfc = batch.column("df")
+        if dfc.null_count:  # left join: null df = term absent from pass 1
+            missing = batch.filter(pc.is_null(dfc)).column("term").to_pylist()[:3]
+            raise ValueError(
+                f"terms missing from the pass-1 vocabulary: {missing!r} — "
+                "is the upstream pipeline nondeterministic between passes?"
+            )
         tf = batch.column("tf").to_numpy(zero_copy_only=False)
-        dfv = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = dfc.to_numpy(zero_copy_only=False).astype(np.float64)
         s = tf * np.log(n_docs / dfv)
-        out = pa.table(
+        rid = batch.column("__rid").to_numpy(zero_copy_only=False)
+        bucket = ((rid * np.uint64(2654435761)) >> np.uint64(16)) % np.uint64(num_buckets)
+        return pa.table(
             {
                 id_col: batch.column(id_col),
+                "__rid": batch.column("__rid"),
                 "term": batch.column("term"),
                 "__s": pa.array(s, pa.float64()),
+                "__dbucket": pa.array(bucket.astype(np.int32)),
             }
         )
-        return out.append_column("__dbucket", _id_buckets(out.column(id_col), num_buckets))
 
     def pick_top(group: pa.Table) -> pa.Table:
         import polars as pl
 
         top = (
-            pl.from_arrow(group.select([id_col, "term", "__s"]))
-            .sort([id_col, "__s", "term"], descending=[False, True, False])
-            .unique(subset=[id_col], keep="first", maintain_order=True)
+            pl.from_arrow(group.select([id_col, "__rid", "term", "__s"]))
+            .sort(["__rid", "__s", "term"], descending=[False, True, False])
+            .unique(subset=["__rid"], keep="first", maintain_order=True)
         ).to_arrow()
         scores = round_half_away(
             top.column("__s").to_numpy(zero_copy_only=False).astype(np.float64), 6

@@ -929,3 +929,36 @@ def test_tfidf_bucketed_matches_broadcast(ray_session):
     # every unique-term doc tops on one of its own terms (idf max)
     tail = a[a.doc_id >= 100]
     assert all(t.startswith("uniq") for t in tail.top_term)
+
+
+def test_tfidf_bucketed_duplicate_ids_per_row(ray_session):
+    """Duplicate doc_id values: BOTH variants emit one output row per
+    physical input row (the bucketed path groups its argmax by an
+    internal per-row tag, not by the id value), and each row's top term
+    comes from its OWN text."""
+    import ray.data
+    from jsonld_ex_ray.ops.text import doc_top_tfidf
+
+    rows = [
+        {"doc_id": 7, "text": "alpha alpha beta"},
+        {"doc_id": 7, "text": "gamma gamma delta"},
+        {"doc_id": 8, "text": "beta delta"},
+    ]
+    ds = ray.data.from_items(rows)
+
+    def run(**kw):
+        return (
+            doc_top_tfidf(ds, num_buckets=4, **kw)
+            .to_pandas()
+            .sort_values(["doc_id", "top_term"])
+            .reset_index(drop=True)
+        )
+
+    a = run()
+    b = run(max_broadcast_vocab=0)
+    assert len(a) == 3 and len(b) == 3
+    assert list(a.doc_id) == list(b.doc_id)
+    assert list(a.top_term) == list(b.top_term)
+    assert np.allclose(a.tfidf, b.tfidf)
+    # the two doc_id=7 rows top on their own texts' dominant terms
+    assert set(a[a.doc_id == 7].top_term) == {"alpha", "gamma"}
