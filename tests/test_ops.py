@@ -718,6 +718,43 @@ def test_keyed_running_sum_same_second_ordering(ray_session):
     assert out.running_sum.tolist() == [1.0, 11.0, 11.5]
 
 
+def test_keyed_shift_lag_lead_nulls(ray_session):
+    """LAG/LEAD per key in (ts, id) order: each key's boundary rows get
+    NULL (never another key's value — key isolation across the hash
+    shuffle), same-second rows order by full µs then id, and
+    periods=-1 is LEAD."""
+    from datetime import datetime
+
+    import ray.data
+    from jsonld_ex_ray.ops.window import keyed_shift
+
+    rows = [
+        {"event_id": 1, "user_id": 1, "ts": datetime(2024, 1, 1, 0, 0, 0, 100000), "value": 1.0},
+        {"event_id": 2, "user_id": 1, "ts": datetime(2024, 1, 1, 0, 0, 0, 900000), "value": 2.0},
+        {"event_id": 3, "user_id": 2, "ts": datetime(2024, 1, 1, 0, 0, 0, 500000), "value": 30.0},
+        {"event_id": 4, "user_id": 2, "ts": datetime(2024, 1, 1, 0, 0, 1), "value": 40.0},
+        {"event_id": 5, "user_id": 3, "ts": datetime(2024, 1, 1), "value": 99.0},
+    ]
+
+    def run(periods):
+        return (
+            keyed_shift(
+                ray.data.from_items(rows), "user_id", "ts", "event_id", "value",
+                periods=periods, num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .prev_value
+        )
+
+    lag = run(1)
+    assert lag.isna().tolist() == [True, False, True, False, True]
+    assert lag.dropna().tolist() == [1.0, 30.0]
+    lead = run(-1)
+    assert lead.isna().tolist() == [False, True, False, True, True]
+    assert lead.dropna().tolist() == [2.0, 40.0]
+
+
 def test_bloom_filter_semantics(ray_session):
     """No false negatives ever; false-positive rate near the target; the
     semi-join keeps every true match."""
