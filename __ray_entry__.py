@@ -272,6 +272,20 @@ def _q_events_distinct_users_hll(sf_dir: str):
     return approx_distinct_hll(ds, "user_id")
 
 
+def _q_events_hll_by_type(sf_dir: str):
+    """Per-group HLL distinct-user counts (per-event-type audience
+    size) — one bounded hash(group) shuffle of 4 KB register rows,
+    segmented max-merge per bucket; approximate, rows-only (the pytest
+    gate bounds per-group error against true counts)."""
+    import ray.data
+    from jsonld_ex_ray.ops.agg import grouped_approx_distinct_hll
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return grouped_approx_distinct_hll(ds, "event_type", "user_id").sort("event_type")
+
+
 def _q_events_props_extract(sf_dir: str):
     """JSON payload column parsing (vectorized per batch)."""
     import pyarrow as pa
@@ -1411,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": _q_events_top_users,
         "events_distinct_users": _q_events_distinct_users,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
+        "events_hll_by_type": _q_events_hll_by_type,
         "events_props_extract": _q_events_props_extract,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,

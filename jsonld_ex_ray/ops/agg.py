@@ -313,6 +313,117 @@ def approx_distinct_hll(ds, col: str, precision: int = 12):
     return pd.DataFrame({"n_distinct_approx": [int(round(est))]})
 
 
+def grouped_approx_distinct_hll(
+    ds,
+    group_col: str,
+    col: str,
+    precision: int = 12,
+    num_buckets: int = 64,
+):
+    """Per-group HyperLogLog count-distinct — the approx-distinct that
+    replaces a per-key exact distinct at 100 TB (per-domain URL counts,
+    per-language vocabulary sizes). Standard error ≈ 1.04/√(2^precision)
+    (~1.6% at the default p=12).
+
+    Ray shape: each block builds one register array PER GROUP PRESENT IN
+    THE BLOCK in a single vectorized pass (groups dictionary-encoded,
+    ``np.maximum.at`` over a flattened (group, register) index — zero
+    per-group Python), emitting (group, 2^p-byte registers) rows. One
+    bounded shuffle on ``hash(group) % num_buckets`` co-locates each
+    group's partials; per bucket the rows stack into a matrix and merge
+    by segmented elementwise max (``np.maximum.reduceat``), then the
+    HLL estimate (with linear-counting small-range correction) is
+    computed vectorized across all groups at once. The driver never
+    sees a register.
+
+    Memory note: a block contributes ``groups_in_block × 2^p`` bytes of
+    partials (4 KB/group at p=12). For very-high-cardinality group
+    columns drop ``precision`` (p=10 → 1 KB/group, ~3.2% error) or use
+    the exact ``distinct_rows``+count composition instead.
+
+    → Dataset(group_col, n_distinct_approx int64), one row per group
+    (NULL groups form a real group, like SQL)."""
+    from .hashing import hash_columns
+
+    m = 1 << precision
+
+    def local_registers(batch: pa.Table) -> pa.Table:
+        gcol = batch.column(group_col)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        enc = gcol.dictionary_encode()
+        # null group -> its own trailing slot (arrow encodes null as a
+        # null INDEX, which to_numpy would float-upcast; fill first)
+        has_null = enc.null_count > 0
+        n_groups = len(enc.dictionary) + int(has_null)
+        gi = (
+            pc.fill_null(enc.indices, len(enc.dictionary))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+        h = hash_columns(batch.select([col]), [col], seed=7)
+        idx = (h >> np.uint64(64 - precision)).astype(np.int64)
+        rest = h << np.uint64(precision)
+        nz = rest != 0
+        lz = np.full(len(h), 64 - precision, dtype=np.int64)
+        lz[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+        rank = np.minimum(lz + 1, 64 - precision + 1)
+
+        regs = np.zeros(n_groups * m, dtype=np.int8)
+        np.maximum.at(regs, gi * m + idx, rank.astype(np.int8))
+        groups_out = enc.dictionary
+        if has_null:
+            groups_out = pa.concat_arrays(
+                [groups_out, pa.nulls(1, groups_out.type)]
+            )
+        payload = [regs[g * m : (g + 1) * m].tobytes() for g in range(n_groups)]
+        from .hashing import bucket_ids
+
+        t = pa.table({group_col: groups_out, "regs": pa.array(payload, pa.binary())})
+        return t.append_column("__bucket", bucket_ids(t, [group_col], num_buckets, seed=0))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = group.sort_by(group_col)  # nulls last, contiguous
+        mat = np.frombuffer(
+            b"".join(g.column("regs").to_pylist()), dtype=np.int8
+        ).reshape(-1, m)
+        keys = g.column(group_col)
+        # segment starts: first row of each distinct (incl. the null run)
+        valid = np.asarray(pc.is_valid(keys))
+        kp = pl.from_arrow(pa.table({"k": keys}))
+        newseg = np.r_[
+            True,
+            (kp["k"].ne_missing(kp["k"].shift(1))).to_numpy()[1:],
+        ]
+        starts = np.flatnonzero(newseg)
+        merged = np.maximum.reduceat(mat, starts, axis=0)
+        regs_f = merged.astype(np.float64)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** (-regs_f), axis=1)
+        zeros = (merged == 0).sum(axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lin = m * np.log(m / np.where(zeros > 0, zeros, 1))
+        est = np.where(small, lin, est)
+        return pa.table(
+            {
+                group_col: keys.take(pa.array(starts, pa.int64())),
+                "n_distinct_approx": pa.array(
+                    np.rint(est).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(local_registers, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+
+
 def exact_quantiles(ds, col: str, qs: list[float], bins: int = 8192, round_to: int = 6):
     """EXACT ``quantile_cont`` values without a global sort and without
     materializing the column: three streaming passes with tiny driver

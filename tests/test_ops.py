@@ -718,6 +718,35 @@ def test_keyed_running_sum_same_second_ordering(ray_session):
     assert out.running_sum.tolist() == [1.0, 11.0, 11.5]
 
 
+def test_grouped_hll_accuracy_and_null_group(ray_session):
+    """Per-group HLL estimates land within 5% of each group's TRUE
+    distinct count at p=12 (expected σ≈1.6%), across 4 orders of group
+    magnitude, with a NULL group forming its own row and duplicate
+    values collapsing."""
+    import ray.data
+    from jsonld_ex_ray.ops.agg import grouped_approx_distinct_hll
+
+    rng = np.random.default_rng(0)
+    groups, vals = [], []
+    sizes = {"a": 10, "b": 1000, "c": 50000, None: 137}
+    true: dict = {}
+    for g, n in sizes.items():
+        ids = rng.choice(n, size=n * 3)  # duplicates included
+        true[g] = len(np.unique(ids))
+        groups += [g] * len(ids)
+        vals += [f"{g}-{i}" for i in ids]
+    tbl = pa.table({"g": pa.array(groups, pa.string()), "v": pa.array(vals, pa.string())})
+    out = (
+        grouped_approx_distinct_hll(ray.data.from_arrow(tbl).repartition(8), "g", "v")
+        .to_pandas()
+    )
+    assert len(out) == 4
+    for _, row in out.iterrows():
+        g = row["g"] if isinstance(row["g"], str) else None
+        err = abs(row["n_distinct_approx"] - true[g]) / true[g]
+        assert err < 0.05, (g, true[g], row["n_distinct_approx"])
+
+
 def test_keyed_shift_lag_lead_nulls(ray_session):
     """LAG/LEAD per key in (ts, id) order: each key's boundary rows get
     NULL (never another key's value — key isolation across the hash
