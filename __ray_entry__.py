@@ -1127,6 +1127,67 @@ def _q_user_hitters(sf_dir: str):
     )
 
 
+def _q_orders_customers_full(sf_dir: str):
+    """FULL OUTER two-large-sides join: recent orders × BUILDING-segment
+    customers on custkey — matched rows join, recent orders of other
+    segments survive with null customer columns, building customers with
+    no recent order survive with null order columns and their key
+    coalesced into the left key column (SQL's COALESCE projection).
+    Same tag-union bucketed machinery as the inner/left/semi/anti modes."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from jsonld_ex_ray.ops.joins import hash_join_bucketed
+
+    cutoff = datetime(1998, 6, 1)
+
+    def recent(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("o_orderdate"), pa.scalar(cutoff))
+        ).drop_columns(["o_orderdate"])
+
+    orders = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        )
+        .repartition(32)  # testdata-shape-specific: 1 row group gates the scan
+        .map_batches(recent, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def building(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch.column("c_mktsegment"), pa.scalar("BUILDING"))
+        ).drop_columns(["c_mktsegment"])
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    ).map_batches(building, batch_format="pyarrow", zero_copy_batch=True)
+
+    return hash_join_bucketed(
+        orders,
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        right_cols=["c_acctbal"],
+        join_type="full",
+        left_schema=pa.schema(
+            [
+                pa.field("o_orderkey", pa.int64()),
+                pa.field("o_custkey", pa.int64()),
+                pa.field("o_totalprice", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [pa.field("c_custkey", pa.int64()), pa.field("c_acctbal", pa.float64())]
+        ),
+    )
+
+
 def _q_orders_last_ship(sf_dir: str):
     """LEFT OUTER two-large-sides join: every order with the epoch-second
     of its latest post-cutoff shipment (null when none) — bucketed
@@ -1409,12 +1470,14 @@ def _q_dedup_clusters(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracled query lands inside the driver's
     50-query correctness window: oracled queries first, rows-only /
-    no_oracle queries last. There are 52 oracled queries for 50 slots;
-    the two deliberately placed outside the window are ``events_lag``
+    no_oracle queries last. There are 53 oracled queries for 50 slots;
+    the three deliberately placed outside the window are ``events_lag``
     (same bounded-shuffle kernel family as the in-window
-    ``events_running_total``; driver_sim- and pytest-verified) and
-    ``doc_repetition_filter`` — a thin filter variant of
-    ``doc_repetition`` (same kernel, in-window, oracle-green r03)."""
+    ``events_running_total``), ``orders_customers_full`` (same
+    tag-union join machinery as the in-window ``orders_last_ship``) —
+    both driver_sim- and pytest-verified — and ``doc_repetition_filter``
+    — a thin filter variant of ``doc_repetition`` (same kernel,
+    in-window, oracle-green r03)."""
     base = {
         "lineitem_agg": _q_lineitem_agg,
         "top_orders": _q_top_orders,
@@ -1460,6 +1523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": _q_knn_join,
         "user_hitters": _q_user_hitters,
         "orders_last_ship": _q_orders_last_ship,
+        "orders_customers_full": _q_orders_customers_full,
         "parts_never_heavy": _q_parts_never_heavy,
         "events_window_users": _q_events_window_users,
         "doc_chunks": _q_doc_chunks,
@@ -1493,10 +1557,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_error_stats": _q_kg_error_stats,
     }
     oracled = set(oracle_sql())
-    # oracled queries that cede their driver-window slot (52 oracled,
+    # oracled queries that cede their driver-window slot (53 oracled,
     # 50 slots): each is a same-kernel sibling of an in-window query
     # and stays driver_sim- and pytest-verified
-    out_of_window = ("events_lag", "doc_repetition_filter")
+    out_of_window = ("events_lag", "orders_customers_full", "doc_repetition_filter")
     ordered: dict[str, Callable[[str], Any]] = {}
     for name in base:  # stable partition, original relative order kept
         if name in oracled and name not in out_of_window:
@@ -1943,6 +2007,16 @@ def oracle_sql() -> dict[str, str]:
              AND l.l_shipdate > TIMESTAMP '1998-09-01'
             GROUP BY o.o_orderkey, o.o_totalprice
             ORDER BY o.o_orderkey
+        """,
+        "orders_customers_full": """
+            SELECT o.o_orderkey,
+                   COALESCE(o.o_custkey, c.c_custkey) AS o_custkey,
+                   o.o_totalprice, c.c_acctbal
+            FROM (SELECT * FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1998-06-01') o
+            FULL OUTER JOIN (SELECT * FROM customer
+                             WHERE c_mktsegment = 'BUILDING') c
+              ON o.o_custkey = c.c_custkey
         """,
         "doc_normalize": r"""
             SELECT doc_id, text,

@@ -139,6 +139,7 @@ def hash_join_bucketed(
     )
     arrow_join = {
         "left": "left outer",
+        "full": "full outer",
         "semi": "left semi",
         "anti": "left anti",
     }.get(join_type, join_type)
@@ -158,6 +159,22 @@ def hash_join_bucketed(
             right_tbl.schema.get_field_index(right_on), right_on, right_tbl.column(right_on).cast(kt)
         )
         if left_tbl.num_rows == 0:
+            if join_type == "full" and right_tbl.num_rows:
+                # right-only bucket: unmatched right rows survive with
+                # null left columns (the key coalesces from the right)
+                return pa.Table.from_arrays(
+                    [
+                        right_tbl.column(right_on)
+                        if c == left_on
+                        else (
+                            right_tbl.column(c)
+                            if c in right_tbl.column_names
+                            else pa.nulls(right_tbl.num_rows, schema.field(c).type)
+                        )
+                        for c in out_cols
+                    ],
+                    names=out_cols,
+                )
             return pa.Table.from_arrays(
                 [
                     pa.nulls(0, kt if c == left_on else schema.field(c).type)
@@ -170,6 +187,10 @@ def hash_join_bucketed(
             keys=[left_on],
             right_keys=[right_on],
             join_type=arrow_join,
+            # full outer coalesces the key columns into left_on, so
+            # right-unmatched rows carry their key there (SQL's
+            # COALESCE(l.k, r.k) projection)
+            coalesce_keys=True,
         )
         return joined.select(out_cols)
 

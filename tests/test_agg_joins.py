@@ -116,6 +116,44 @@ def test_hash_join_bucketed_inner_and_left(ray_session):
     assert set(left_out[left_out.rv.isna()].lk) == {3, 4}
 
 
+def test_hash_join_bucketed_full_outer(ray_session):
+    """FULL OUTER: matched rows join, left-unmatched survive with null
+    right columns, right-unmatched survive with null left columns and
+    their key COALESCED into the left key column (SQL projection), and
+    NULL keys never match each other (SQL semantics) — each null-key
+    row survives unmatched on its own side."""
+    from jsonld_ex_ray.ops.joins import hash_join_bucketed
+
+    left = pa.table(
+        {"lk": pa.array([1, 2, 3, None], pa.int64()), "lv": ["a", "b", "c", "n"]}
+    )
+    right = pa.table(
+        {"rk": pa.array([2, 2, 5, None], pa.int64()), "rv": ["x", "y", "w", "m"]}
+    )
+    out = (
+        hash_join_bucketed(
+            _ds(left), _ds(right), left_on="lk", right_on="rk", right_cols=["rv"],
+            num_buckets=4, join_type="full",
+        )
+        .to_pandas()
+        .sort_values(["lk", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    # matched: (2,b,x), (2,b,y); left-only: (1,a,null), (3,c,null),
+    # (null,n,null); right-only: (5,null,w), (null,null,m)
+    assert len(out) == 7
+    matched = out[out.lv.notna() & out.rv.notna()]
+    assert sorted(zip(matched.lk, matched.lv, matched.rv)) == [(2, "b", "x"), (2, "b", "y")]
+    left_only = out[out.rv.isna()]
+    assert sorted(left_only.lv) == ["a", "c", "n"]
+    assert left_only[left_only.lv == "n"].lk.isna().all()  # null key unmatched
+    right_only = out[out.lv.isna()]
+    assert sorted(right_only.rv) == ["m", "w"]
+    # right-unmatched key coalesces into lk; null right key stays null
+    assert right_only[right_only.rv == "w"].lk.tolist() == [5]
+    assert right_only[right_only.rv == "m"].lk.isna().all()
+
+
 def test_asof_join_bucketed_matches_pandas(ray_session):
     from jsonld_ex_ray.ops.joins import asof_join_bucketed
 
