@@ -274,27 +274,73 @@ def distinct_rows(ds, cols: list[str], num_buckets: int = 64):
     )
 
 
+def _hll_ranks(h: np.ndarray, precision: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per hash — shared by the global and
+    per-group HLL ops so the rank math has exactly one home."""
+    idx = (h >> np.uint64(64 - precision)).astype(np.int64)
+    rest = h << np.uint64(precision)  # remaining 64-p bits, top-aligned
+    # rank = leading zeros of rest + 1 (capped); vectorized via log2
+    nz = rest != 0
+    lz = np.full(len(h), 64 - precision, dtype=np.int64)
+    lz[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+    rank = np.minimum(lz + 1, 64 - precision + 1)
+    return idx, rank
+
+
+def _hll_estimate(regs: np.ndarray) -> np.ndarray:
+    """Row-wise HLL estimate over an (n_groups, m) int8 register matrix
+    (pass a (1, m) view for the global case): harmonic-mean estimator
+    with linear-counting small-range correction. An all-zero register
+    row estimates exactly 0 (SQL COUNT(DISTINCT) over no values)."""
+    m = regs.shape[1]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)), axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    lin = m * np.log(m / np.where(zeros > 0, zeros, 1))
+    return np.where(small, lin, est)
+
+
+def _binary_matrix(col, width: int) -> np.ndarray:
+    """(n, width) int8 view over a binary column whose every value is
+    exactly ``width`` bytes — zero-copy from the arrow data buffer (no
+    per-element Python bytes objects). Falls back to a joining copy if
+    the column is sliced/offset in a way that breaks the direct view."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, width), np.int8)
+    off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(
+        bufs[1], off_dt, count=n + 1, offset=arr.offset * np.dtype(off_dt).itemsize
+    )
+    start, end = int(offsets[0]), int(offsets[-1])
+    if end - start == n * width and (np.diff(offsets) == width).all():
+        return np.frombuffer(bufs[2], np.int8, count=n * width, offset=start).reshape(
+            n, width
+        )
+    return np.frombuffer(b"".join(arr.to_pylist()), np.int8).reshape(n, width)
+
+
 def approx_distinct_hll(ds, col: str, precision: int = 12):
     """HyperLogLog count-distinct sketch: each block builds a 2^precision
     register array (vectorized numpy), registers MERGE by elementwise max
     — a few KB per block regardless of cardinality, the shape that
     replaces exact distinct at 100 TB. Standard HLL bias correction for
-    the mid range. → pandas DataFrame(n_distinct_approx)."""
+    the mid range. NULL values are excluded, like SQL
+    ``COUNT(DISTINCT col)``. → pandas DataFrame(n_distinct_approx)."""
     from .hashing import hash_columns
 
     m = 1 << precision
 
     def local_registers(batch: pa.Table) -> pa.Table:
-        h = hash_columns(batch.select([col]), [col], seed=7)
-        idx = (h >> np.uint64(64 - precision)).astype(np.int64)
-        rest = h << np.uint64(precision)  # remaining 64-p bits, top-aligned
-        # rank = leading zeros of rest + 1 (capped); vectorized via log2
-        nz = rest != 0
-        lz = np.full(len(h), 64 - precision, dtype=np.int64)
-        lz[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
-        rank = np.minimum(lz + 1, 64 - precision + 1)
+        batch = batch.filter(pc.is_valid(batch.column(col)))
         regs = np.zeros(m, dtype=np.int8)
-        np.maximum.at(regs, idx, rank.astype(np.int8))
+        if batch.num_rows:
+            h = hash_columns(batch.select([col]), [col], seed=7)
+            idx, rank = _hll_ranks(h, precision)
+            np.maximum.at(regs, idx, rank.astype(np.int8))
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     parts = ds.map_batches(
@@ -303,11 +349,7 @@ def approx_distinct_hll(ds, col: str, precision: int = 12):
     regs = np.zeros(m, dtype=np.int8)
     for blob in parts["regs"]:
         regs = np.maximum(regs, np.frombuffer(blob, dtype=np.int8))
-    alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # linear counting for the small range
+    est = float(_hll_estimate(regs.reshape(1, m))[0])
     import pandas as pd
 
     return pd.DataFrame({"n_distinct_approx": [int(round(est))]})
@@ -342,7 +384,9 @@ def grouped_approx_distinct_hll(
     the exact ``distinct_rows``+count composition instead.
 
     → Dataset(group_col, n_distinct_approx int64), one row per group
-    (NULL groups form a real group, like SQL)."""
+    (NULL groups form a real group; NULL values are excluded — both
+    exactly like SQL ``GROUP BY`` + ``COUNT(DISTINCT col)``, so an
+    all-NULL-values group reports 0)."""
     from .hashing import hash_columns
 
     m = 1 << precision
@@ -362,16 +406,16 @@ def grouped_approx_distinct_hll(
             .astype(np.int64)
         )
 
-        h = hash_columns(batch.select([col]), [col], seed=7)
-        idx = (h >> np.uint64(64 - precision)).astype(np.int64)
-        rest = h << np.uint64(precision)
-        nz = rest != 0
-        lz = np.full(len(h), 64 - precision, dtype=np.int64)
-        lz[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
-        rank = np.minimum(lz + 1, 64 - precision + 1)
-
+        # NULL values update no register (SQL COUNT(DISTINCT) excludes
+        # them); the group itself still emits its (possibly all-zero)
+        # register row, so all-NULL groups stay visible and estimate 0
+        vmask = np.asarray(pc.is_valid(batch.column(col)))
         regs = np.zeros(n_groups * m, dtype=np.int8)
-        np.maximum.at(regs, gi * m + idx, rank.astype(np.int8))
+        if vmask.any():
+            sub = batch.filter(pa.array(vmask))
+            h = hash_columns(sub.select([col]), [col], seed=7)
+            idx, rank = _hll_ranks(h, precision)
+            np.maximum.at(regs, gi[vmask] * m + idx, rank.astype(np.int8))
         groups_out = enc.dictionary
         if has_null:
             groups_out = pa.concat_arrays(
@@ -387,12 +431,9 @@ def grouped_approx_distinct_hll(
         import polars as pl
 
         g = group.sort_by(group_col)  # nulls last, contiguous
-        mat = np.frombuffer(
-            b"".join(g.column("regs").to_pylist()), dtype=np.int8
-        ).reshape(-1, m)
+        mat = _binary_matrix(g.column("regs"), m)
         keys = g.column(group_col)
         # segment starts: first row of each distinct (incl. the null run)
-        valid = np.asarray(pc.is_valid(keys))
         kp = pl.from_arrow(pa.table({"k": keys}))
         newseg = np.r_[
             True,
@@ -400,14 +441,7 @@ def grouped_approx_distinct_hll(
         ]
         starts = np.flatnonzero(newseg)
         merged = np.maximum.reduceat(mat, starts, axis=0)
-        regs_f = merged.astype(np.float64)
-        alpha = 0.7213 / (1 + 1.079 / m)
-        est = alpha * m * m / np.sum(2.0 ** (-regs_f), axis=1)
-        zeros = (merged == 0).sum(axis=1)
-        small = (est <= 2.5 * m) & (zeros > 0)
-        with np.errstate(divide="ignore"):
-            lin = m * np.log(m / np.where(zeros > 0, zeros, 1))
-        est = np.where(small, lin, est)
+        est = _hll_estimate(merged)
         return pa.table(
             {
                 group_col: keys.take(pa.array(starts, pa.int64())),

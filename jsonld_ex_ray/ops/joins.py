@@ -158,23 +158,10 @@ def hash_join_bucketed(
         right_tbl = right_tbl.set_column(
             right_tbl.schema.get_field_index(right_on), right_on, right_tbl.column(right_on).cast(kt)
         )
-        if left_tbl.num_rows == 0:
-            if join_type == "full" and right_tbl.num_rows:
-                # right-only bucket: unmatched right rows survive with
-                # null left columns (the key coalesces from the right)
-                return pa.Table.from_arrays(
-                    [
-                        right_tbl.column(right_on)
-                        if c == left_on
-                        else (
-                            right_tbl.column(c)
-                            if c in right_tbl.column_names
-                            else pa.nulls(right_tbl.num_rows, schema.field(c).type)
-                        )
-                        for c in out_cols
-                    ],
-                    names=out_cols,
-                )
+        if left_tbl.num_rows == 0 and join_type != "full":
+            # full outer must NOT early-return here: arrow's full outer
+            # join of an empty left correctly emits the right-only rows
+            # (null left columns, key coalesced into left_on)
             return pa.Table.from_arrays(
                 [
                     pa.nulls(0, kt if c == left_on else schema.field(c).type)

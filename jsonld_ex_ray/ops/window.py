@@ -269,6 +269,30 @@ def rolling_time_agg(
     )
 
 
+def _sort_keyed(group: pa.Table, key_col: str, ts_col: str, id_col: str) -> pa.Table:
+    """Shared ordered-scan prologue of :func:`keyed_running_sum` and
+    :func:`keyed_shift` — ONE home for the ordering/epoch semantics.
+    Unit-robust epoch seconds: normalize to µs first (from_items yields
+    timestamp[s], parquet yields timestamp[us]). The ORDER uses full µs
+    precision (same-second events must sort exactly like the SQL
+    window's ORDER BY ts); only the EMITTED ``ts_s`` column is truncated
+    to seconds (floor division: pre-1970 rows match SQL) for
+    representation-stable hashing."""
+    us = pc.cast(group.column(ts_col), pa.timestamp("us"), safe=False)
+    us_i = pc.cast(us, pa.int64())
+    secs = _floor_div(us_i, 1_000_000)
+    g = (
+        group.drop_columns([ts_col, "__bucket"])
+        .append_column("ts_s", pc.cast(secs, pa.int64()))
+        .append_column("__us", us_i)
+    )
+    idx = pc.sort_indices(
+        g,
+        sort_keys=[(key_col, "ascending"), ("__us", "ascending"), (id_col, "ascending")],
+    )
+    return g.take(idx).drop_columns(["__us"])
+
+
 def keyed_running_sum(
     ds,
     key_col: str,
@@ -304,24 +328,7 @@ def keyed_running_sum(
     def scan_bucket(group: pa.Table) -> pa.Table:
         from .agg import round_half_away
 
-        # unit-robust epoch seconds: normalize to µs first (from_items
-        # yields timestamp[s], parquet yields timestamp[us]). The ORDER
-        # uses full µs precision (same-second events must sort exactly
-        # like the SQL window's ORDER BY ts); only the EMITTED column is
-        # truncated to seconds for representation-stable hashing.
-        us = pc.cast(group.column(ts_col), pa.timestamp("us"), safe=False)
-        us_i = pc.cast(us, pa.int64())
-        secs = _floor_div(us_i, 1_000_000)
-        g = (
-            group.drop_columns([ts_col, "__bucket"])
-            .append_column("ts_s", pc.cast(secs, pa.int64()))
-            .append_column("__us", us_i)
-        )
-        idx = pc.sort_indices(
-            g,
-            sort_keys=[(key_col, "ascending"), ("__us", "ascending"), (id_col, "ascending")],
-        )
-        g = g.take(idx).drop_columns(["__us"])
+        g = _sort_keyed(group, key_col, ts_col, id_col)
         # SEGMENTED per-key cumsum (polars cum_sum().over) — the additions
         # run serially within each key in row order, exactly like SQL's
         # window sum. The previous global-cumsum-minus-offset trick
@@ -380,19 +387,7 @@ def keyed_shift(
     def shift_bucket(group: pa.Table) -> pa.Table:
         import polars as pl
 
-        us = pc.cast(group.column(ts_col), pa.timestamp("us"), safe=False)
-        us_i = pc.cast(us, pa.int64())
-        secs = _floor_div(us_i, 1_000_000)
-        g = (
-            group.drop_columns([ts_col, "__bucket"])
-            .append_column("ts_s", pc.cast(secs, pa.int64()))
-            .append_column("__us", us_i)
-        )
-        idx = pc.sort_indices(
-            g,
-            sort_keys=[(key_col, "ascending"), ("__us", "ascending"), (id_col, "ascending")],
-        )
-        g = g.take(idx).drop_columns(["__us"])
+        g = _sort_keyed(group, key_col, ts_col, id_col)
         shifted = (
             pl.from_arrow(g.select([key_col, value_col]))
             .select(pl.col(value_col).shift(periods).over(key_col))

@@ -224,6 +224,40 @@ def test_distinct_count_exact_and_hll(ray_session):
     assert abs(approx - exact_n) / exact_n < 0.05  # p=12 → ~1.6% std err
 
 
+def test_hll_null_values_excluded(ray_session):
+    """NULL values update no HLL register, matching SQL COUNT(DISTINCT):
+    a half-NULL column estimates the non-null cardinality, an all-NULL
+    column estimates exactly 0, and a group whose values are all NULL
+    still emits its row with estimate 0."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import approx_distinct_hll, grouped_approx_distinct_hll
+
+    vals = [f"v{i}" for i in range(500)] + [None] * 500
+    ds = ray.data.from_arrow(pa.table({"u": pa.array(vals, pa.string())})).repartition(4)
+    approx = approx_distinct_hll(ds, "u").n_distinct_approx.iloc[0]
+    assert abs(approx - 500) / 500 < 0.05
+
+    all_null = ray.data.from_arrow(
+        pa.table({"u": pa.array([None] * 100, pa.string())})
+    )
+    assert approx_distinct_hll(all_null, "u").n_distinct_approx.iloc[0] == 0
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 300 + ["b"] * 50, pa.string()),
+            "v": pa.array([f"x{i}" for i in range(300)] + [None] * 50, pa.string()),
+        }
+    )
+    out = (
+        grouped_approx_distinct_hll(ray.data.from_arrow(tbl).repartition(4), "g", "v")
+        .to_pandas()
+        .set_index("g")
+    )
+    assert abs(out.loc["a", "n_distinct_approx"] - 300) / 300 < 0.05
+    assert out.loc["b", "n_distinct_approx"] == 0
+
+
 def test_compact_docs_stage(ray_session):
     import json as _json
 
