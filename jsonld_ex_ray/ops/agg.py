@@ -191,12 +191,15 @@ def groupby_agg_bucketed(ds, keys: list[str], aggs, num_buckets: int = 64):
     )
 
 
-def sample_per_group(ds, group_col: str, id_col: str, n: int):
+def sample_per_group(ds, group_col: str, id_col: str, n: int, num_buckets: int = 64):
     """Deterministic stratified sampling: keep the ``n`` rows per group
     with the smallest ``md5(id)`` — reproducible across runs/retries and
     oracle-checkable (unlike RNG sampling). Map-side per-group top-n
-    (combiner) → tiny grouped final selection."""
-    from .hashing import md5_hex
+    (combiner) → ONE bounded shuffle on ``hash(group) % num_buckets``
+    with a vectorized multi-group final selection per bucket — never one
+    Python call per distinct group, so per-domain sampling over millions
+    of domains stays ≤ ``num_buckets`` tasks."""
+    from .hashing import bucket_ids, md5_hex
 
     def add_rank_key(batch: pa.Table) -> pa.Table:
         return batch.append_column("__rk", md5_hex(batch.column(id_col)))
@@ -205,19 +208,27 @@ def sample_per_group(ds, group_col: str, id_col: str, n: int):
         df = batch.to_pandas()
         out = (
             df.sort_values([group_col, "__rk"])
-            .groupby(group_col, sort=False)
+            .groupby(group_col, sort=False, dropna=False)
             .head(n)
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_ids(batch, [group_col], num_buckets, seed=0)
+        )
+
     def final_topn(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values("__rk").head(n)
-        return pa.Table.from_pandas(df.drop(columns="__rk"), preserve_index=False)
+        # a BUCKET of groups, not one group: same vectorized kernel as
+        # the combiner, then drop the rank/shuffle scaffolding
+        out = local_topn(group.drop_columns(["__bucket"]))
+        return out.drop_columns(["__rk"])
 
     return (
         ds.map_batches(add_rank_key, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(local_topn, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(group_col)
+        .map_batches(tag_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
         .map_groups(final_topn, batch_format="pyarrow")
     )
 
@@ -908,8 +919,10 @@ def top_per_group(
 
     Ray shape: one bucketed high-cardinality aggregate over (group,
     key) — map-side partials, ONE bounded shuffle — then a per-block
-    top-k-per-group pre-filter and a final low-cardinality ``map_groups``
-    head (≤ distinct groups Python calls, each over ≤ k·n_blocks rows).
+    top-k-per-group pre-filter and a final selection bucketed on
+    ``hash(group) % num_buckets`` (≤ ``num_buckets`` Python calls with a
+    vectorized segmented-rank kernel inside — NEVER one call per
+    distinct group, so million-group leaderboards stay bounded).
     Ties broken by ``agg_key`` ascending for determinism; pass
     ``round_digits`` so ranking happens on the ROUNDED aggregate (float
     partial sums add in a different order than a serial oracle — ranking
@@ -939,8 +952,23 @@ def top_per_group(
         rank = pos - np.repeat(starts, np.diff(np.r_[starts, len(g)])) if len(g) else pos
         return t.filter(pa.array(rank < k))
 
+    from .hashing import bucket_ids
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_ids(batch, [group_col], num_buckets, seed=0)
+        )
+
+    def final_head(group: pa.Table) -> pa.Table:
+        # a BUCKET of groups: the same segmented-rank kernel applies
+        return local_head(group.drop_columns(["__bucket"]))
+
     pre = totals.map_batches(local_head, batch_format="pyarrow", zero_copy_batch=True)
-    return pre.groupby(group_col).map_groups(local_head, batch_format="pyarrow")
+    return (
+        pre.map_batches(tag_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(final_head, batch_format="pyarrow")
+    )
 
 
 def pivot_agg(

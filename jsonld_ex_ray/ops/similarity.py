@@ -340,8 +340,11 @@ def knn_join(
     Ray shape: the (q × d) query matrix broadcasts ONCE via ``ray.put``;
     each corpus batch does one (b × d)·(d × q) matmul and emits only its
     per-query top-k survivor rows (``q·k`` rows per block, independent of
-    block height); survivors combine per query in a grouped final head.
-    The corpus never shuffles. Ranking uses the ROUNDED similarity with
+    block height); survivors combine in a final head bucketed on
+    ``hash(query_id) % 64`` with a vectorized segmented-rank kernel —
+    never one Python call per query, so a 100k-query batch stays ≤ 64
+    final tasks. The corpus never shuffles. Ranking uses the ROUNDED
+    similarity with
     ``neighbor_id`` tiebreak so the selection is reproducible against a
     serial oracle. → Dataset(query_id, neighbor_id, sim)."""
     import pyarrow.compute as pc
@@ -390,15 +393,35 @@ def knn_join(
             }
         )
 
-    def final_head(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group,
-            sort_keys=[("sim", "descending"), ("neighbor_id", "ascending")],
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        from .hashing import bucket_ids
+
+        return batch.append_column(
+            "__bucket", bucket_ids(batch, ["query_id"], 64, seed=0)
         )
-        return group.take(idx[:k])
+
+    def final_head(group: pa.Table) -> pa.Table:
+        # a BUCKET of queries: segmented per-query rank < k (vectorized)
+        t = group.drop_columns(["__bucket"])
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("query_id", "ascending"),
+                ("sim", "descending"),
+                ("neighbor_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        g = t.column("query_id").to_numpy(zero_copy_only=False)
+        if len(g) == 0:
+            return t
+        starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
+        rank = np.arange(len(g)) - np.repeat(starts, np.diff(np.r_[starts, len(g)]))
+        return t.filter(pa.array(rank < k))
 
     return (
         ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("query_id")
+        .map_batches(tag_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
         .map_groups(final_head, batch_format="pyarrow")
     )

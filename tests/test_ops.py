@@ -601,6 +601,42 @@ def test_top_per_group_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_sample_per_group_many_groups_and_null(ray_session):
+    """Stratified sampler over 2000 distinct groups plus a NULL group:
+    exact deterministic md5-rank winners per group (SQL PARTITION BY
+    parity — NULL forms a real partition), via the BUCKETED final
+    selection (≤ num_buckets tasks, never one per group)."""
+    import pandas as pd
+    import ray.data
+    from jsonld_ex_ray.ops.agg import sample_per_group
+
+    rng = np.random.RandomState(11)
+    n = 6000
+    groups = pd.Series(rng.randint(0, 2000, n)).astype("string")
+    groups[rng.rand(n) < 0.01] = None
+    df = pd.DataFrame({"g": groups, "doc_id": np.arange(n).astype("int64")})
+    got = (
+        sample_per_group(
+            ray.data.from_pandas(df).repartition(8), "g", "doc_id", 2, num_buckets=16
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import hashlib
+
+    df["__rk"] = df.doc_id.map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    want = (
+        df.sort_values(["g", "__rk"], na_position="last")
+        .groupby("g", sort=False, dropna=False)
+        .head(2)
+        .drop(columns="__rk")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "doc_id"]], want[["g", "doc_id"]], check_dtype=False)
+
+
 def test_dedup_lines_c4_rule(ray_session):
     """Global first-occurrence line dedup: shared lines survive only in
     the earliest (doc_id, line_no) position; fully-deduped docs drop;
