@@ -26,7 +26,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_SUPPORTED = ("sum", "count", "mean", "min", "max")
+_SUPPORTED = ("sum", "count", "mean", "min", "max", "var", "std", "covar", "corr")
+# two-column ops take a (x_col, y_col) tuple as the column spec
+_PAIRED = ("covar", "corr")
 
 
 def round_half_away(x, nd: int):
@@ -56,6 +58,11 @@ def _norm_aggs(aggs):
         nd = spec[3] if len(spec) > 3 else None
         if op not in _SUPPORTED:
             raise ValueError(f"unsupported op {op!r}")
+        if op in _PAIRED:
+            if not (isinstance(col, tuple) and len(col) == 2):
+                raise ValueError(f"{op} needs a (x_col, y_col) tuple, got {col!r}")
+        elif isinstance(col, tuple):
+            raise ValueError(f"{op} takes a single column, got tuple {col!r}")
         if alias in seen_aliases:
             raise ValueError(f"duplicate alias {alias!r}")
         seen_aliases.add(alias)
@@ -66,7 +73,10 @@ def _norm_aggs(aggs):
 def _plan_partials(aggs):
     """partial_name -> (arrow aggregate spec, combine op). Partials shared
     by several aliases (e.g. sum+mean of one column) are emitted once and
-    fanned out at finalize time — no name collisions."""
+    fanned out at finalize time — no name collisions. Moment-based ops
+    (var/std/covar/corr) also register derived input columns in
+    ``_plan_derived`` — sums of squares/products are mergeable across
+    blocks and buckets, so these ride the exact same partial machinery."""
     partials: dict[str, tuple[tuple, str]] = {}
     for col, op, _alias, _nd in aggs:
         if op == "count":
@@ -81,7 +91,72 @@ def _plan_partials(aggs):
             partials[f"__min_{col}"] = ((col, "min"), _COMBINE_MIN)
         elif op == "max":
             partials[f"__max_{col}"] = ((col, "max"), _COMBINE_MAX)
+        elif op in ("var", "std"):
+            partials[f"__sum_{col}"] = ((col, "sum"), _COMBINE_SUM)
+            partials[f"__cnt_{col}"] = ((col, "count"), _COMBINE_SUM)
+            partials[f"__ssq_{col}"] = ((f"__sq_{col}", "sum"), _COMBINE_SUM)
+        elif op in _PAIRED:
+            x, y = col
+            p = f"{x}__{y}"
+            # SQL covar/corr drop a row when EITHER side is null: all five
+            # sums run over pair-masked columns, and the pair count is the
+            # non-null count of the masked x
+            partials[f"__spx_{p}"] = ((f"__px_{p}", "sum"), _COMBINE_SUM)
+            partials[f"__spy_{p}"] = ((f"__py_{p}", "sum"), _COMBINE_SUM)
+            partials[f"__sxx_{p}"] = ((f"__pxx_{p}", "sum"), _COMBINE_SUM)
+            partials[f"__syy_{p}"] = ((f"__pyy_{p}", "sum"), _COMBINE_SUM)
+            partials[f"__sxy_{p}"] = ((f"__pxy_{p}", "sum"), _COMBINE_SUM)
+            partials[f"__cnt_p_{p}"] = ((f"__px_{p}", "count"), _COMBINE_SUM)
     return partials
+
+
+def _plan_derived(aggs):
+    """Derived input columns the moment ops need: name -> recipe."""
+    derived: dict[str, tuple] = {}
+    for col, op, _alias, _nd in aggs:
+        if op in ("var", "std"):
+            derived[f"__sq_{col}"] = ("sq", col)
+        elif op in _PAIRED:
+            x, y = col
+            p = f"{x}__{y}"
+            derived[f"__px_{p}"] = ("pair_x", x, y)
+            derived[f"__py_{p}"] = ("pair_y", x, y)
+            derived[f"__pxx_{p}"] = ("pair_xx", x, y)
+            derived[f"__pyy_{p}"] = ("pair_yy", x, y)
+            derived[f"__pxy_{p}"] = ("pair_xy", x, y)
+    return derived
+
+
+def _add_derived(batch: pa.Table, derived) -> pa.Table:
+    if not derived:
+        return batch
+    masked: dict[tuple, tuple] = {}
+
+    def pair(x, y):
+        if (x, y) not in masked:
+            valid = pc.and_(pc.is_valid(batch.column(x)), pc.is_valid(batch.column(y)))
+            null_f64 = pa.scalar(None, pa.float64())
+            xm = pc.if_else(valid, pc.cast(batch.column(x), pa.float64()), null_f64)
+            ym = pc.if_else(valid, pc.cast(batch.column(y), pa.float64()), null_f64)
+            masked[(x, y)] = (xm, ym)
+        return masked[(x, y)]
+
+    for name, recipe in derived.items():
+        kind = recipe[0]
+        if kind == "sq":
+            c = pc.cast(batch.column(recipe[1]), pa.float64())
+            batch = batch.append_column(name, pc.multiply(c, c))
+        else:
+            xm, ym = pair(recipe[1], recipe[2])
+            val = {
+                "pair_x": lambda: xm,
+                "pair_y": lambda: ym,
+                "pair_xx": lambda: pc.multiply(xm, xm),
+                "pair_yy": lambda: pc.multiply(ym, ym),
+                "pair_xy": lambda: pc.multiply(xm, ym),
+            }[kind]()
+            batch = batch.append_column(name, val)
+    return batch
 
 
 def _arrow_out_name(spec: tuple) -> str:
@@ -89,7 +164,8 @@ def _arrow_out_name(spec: tuple) -> str:
     return op if col == [] or col == "" else f"{col}_{op}"
 
 
-def _partial_table(batch: pa.Table, keys: list[str], partials) -> pa.Table:
+def _partial_table(batch: pa.Table, keys: list[str], partials, derived=None) -> pa.Table:
+    batch = _add_derived(batch, derived)
     specs = []
     seen = set()
     for _name, (spec, _comb) in partials.items():
@@ -112,6 +188,9 @@ def _finalize_arrow(tbl: pa.Table, keys: list[str], aggs, partials) -> pa.Table:
     out = tbl.group_by(keys).aggregate(specs)
     rename = {f"{name}_{comb}": name for name, comb in specs}
     out = out.rename_columns([rename.get(n, n) for n in out.schema.names])
+    def _np(name):
+        return pc.cast(out.column(name), pa.float64()).to_numpy(zero_copy_only=False)
+
     cols: dict = {k: out.column(k) for k in keys}
     for col, op, alias, nd in aggs:
         if op == "count":
@@ -123,6 +202,32 @@ def _finalize_arrow(tbl: pa.Table, keys: list[str], aggs, partials) -> pa.Table:
                 pc.cast(out.column(f"__sum_{col}"), pa.float64()),
                 pc.cast(out.column(f"__cnt_{col}"), pa.float64()),
             )
+        elif op in ("var", "std"):
+            # sample variance from mergeable moments; SQL yields NULL for
+            # n < 2. Tiny negative residue from cancellation clamps to 0.
+            n, s, ss = _np(f"__cnt_{col}"), _np(f"__sum_{col}"), _np(f"__ssq_{col}")
+            ok = n >= 2
+            with np.errstate(invalid="ignore", divide="ignore"):
+                v = np.maximum(0.0, (ss - s * s / np.maximum(n, 1)) / np.maximum(n - 1, 1))
+                if op == "std":
+                    v = np.sqrt(v)
+            vals = pa.array(v, pa.float64(), mask=~ok)
+        elif op in _PAIRED:
+            x, y = col
+            p = f"{x}__{y}"
+            n = _np(f"__cnt_p_{p}")
+            sx, sy = _np(f"__spx_{p}"), _np(f"__spy_{p}")
+            sxx, syy, sxy = _np(f"__sxx_{p}"), _np(f"__syy_{p}"), _np(f"__sxy_{p}")
+            with np.errstate(invalid="ignore", divide="ignore"):
+                if op == "covar":
+                    ok = n >= 2
+                    v = (sxy - sx * sy / np.maximum(n, 1)) / np.maximum(n - 1, 1)
+                else:  # corr: NULL when n < 2 or either side has 0 variance
+                    vx = np.maximum(0.0, n * sxx - sx * sx)
+                    vy = np.maximum(0.0, n * syy - sy * sy)
+                    ok = (n >= 2) & (vx > 0) & (vy > 0)
+                    v = np.where(ok, (n * sxy - sx * sy) / np.sqrt(np.where(ok, vx * vy, 1.0)), np.nan)
+            vals = pa.array(v, pa.float64(), mask=~ok)
         else:
             vals = out.column(f"__{op}_{col}")
         if nd is not None:
@@ -141,9 +246,10 @@ def groupby_agg_lowcard(ds, keys: list[str], aggs):
     result is inherently small: one row per distinct key combination)."""
     aggs = _norm_aggs(aggs)
     partials = _plan_partials(aggs)
+    derived = _plan_derived(aggs)
 
     def partial(batch: pa.Table) -> pa.Table:
-        return _partial_table(batch, keys, partials)
+        return _partial_table(batch, keys, partials, derived)
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     # final combine: tiny (n_blocks × n_groups rows) — safe to collect.
@@ -170,9 +276,10 @@ def groupby_agg_bucketed(ds, keys: list[str], aggs, num_buckets: int = 64):
 
     aggs = _norm_aggs(aggs)
     partials = _plan_partials(aggs)
+    derived = _plan_derived(aggs)
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = _partial_table(batch, keys, partials)
+        t = _partial_table(batch, keys, partials, derived)
         # version-stable vectorized hash: identical bucket ids on every
         # worker even in a mixed-version cluster (ops/hashing.py).
         # '__bucket' (not 'bucket'): a user column named 'bucket' must
@@ -188,6 +295,82 @@ def groupby_agg_bucketed(ds, keys: list[str], aggs, num_buckets: int = 64):
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
         .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def rollup_agg(ds, keys: list[str], aggs):
+    """``GROUP BY ROLLUP(*keys)``: ONE partial scan at the finest level;
+    every coarser level (``keys[:-1]`` … grand total) is re-aggregated from
+    the tiny finest PARTIAL table — partials are mergeable sums/counts/
+    mins/maxes by construction, so adding rollup levels costs no extra
+    pass over the data. Same lowcard contract as ``groupby_agg_lowcard``
+    (driver combine is n_blocks × n_finest_groups rows). NULL in a key
+    column marks a rolled-up level, as in SQL ROLLUP output; source rows
+    whose key is itself NULL are indistinguishable from subtotals, exactly
+    like SQL without ``GROUPING()``. → pandas DataFrame(keys + aliases)."""
+    import pandas as pd
+    import ray
+
+    aggs = _norm_aggs(aggs)
+    partials = _plan_partials(aggs)
+    derived = _plan_derived(aggs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _partial_table(batch, keys, partials, derived)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    out_cols = [*keys, *[a[2] for a in aggs]]
+    if not tbls:
+        return pd.DataFrame(columns=out_cols)
+    finest = pa.concat_tables(tbls)
+    key_types = {k: finest.schema.field(k).type for k in keys}
+    levels = []
+    for i in range(len(keys), -1, -1):
+        lvl_keys = keys[:i]
+        if lvl_keys:
+            out = _finalize_arrow(finest, lvl_keys, aggs, partials)
+        else:
+            # grand total: arrow group_by needs ≥1 key — a constant does it
+            t = finest.append_column("__all", pa.array(np.zeros(finest.num_rows, np.int8)))
+            out = _finalize_arrow(t, ["__all"], aggs, partials).drop_columns(["__all"])
+        for k in keys[i:]:  # rolled-up keys become typed NULL columns
+            out = out.append_column(k, pa.nulls(out.num_rows, key_types[k]))
+        levels.append(out.select(out_cols))
+    result = pa.concat_tables(levels).to_pandas()
+    return result.sort_values(keys).reset_index(drop=True)
+
+
+def histogram_fixed(ds, col: str, lo: float, hi: float, nbins: int):
+    """Fixed-width histogram: per-block ``np.bincount`` partials (one
+    ``nbins`` vector per block) + a tiny driver sum — no shuffle at any
+    scale. Bins are left-closed ``[lo + i·w, lo + (i+1)·w)`` with
+    ``w = (hi-lo)/nbins``; rows outside ``[lo, hi)`` and NULLs are
+    dropped; only non-empty bins are emitted (matching a SQL GROUP BY over
+    ``floor((x-lo)/w)`` — both sides compute the same IEEE expression).
+    → pandas DataFrame(bin, lo_edge, n) sorted by bin."""
+    import pandas as pd
+
+    w = (hi - lo) / nbins
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(col), pa.float64()).to_numpy(zero_copy_only=False)
+        x = x[~np.isnan(x)]
+        x = x[(x >= lo) & (x < hi)]
+        bins = np.floor((x - lo) / w).astype(np.int64)
+        # float edge: x just below hi can floor to exactly nbins after the
+        # division — keep that bin rather than clamping, so the engine and
+        # a SQL oracle computing the SAME floor expression stay identical
+        counts = np.bincount(bins, minlength=nbins + 1)
+        return pa.table({"__hist": [counts.tolist()]})
+
+    parts = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    total = np.zeros(nbins + 1, np.int64)
+    for v in parts["__hist"]:
+        total += np.asarray(v, np.int64)
+    nz = np.nonzero(total)[0]
+    return pd.DataFrame(
+        {"bin": nz.astype(np.int64), "lo_edge": lo + nz * w, "n": total[nz]}
     )
 
 

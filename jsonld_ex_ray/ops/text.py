@@ -191,6 +191,34 @@ def assign_splits(ds, id_col: str = "doc_id", boundaries: list[tuple[str, str]] 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def hash_sample(ds, id_col: str = "doc_id", fraction: float = 0.1, salt: str = ""):
+    """Deterministic corpus subsampling: keep rows whose ``md5(salt ||
+    id)`` falls in the first ``fraction`` of the hex space — stable
+    across runs, machines and retries (never RNG), so a resumed 100-TB
+    job re-selects the identical sample. Different salts give independent
+    samples (ablation draws), and the op composes with
+    :func:`assign_splits`. Embarrassingly parallel: a pure per-batch
+    filter, no shuffle, nothing on the driver. The threshold compare is
+    hex-lexicographic on the first 8 digest chars — identical to SQL
+    ``substr(md5(...), 1, 8) < '<hex>'``, so it is oracle-checkable."""
+    from .hashing import md5_hex
+
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction == 1.0:
+        return ds
+    thr = format(int(fraction * 16**8), "08x")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(id_col), pa.string())
+        if salt:
+            ids = pc.binary_join_element_wise(pa.scalar(salt), ids, "")
+        h = pc.utf8_slice_codeunits(md5_hex(ids), 0, 8)
+        return batch.filter(pc.less(h, pa.scalar(thr)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def filter_quality(ds, min_quality: float = 0.5):
     """Quality-gate a documents Dataset (keeps original columns)."""
 

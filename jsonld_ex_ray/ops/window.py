@@ -469,3 +469,118 @@ def funnel_stages(
         .groupby("__bucket")
         .map_groups(funnel_bucket, batch_format="pyarrow")
     )
+
+
+def _neq_prev(arr: pa.ChunkedArray | pa.Array):
+    """Boolean numpy mask: row differs from the previous row (row 0 =
+    True). NULL==NULL counts as equal — SQL window ordering groups NULLs
+    into one tie run."""
+    import numpy as np
+
+    n = len(arr)
+    out = np.ones(n, bool)
+    if n <= 1:
+        return out
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    a, b = arr.slice(1), arr.slice(0, n - 1)
+    both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+    ne = pc.if_else(both_null, False, pc.fill_null(pc.not_equal(a, b), True))
+    out[1:] = ne.to_numpy(zero_copy_only=False)
+    return out
+
+
+def ranked(
+    ds,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    *,
+    descending: bool = False,
+    ntile_n: int = 4,
+    num_buckets: int = 64,
+):
+    """Per-partition ranking family — ``row_number`` / ``rank`` /
+    ``dense_rank`` / ``percent_rank`` / ``cume_dist`` / ``ntile(n)`` in
+    ONE pass (the reference has no windowed ranking; this is part of the
+    training-data surface, e.g. per-domain quality ranks for curriculum
+    mixes).
+
+    Ray shape: ONE bounded shuffle on ``hash(key) % num_buckets``
+    co-locates each partition, then each bucket runs one vectorized sort
+    by (key, order, id) + segmented numpy rank kernels — zero per-group
+    Python, so millions of partitions cost ``num_buckets`` tasks.
+
+    Tie semantics match SQL: rank/dense_rank/percent_rank/cume_dist see
+    ties on ``order_col`` (``OVER (... ORDER BY val [DESC])``);
+    row_number and ntile use the deterministic total order
+    (``ORDER BY val [DESC], id``), so results are reproducible and
+    oracle-checkable. percent_rank/cume_dist are exact IEEE ratios of
+    small integers — no rounding needed for oracle parity."""
+    import numpy as np
+
+    from .hashing import bucket_ids
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_ids(batch, [key_col], num_buckets)
+        )
+
+    order_dir = "descending" if descending else "ascending"
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__bucket"])
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                (key_col, "ascending"),
+                (order_col, order_dir),
+                (id_col, "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            sch = g.schema
+            for name in ("row_number", "rank", "dense_rank", "ntile"):
+                sch = sch.append(pa.field(name, pa.int64()))
+            for name in ("percent_rank", "cume_dist"):
+                sch = sch.append(pa.field(name, pa.float64()))
+            return sch.empty_table()
+        key_change = _neq_prev(g.column(key_col))
+        run_change = key_change | _neq_prev(g.column(order_col))
+        ar = np.arange(n, dtype=np.int64)
+        ss = np.maximum.accumulate(np.where(key_change, ar, 0))  # seg start idx
+        rn = ar - ss + 1
+        tie_start = np.maximum.accumulate(np.where(run_change, ar, 0))
+        rank = tie_start - ss + 1
+        runs = np.cumsum(run_change)  # 1-based run id
+        dense = runs - runs[ss] + 1
+        sid = np.cumsum(key_change) - 1
+        nk = np.bincount(sid)[sid]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr = np.where(nk > 1, (rank - 1) / np.maximum(nk - 1, 1), 0.0)
+        tid = runs - 1
+        run_last = (np.cumsum(np.bincount(tid)) - 1)[tid]
+        cd = (run_last - ss + 1) / nk
+        t = ntile_n
+        q, r = nk // t, nk % t
+        pos = rn - 1
+        cut = r * (q + 1)
+        tile = np.where(
+            pos < cut, pos // (q + 1) + 1, r + (pos - cut) // np.maximum(q, 1) + 1
+        )
+        return (
+            g.append_column("row_number", pa.array(rn))
+            .append_column("rank", pa.array(rank))
+            .append_column("dense_rank", pa.array(dense))
+            .append_column("percent_rank", pa.array(pr, pa.float64()))
+            .append_column("cume_dist", pa.array(cd, pa.float64()))
+            .append_column("ntile", pa.array(tile.astype(np.int64)))
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )

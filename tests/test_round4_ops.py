@@ -1,0 +1,270 @@
+"""Round-4 operators: moment aggregates (var/std/corr/covar), ROLLUP,
+ranking windows, set ops, hash sampling, fixed-width histograms.
+
+Every test checks against DuckDB computing the same SQL a driver oracle
+would run, over synthetic frames that include the nasty cases: NULLs on
+one or both sides of a pair, singleton and all-null groups, ties in the
+ranking order, and empty buckets."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _frame(n=4000, seed=3):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 5, n).astype("int64"),
+            "id": np.arange(n, dtype="int64"),
+            "x": rng.normal(50, 9, n),
+            "y": rng.normal(-2, 4, n),
+        }
+    )
+    df.loc[rng.random(n) < 0.07, "x"] = None
+    df.loc[rng.random(n) < 0.07, "y"] = None
+    # singleton group + group where x is always null (std/corr → NULL)
+    extra = pd.DataFrame(
+        {"g": [90, 91, 91], "id": [n, n + 1, n + 2], "x": [3.0, None, None], "y": [1.0, 2.0, 4.0]}
+    )
+    return pd.concat([df, extra], ignore_index=True)
+
+
+def test_moment_aggs_match_duckdb(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import groupby_agg_bucketed, groupby_agg_lowcard
+
+    df = _frame()
+    ds = ray.data.from_pandas(df).repartition(6)
+    aggs = [
+        ("x", "std", "sx", 6),
+        ("x", "var", "vx", 6),
+        ("y", "mean", "my", 6),
+        (("x", "y"), "corr", "cxy", 6),
+        (("x", "y"), "covar", "vxy", 6),
+    ]
+    want = duckdb.sql(
+        """SELECT g, round(stddev_samp(x),6) sx, round(var_samp(x),6) vx,
+                  round(avg(y),6) my, round(corr(x,y),6) cxy,
+                  round(covar_samp(x,y),6) vxy
+           FROM df GROUP BY g ORDER BY g"""
+    ).fetchdf()
+    got = groupby_agg_lowcard(ds, ["g"], aggs).sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    got_b = (
+        groupby_agg_bucketed(ds, ["g"], aggs, num_buckets=8)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_b[want.columns], want, check_dtype=False)
+
+
+def test_moment_aggs_validate_specs():
+    from jsonld_ex_ray.ops.agg import _norm_aggs
+
+    with pytest.raises(ValueError, match="tuple"):
+        _norm_aggs([("x", "corr", "c")])
+    with pytest.raises(ValueError, match="single column"):
+        _norm_aggs([(("x", "y"), "std", "s")])
+
+
+def test_rollup_matches_duckdb(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import rollup_agg
+
+    df = _frame()
+    df["h"] = (df["id"] % 3).astype("int64")
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = rollup_agg(
+        ds, ["g", "h"], [("x", "sum", "sx", 4), ("x", "count", "n"), ("x", "std", "sd", 6)]
+    )
+    want = duckdb.sql(
+        """SELECT g, h, round(sum(x),4) sx, count(*) n, round(stddev_samp(x),6) sd
+           FROM df GROUP BY ROLLUP(g, h) ORDER BY g, h"""
+    ).fetchdf()
+    # NULL-key rows: compare via a sortable fill
+    for f in (got, want):
+        f["g"] = f["g"].fillna(-1).astype("int64")
+        f["h"] = f["h"].fillna(-1).astype("int64")
+    got = got.sort_values(["g", "h"]).reset_index(drop=True)
+    want = want.sort_values(["g", "h"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_rollup_empty(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import rollup_agg
+
+    ds = ray.data.from_pandas(pd.DataFrame({"g": [], "x": []})).repartition(2)
+    out = rollup_agg(ds, ["g"], [("x", "sum", "s")])
+    assert len(out) == 0 and list(out.columns) == ["g", "s"]
+
+
+def test_ranked_matches_duckdb(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.window import ranked
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "id": np.arange(n, dtype="int64"),
+            # integer values → guaranteed ties inside partitions
+            "v": rng.integers(0, 40, n).astype("float64"),
+        }
+    )
+    # singleton partition: percent_rank must be 0.0, ntile 1
+    df = pd.concat(
+        [df, pd.DataFrame({"k": ["solo"], "id": [n], "v": [5.0]})], ignore_index=True
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = (
+        ranked(ds, "k", "v", "id", descending=True, ntile_n=4)
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """SELECT k, id, v,
+             row_number() OVER (PARTITION BY k ORDER BY v DESC, id) AS "row_number",
+             rank() OVER (PARTITION BY k ORDER BY v DESC) AS "rank",
+             dense_rank() OVER (PARTITION BY k ORDER BY v DESC) AS "dense_rank",
+             percent_rank() OVER (PARTITION BY k ORDER BY v DESC) AS "percent_rank",
+             cume_dist() OVER (PARTITION BY k ORDER BY v DESC) AS "cume_dist",
+             ntile(4) OVER (PARTITION BY k ORDER BY v DESC, id) AS "ntile"
+           FROM df ORDER BY k, id"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_ranked_null_order_values(ray_session):
+    """NULL order values form one tie run (SQL groups them in ordering)."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.window import ranked
+
+    df = pd.DataFrame(
+        {"k": ["a"] * 4, "id": [1, 2, 3, 4], "v": [2.0, None, None, 1.0]}
+    )
+    got = (
+        ranked(ray.data.from_pandas(df), "k", "v", "id")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """SELECT k, id, v,
+             rank() OVER (PARTITION BY k ORDER BY v) AS "rank",
+             dense_rank() OVER (PARTITION BY k ORDER BY v) AS "dense_rank"
+           FROM df ORDER BY id"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        got[["k", "id", "v", "rank", "dense_rank"]], want, check_dtype=False
+    )
+
+
+def test_set_ops_match_duckdb(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.setops import set_op
+
+    rng = np.random.default_rng(5)
+    lf = pd.DataFrame({"u": rng.integers(0, 120, 2000).astype("int64")})
+    rf = pd.DataFrame({"c": rng.integers(60, 200, 500).astype("int64")})
+    lds = ray.data.from_pandas(lf).repartition(4)
+    rds = ray.data.from_pandas(rf).repartition(3)
+    for op, sql_op in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+        got = (
+            set_op(lds, rds, left_cols=["u"], right_cols=["c"], op=op, num_buckets=8)
+            .to_pandas()
+            .sort_values("u")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"SELECT u FROM lf {sql_op} SELECT c FROM rf ORDER BY u"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_set_op_multi_column(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.setops import set_op
+
+    left = pd.DataFrame({"a": [1, 1, 2, 2, 3], "b": ["x", "x", "y", "z", "x"]})
+    right = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    got = (
+        set_op(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            left_cols=["a", "b"],
+            op="except",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame({"a": [2, 3], "b": ["z", "x"]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_set_op_rejects_bad_args():
+    from jsonld_ex_ray.ops.setops import set_op
+
+    with pytest.raises(ValueError, match="intersect"):
+        set_op(None, None, left_cols=["a"], op="union")
+    with pytest.raises(ValueError, match="equal length"):
+        set_op(None, None, left_cols=["a"], right_cols=["x", "y"], op="except")
+
+
+def test_hash_sample_deterministic_and_fractional(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.text import hash_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(5000, dtype="int64")})
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = hash_sample(ds, "doc_id", fraction=0.25, salt="t").to_pandas()
+    got2 = hash_sample(ds, "doc_id", fraction=0.25, salt="t").to_pandas()
+    assert sorted(got["doc_id"]) == sorted(got2["doc_id"])  # reproducible
+    assert abs(len(got) / 5000 - 0.25) < 0.03  # close to the asked rate
+    thr = format(int(0.25 * 16**8), "08x")
+    want = duckdb.sql(
+        f"""SELECT doc_id FROM df
+            WHERE substr(md5('t' || CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}'"""
+    ).fetchdf()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    # different salt → a different (independent) draw
+    other = hash_sample(ds, "doc_id", fraction=0.25, salt="u").to_pandas()
+    assert sorted(other["doc_id"]) != sorted(got["doc_id"])
+    with pytest.raises(ValueError):
+        hash_sample(ds, "doc_id", fraction=1.5)
+
+
+def test_histogram_matches_duckdb(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import histogram_fixed
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"v": rng.uniform(-10, 110, 8000)})
+    df.loc[rng.random(8000) < 0.05, "v"] = None
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = histogram_fixed(ds, "v", 0.0, 100.0, 10).reset_index(drop=True)
+    want = duckdb.sql(
+        """SELECT CAST(floor((v - 0.0) / 10.0) AS BIGINT) AS bin,
+                  0.0 + floor((v - 0.0) / 10.0) * 10.0 AS lo_edge,
+                  count(*) AS n
+           FROM df WHERE v >= 0.0 AND v < 100.0
+           GROUP BY 1, 2 ORDER BY 1"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
