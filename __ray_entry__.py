@@ -1629,6 +1629,53 @@ def _q_daily_new_users(sf_dir: str):
     return daily
 
 
+def _q_user_event_seq(sf_dir: str):
+    """Ordered per-key string aggregation (SQL string_agg ... ORDER BY):
+    one bounded shuffle + per-bucket vectorized sort + polars str.join —
+    the behavioural-sequence reconstruction op."""
+    from jsonld_ex_ray.ops.agg import grouped_string_agg
+
+    ds = _read(sf_dir, "events").select_columns(["user_id", "event_type", "ts", "event_id"])
+    return grouped_string_agg(
+        ds, "user_id", "event_type", ["ts", "event_id"], sep=",", out_col="event_seq"
+    )
+
+
+def _q_doc_lines(sf_dir: str):
+    """UNNEST with ordinality (flat-map): vectorized newline explode with
+    segmented-arange line numbers — no shuffle."""
+    from jsonld_ex_ray.ops.text import explode_lines
+
+    return explode_lines(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
+def _q_lineitem_unpivot(sf_dir: str):
+    """Wide→long reshape (SQL UNPIVOT): per-batch column-slice concat,
+    embarrassingly parallel."""
+    from jsonld_ex_ray.ops.agg import unpivot
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"]
+    )
+    return unpivot(ds, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_discount", "l_tax"])
+
+
+def _q_part_type_fuzzy(sf_dir: str):
+    """Entity canonicalization by edit distance: map each part name onto
+    the nearest controlled-vocabulary type (small side read once on the
+    driver like the other broadcast dimensions; DuckDB's C levenshtein
+    kernel per batch — no per-row Python)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from jsonld_ex_ray.ops.text import fuzzy_nearest
+
+    types = pq.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_type"])
+    candidates = pc.unique(types.column("p_type")).to_pylist()
+    ds = _read(sf_dir, "part").select_columns(["p_partkey", "p_name"])
+    return fuzzy_nearest(ds, "p_name", candidates, out_col="best_type", dist_col="dist")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-query correctness window covers the
     stable oracled core: oracled queries first, rows-only / no_oracle
@@ -1731,12 +1778,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": _q_price_histogram,
         "user_top_event_type": _q_user_top_event_type,
         "daily_new_users": _q_daily_new_users,
+        "user_event_seq": _q_user_event_seq,
+        "doc_lines": _q_doc_lines,
+        "lineitem_unpivot": _q_lineitem_unpivot,
+        "part_type_fuzzy": _q_part_type_fuzzy,
     }
     oracled = set(oracle_sql())
-    # oracled queries that cede their driver-window slot (53 oracled,
-    # 50 slots): each is a same-kernel sibling of an in-window query
-    # and stays driver_sim- and pytest-verified
-    out_of_window = ("events_lag", "orders_customers_full", "doc_repetition_filter")
+    # 67 oracled queries, 50 driver slots: queries that have never had a
+    # driver correctness row (round-4 additions + r3 positions 51+) and
+    # the two r3-red fixes take priority; the ceding 17 are long-green
+    # (CORRECTNESS_r03 hash-green) same-kernel siblings of an in-window
+    # query, and every ceded query stays driver_sim- and pytest-verified
+    # (tests/driver_sim.py runs ALL queries at num_cpus=32).
+    out_of_window = (
+        "doc_repetition_filter",   # sibling of doc_repetition (same kernel + filter)
+        "events_window",           # tumbling kernel — events_tumbling in-window
+        "events_window_users",     # tumbling + distinct, both kernels in-window
+        "events_top_users",        # global top-k — top_orders in-window
+        "orders_by_segment",       # groupby_agg — lineitem_agg in-window
+        "doc_stats_by_lang",       # groupby_agg — lineitem_agg in-window
+        "parts_never_heavy",       # anti join — customers_no_events in-window
+        "orders_no_recent_ship",   # semi join — events_bloom_semi in-window
+        "doc_sample_per_lang",     # bucketed per-group pick — events_top_per_type in-window
+        "events_running_total",    # keyed prefix sum — daily_new_users cum-sum in-window
+        "doc_splits",              # hash split — doc_hash_sample in-window
+        "events_value_bands",      # binning — price_histogram in-window
+        "events_value_quantiles",  # global quantiles — events_quantiles_by_type in-window
+        "shipping_priority",       # join+agg composition of in-window kernels
+        "local_supplier_volume",   # multi-join composition of in-window kernels
+        "events_sliding",          # windowed range agg — events_rolling_1h in-window
+        "doc_fingerprint",         # hash-kernel sibling of token_counts/doc_hash_sample
+        "corpus_clean",            # composition; each stage individually in-window
+    )
     ordered: dict[str, Callable[[str], Any]] = {}
     for name in base:  # stable partition, original relative order kept
         if name in oracled and name not in out_of_window:
@@ -2521,5 +2594,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, n_new,
                    CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
             FROM d ORDER BY day
+        """,
+        "user_event_seq": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "doc_lines": """
+            WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)
+            SELECT doc_id, CAST(i.g AS BIGINT) AS line_no,
+                   ls[CAST(i.g AS BIGINT)] AS line
+            FROM d, unnest(range(1, len(ls) + 1)) AS i(g)
+            ORDER BY doc_id, line_no
+        """,
+        "lineitem_unpivot": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS measure, CAST(l_quantity AS DOUBLE) AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        """,
+        "part_type_fuzzy": """
+            SELECT p_partkey, p_name, c AS best_type, d AS dist FROM (
+              SELECT p.p_partkey, p.p_name, c.c, levenshtein(p.p_name, c.c) AS d,
+                     row_number() OVER (PARTITION BY p.p_partkey
+                         ORDER BY levenshtein(p.p_name, c.c), c.c) AS rn
+              FROM part p CROSS JOIN (SELECT DISTINCT p_type AS c FROM part) c
+            ) WHERE rn = 1 ORDER BY p_partkey
         """,
     }

@@ -298,6 +298,84 @@ def groupby_agg_bucketed(ds, keys: list[str], aggs, num_buckets: int = 64):
     )
 
 
+def grouped_string_agg(
+    ds,
+    key_col: str,
+    value_col: str,
+    order_cols: list[str],
+    *,
+    sep: str = ",",
+    out_col: str = "agg",
+    num_buckets: int = 64,
+):
+    """SQL ``string_agg(value, sep ORDER BY order_cols)`` per key — the
+    sequence-reconstruction op (per-user event strings for behavioural
+    models, per-doc chunk reassembly).
+
+    Ray shape: ONE bounded shuffle on ``hash(key) % num_buckets``; each
+    bucket sorts once by (key, *order_cols) and concatenates with a
+    vectorized polars ``str.join`` over a maintain-order group_by — zero
+    per-key Python, millions of keys cost ``num_buckets`` tasks. NULL
+    values are dropped before joining (SQL string_agg semantics); a key
+    whose values are ALL NULL therefore vanishes from the output (SQL
+    would keep it with a NULL aggregate) — filter upstream if that
+    distinction matters. → Dataset(key_col, out_col)."""
+    from .hashing import bucket_ids
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_ids(batch, [key_col], num_buckets)
+        )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = group.drop_columns(["__bucket"])
+        g = g.filter(pc.is_valid(g.column(value_col)))
+        if g.num_rows == 0:
+            return pa.table(
+                {key_col: pa.array([], g.schema.field(key_col).type),
+                 out_col: pa.array([], pa.string())}
+            )
+        idx = pc.sort_indices(
+            g, sort_keys=[(key_col, "ascending"), *[(c, "ascending") for c in order_cols]]
+        )
+        g = g.take(idx)
+        out = (
+            pl.from_arrow(g.select([key_col, value_col]))
+            .group_by(key_col, maintain_order=True)
+            .agg(pl.col(value_col).cast(pl.String).str.join(sep).alias(out_col))
+        )
+        return out.to_arrow().cast(
+            pa.schema([g.schema.field(key_col), pa.field(out_col, pa.string())])
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str], *, var_col: str = "measure", value_col: str = "value"):
+    """Wide→long reshape (SQL UNPIVOT / pandas melt): each input row
+    emits one output row per entry of ``value_cols``, tagged with the
+    source column name. Embarrassingly parallel per-batch concat of
+    column slices — no shuffle, no driver involvement; values are cast
+    to float64 (the common UNPIVOT type)."""
+
+    def melt(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for v in value_cols:
+            cols = {c: batch.column(c) for c in id_cols}
+            cols[var_col] = pa.array([v] * batch.num_rows, pa.string())
+            cols[value_col] = pc.cast(batch.column(v), pa.float64())
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def rollup_agg(ds, keys: list[str], aggs):
     """``GROUP BY ROLLUP(*keys)``: ONE partial scan at the finest level;
     every coarser level (``keys[:-1]`` … grand total) is re-aggregated from
@@ -339,6 +417,163 @@ def rollup_agg(ds, keys: list[str], aggs):
         levels.append(out.select(out_cols))
     result = pa.concat_tables(levels).to_pandas()
     return result.sort_values(keys).reset_index(drop=True)
+
+
+def cube_agg(ds, keys: list[str], aggs):
+    """``GROUP BY CUBE(*keys)``: like :func:`rollup_agg` but every SUBSET
+    of the key set gets a level (2^k levels), all re-aggregated from the
+    single finest partial scan — partials are mergeable by construction,
+    so the cube costs one pass over the data plus 2^k tiny driver-side
+    regroupings of the finest partial table. Same lowcard contract and
+    NULL-marks-rolled-up-level semantics as ``rollup_agg`` (use
+    ``GROUPING()`` disambiguation upstream if keys can be NULL). Keep
+    ``len(keys)`` small (2-4) — 2^k levels is the SQL CUBE contract, not
+    an engine limit. → pandas DataFrame(keys + aliases)."""
+    from itertools import combinations
+
+    import pandas as pd
+    import ray
+
+    aggs = _norm_aggs(aggs)
+    partials = _plan_partials(aggs)
+    derived = _plan_derived(aggs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _partial_table(batch, keys, partials, derived)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    out_cols = [*keys, *[a[2] for a in aggs]]
+    if not tbls:
+        return pd.DataFrame(columns=out_cols)
+    finest = pa.concat_tables(tbls)
+    key_types = {k: finest.schema.field(k).type for k in keys}
+    levels = []
+    for r in range(len(keys), -1, -1):
+        for lvl_keys in combinations(keys, r):
+            if lvl_keys:
+                out = _finalize_arrow(finest, list(lvl_keys), aggs, partials)
+            else:
+                t = finest.append_column(
+                    "__all", pa.array(np.zeros(finest.num_rows, np.int8))
+                )
+                out = _finalize_arrow(t, ["__all"], aggs, partials).drop_columns(
+                    ["__all"]
+                )
+            for k in keys:
+                if k not in lvl_keys:
+                    out = out.append_column(k, pa.nulls(out.num_rows, key_types[k]))
+            levels.append(out.select(out_cols))
+    result = pa.concat_tables(levels).to_pandas()
+    return result.sort_values(keys).reset_index(drop=True)
+
+
+def grouped_entropy(
+    ds,
+    key_col: str,
+    value_col: str,
+    *,
+    out_col: str = "entropy",
+    digits: int = 6,
+    num_buckets: int = 64,
+):
+    """Shannon entropy (natural log) of the ``value_col`` distribution
+    within each ``key_col`` group — the behavioural-diversity /
+    label-balance statistic (e.g. per-user event-type entropy, per-domain
+    topic spread in a curriculum mix).
+
+    Ray shape: per-batch ``(key, value) → count`` partials (polars
+    group_by, so each block leaves pre-aggregated), ONE bounded shuffle
+    on ``hash(key) % num_buckets``, then each bucket merges counts and
+    computes ``-Σ p·ln p`` with segmented numpy — zero per-key Python.
+    NULL values count as a real category (SQL ``GROUP BY`` keeps a NULL
+    value group); the entropy is rounded to ``digits`` on both engine and
+    oracle sides because Σ p·ln p is order-sensitive in IEEE arithmetic.
+    → Dataset(key_col, out_col:float64)."""
+    from .hashing import bucket_ids
+
+    def part(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = (
+            pl.from_arrow(batch.select([key_col, value_col]))
+            .group_by([key_col, value_col])
+            .agg(pl.len().cast(pl.Int64).alias("__cnt"))
+            .to_arrow()
+        )
+        t = t.cast(
+            pa.schema(
+                [
+                    batch.schema.field(key_col),
+                    batch.schema.field(value_col),
+                    pa.field("__cnt", pa.int64()),
+                ]
+            )
+        )
+        return t.append_column("__bucket", bucket_ids(t, [key_col], num_buckets))
+
+    def entropy_bucket(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = group.drop_columns(["__bucket"])
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], g.schema.field(key_col).type),
+                    out_col: pa.array([], pa.float64()),
+                }
+            )
+        merged = (
+            pl.from_arrow(g)
+            .group_by([key_col, value_col])
+            .agg(pl.col("__cnt").sum())
+            .to_arrow()
+        )
+        # sort by (key, value) so the Σ p·ln p accumulation order is
+        # deterministic run-to-run (rounding then makes it oracle-stable)
+        merged = merged.take(
+            pc.sort_indices(
+                merged,
+                sort_keys=[(key_col, "ascending"), (value_col, "ascending")],
+            )
+        )
+        keys = merged.column(key_col)
+        cnt = merged.column("__cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        change = _first_of_key_mask(keys)
+        sid = np.cumsum(change) - 1
+        totals = np.bincount(sid, weights=cnt)
+        p = cnt / totals[sid]
+        h = -np.bincount(sid, weights=p * np.log(p))
+        # -0.0 from single-category groups → 0.0 for hash parity
+        h = np.round(h, digits) + 0.0
+        first_idx = np.nonzero(change)[0]
+        return pa.table(
+            {
+                key_col: keys.take(pa.array(first_idx)),
+                out_col: pa.array(h, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(entropy_bucket, batch_format="pyarrow")
+    )
+
+
+def _first_of_key_mask(keys) -> np.ndarray:
+    """Boolean mask marking the first row of each key run in a sorted
+    column (NULL-safe: a NULL run is its own group)."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    n = len(keys)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    cur, prev = keys.slice(1), keys.slice(0, n - 1)
+    neq = pc.fill_null(pc.not_equal(cur, prev), False)
+    null_change = pc.xor(pc.is_null(cur), pc.is_null(prev))
+    change = pc.or_(neq, null_change).to_numpy(zero_copy_only=False)
+    return np.concatenate(([True], change))
 
 
 def histogram_fixed(ds, col: str, lo: float, hi: float, nbins: int):

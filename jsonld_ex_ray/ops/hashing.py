@@ -294,3 +294,46 @@ def sha256_quads(col) -> pa.Table:
         finally:
             _DUCK.unregister("__sha_in")
     return out
+
+
+def levenshtein_nearest(col, candidates: list[str]):
+    """For each string, the candidate with the smallest Levenshtein
+    distance (ties → lexicographically smallest candidate) — DuckDB's C
+    kernel over one batch×candidates cross join, no per-row Python.
+    NULL inputs yield NULL (best, dist), matching SQL ``levenshtein``
+    propagation. Same locked single-threaded shared-connection
+    discipline as :func:`md5_hex`. Returns ``(best, dist)`` arrays."""
+    global _DUCK
+    import duckdb
+
+    with _DUCK_LOCK:
+        if _DUCK is None:
+            _DUCK = duckdb.connect()
+            _DUCK.execute("SET threads TO 1")
+        if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+            col = pa.array(col, pa.string())
+        n = len(col)
+        valid = pc.is_valid(col)
+        tbl = pa.table(
+            {"i": pa.array(range(n), pa.int64()), "v": pc.fill_null(col, "")}
+        )
+        cand = pa.table({"c": pa.array(sorted(set(candidates)), pa.string())})
+        _DUCK.register("__lev_in", tbl)
+        _DUCK.register("__lev_cand", cand)
+        try:
+            out = _DUCK.execute(
+                """SELECT i, c, d FROM (
+                     SELECT t.i, c.c, levenshtein(t.v, c.c) AS d,
+                            row_number() OVER (PARTITION BY t.i
+                                ORDER BY levenshtein(t.v, c.c), c.c) AS rn
+                     FROM __lev_in t CROSS JOIN __lev_cand c
+                   ) WHERE rn = 1 ORDER BY i"""
+            ).arrow()
+        finally:
+            _DUCK.unregister("__lev_in")
+            _DUCK.unregister("__lev_cand")
+    invalid = pc.invert(valid)
+    null_s, null_i = pa.scalar(None, pa.string()), pa.scalar(None, pa.int64())
+    best = pc.if_else(invalid, null_s, out.column("c").combine_chunks())
+    dist = pc.if_else(invalid, null_i, pc.cast(out.column("d"), pa.int64()).combine_chunks())
+    return best, dist

@@ -219,6 +219,223 @@ def hash_sample(ds, id_col: str = "doc_id", fraction: float = 0.1, salt: str = "
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def stratified_sample(
+    ds,
+    group_col: str,
+    fractions: dict,
+    *,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "",
+):
+    """Deterministic per-stratum subsampling: each group keeps the rows
+    whose ``md5(salt || id)`` falls in the first ``fractions[group]`` of
+    the hex space — the corpus-mixing primitive (e.g. keep 100% of rare
+    languages, 5% of English). Same stable-hash contract as
+    :func:`hash_sample`: never RNG, identical selection on resume/retry,
+    independent draws per salt. Groups absent from ``fractions`` use
+    ``default_fraction``. Embarrassingly parallel per-batch filter — the
+    fraction table is a tiny closure constant (strata counts are small
+    by nature: languages, sources, splits), never a shuffle.
+
+    Oracle-checkable: the per-row threshold compare is hex-lexicographic
+    on the first 8 digest chars, identical to SQL ``substr(md5(...),1,8)
+    < CASE group WHEN ... END``."""
+    from .hashing import md5_hex
+
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+
+    def thr_hex(f: float) -> str:
+        return format(int(f * 16**8), "08x")
+
+    groups = sorted(fractions)
+    group_arr = pa.array([str(g) for g in groups], pa.string())
+    thr_arr = pa.array([thr_hex(fractions[g]) for g in groups], pa.string())
+    default_thr = thr_hex(default_fraction)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(id_col), pa.string())
+        if salt:
+            ids = pc.binary_join_element_wise(pa.scalar(salt), ids, "")
+        h = pc.utf8_slice_codeunits(md5_hex(ids), 0, 8)
+        gi = pc.index_in(
+            pc.cast(batch.column(group_col), pa.string()), value_set=group_arr
+        )
+        thr = pc.fill_null(pc.take(thr_arr, gi), default_thr)
+        return batch.filter(pc.less(h, thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pmi_ngrams(
+    ds,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    num_buckets: int = 64,
+    digits: int = 6,
+):
+    """Top-``k`` bigrams by pointwise mutual information — the
+    phrase-mining / collocation pass of a corpus-statistics pipeline
+    (PMI finds "San Francisco", raw counts find "of the").
+
+    ``PMI(x,y) = ln( (c_xy / Nb) / ((c_x/Nu) · (c_y/Nu)) )`` with ``Nb``
+    = total bigram windows and ``Nu`` = total tokens, over the same
+    whitespace tokenization as :func:`top_ngrams` (grams never cross a
+    document boundary).
+
+    Ray shape: two count passes share the corpus scan pattern of
+    ``top_ngrams`` (per-batch value_counts combiner → ONE bounded bucket
+    shuffle each); bigrams surviving ``min_count`` join their word
+    marginals through the engine's bucketed hash join on the word key
+    (NOT a vocabulary broadcast — the unigram table can be unbounded);
+    Nb/Nu are two scalar sums of already-tiny count tables. Ties broken
+    by gram ascending; PMI rounded to ``digits`` for oracle parity.
+    → Dataset(gram, cnt, pmi) — top-k, descending PMI."""
+    from .agg import groupby_agg_bucketed, topk
+    from .joins import hash_join_bucketed
+
+    def grams_of(n: int):
+        parts = ds.map_batches(
+            lambda b, n=n: ngram_count_batch(b, n, text_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return groupby_agg_bucketed(parts, ["gram"], [("cnt", "sum", "cnt")], num_buckets)
+
+    # count tables are vocab-sized and used twice each (scalar total +
+    # join side) — materialize keeps them as distributed blocks in the
+    # object store, NOT a driver object or a vocabulary broadcast
+    uni = grams_of(1).materialize()
+    bi = grams_of(2).materialize()
+    n_tokens = uni.sum("cnt") or 0  # scalar aggs — driver-safe at any scale
+    n_windows = bi.sum("cnt") or 0
+    if not n_tokens or not n_windows:
+        import pandas as pd
+
+        import ray.data
+
+        return ray.data.from_pandas(
+            pd.DataFrame({"gram": pd.Series([], dtype=str),
+                          "cnt": pd.Series([], dtype="int64"),
+                          "pmi": pd.Series([], dtype="float64")})
+        )
+
+    def split_words(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("cnt"), pa.scalar(int(min_count)))
+        batch = batch.filter(keep)
+        g = batch.column("gram")
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        # tokens contain no spaces (whitespace tokenization), so a bigram
+        # splits into exactly its two words
+        parts = pc.split_pattern(g, pattern=" ", max_splits=1)
+        return pa.table(
+            {
+                "gram": g,
+                "cnt": batch.column("cnt"),
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+            }
+        )
+
+    survivors = bi.map_batches(split_words, batch_format="pyarrow", zero_copy_batch=True)
+
+    def rename(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"word": batch.column("gram"), col: batch.column("cnt")})
+
+        return fn
+
+    u1 = uni.map_batches(rename("c1"), batch_format="pyarrow", zero_copy_batch=True)
+    u2 = uni.map_batches(rename("c2"), batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join_bucketed(
+        survivors, u1, left_on="w1", right_on="word", right_cols=["c1"],
+        num_buckets=num_buckets,
+    )
+    j = hash_join_bucketed(
+        j, u2, left_on="w2", right_on="word", right_cols=["c2"],
+        num_buckets=num_buckets,
+    )
+
+    nb, nu = float(n_windows), float(n_tokens)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cxy = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = batch.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = batch.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.round(np.log((cxy / nb) / ((c1 / nu) * (c2 / nu))), digits) + 0.0
+        return pa.table(
+            {
+                "gram": batch.column("gram"),
+                "cnt": batch.column("cnt"),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    scored = j.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return topk(scored, ["pmi", "gram"], [True, False], k)
+
+
+def explode_lines(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """UNNEST-with-ordinality over newline splits: one output row per
+    line, carrying ``(id, line_no, line)`` with 1-based line numbers —
+    the flat-map primitive under line-level dedup and per-line quality
+    filters, exposed as its own operator. Fully vectorized: one Arrow
+    ``split_pattern`` + ``list_flatten`` and a segmented-arange for the
+    ordinals; embarrassingly parallel per batch, no shuffle."""
+    import numpy as np
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch.column(text_col), pattern="\n")
+        parents = pc.list_parent_indices(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(lens.sum())
+        # segmented 1..len arange: global arange minus each row's start
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        line_no = np.arange(total, dtype=np.int64) - starts + 1
+        return pa.table(
+            {
+                id_col: pc.take(batch.column(id_col), parents),
+                "line_no": pa.array(line_no),
+                "line": pc.list_flatten(lists),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fuzzy_nearest(
+    ds,
+    text_col: str,
+    candidates: list[str],
+    *,
+    out_col: str = "best_match",
+    dist_col: str = "dist",
+):
+    """Nearest candidate string by Levenshtein distance (ties → smallest
+    candidate) — the entity-canonicalization / label-normalization shape
+    (map free-text variants onto a controlled vocabulary). The candidate
+    list must be SMALL (a vocabulary, not a corpus — it is captured in
+    the task closure and scanned per row); for corpus×corpus fuzzy
+    matching use the LSH family in ops/dedup.py instead. Distances come
+    from DuckDB's C levenshtein kernel via one cross-join per batch
+    (``ops/hashing.py`` connection discipline) — no per-row Python."""
+    from .hashing import levenshtein_nearest
+
+    def attach(batch: pa.Table) -> pa.Table:
+        best, dist = levenshtein_nearest(batch.column(text_col), candidates)
+        return batch.append_column(out_col, best).append_column(dist_col, dist)
+
+    return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def filter_quality(ds, min_quality: float = 0.5):
     """Quality-gate a documents Dataset (keeps original columns)."""
 

@@ -268,3 +268,104 @@ def test_histogram_matches_duckdb(ray_session):
            GROUP BY 1, 2 ORDER BY 1"""
     ).fetchdf()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_string_agg_matches_duckdb(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import grouped_string_agg
+
+    rng = np.random.default_rng(2)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n).astype("int64"),
+            "o": rng.permutation(n).astype("int64"),
+            "v": rng.choice(["a", "bb", "ccc"], n),
+        }
+    )
+    df.loc[rng.random(n) < 0.08, "v"] = None  # string_agg drops NULLs
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (
+        grouped_string_agg(ds, "k", "v", ["o"], sep="|", out_col="s", num_buckets=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """SELECT k, string_agg(v, '|' ORDER BY o) AS s FROM df
+           WHERE v IS NOT NULL GROUP BY k ORDER BY k"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_explode_lines_ordinality(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.text import explode_lines
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a\nb\nc", "", "single", "trail\n"],
+        }
+    )
+    got = (
+        explode_lines(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values(["doc_id", "line_no"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM df)
+           SELECT doc_id, CAST(i.g AS BIGINT) AS line_no,
+                  ls[CAST(i.g AS BIGINT)] AS line
+           FROM d, unnest(range(1, len(ls) + 1)) AS i(g)
+           ORDER BY doc_id, line_no"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # empty text is ONE empty line; trailing newline adds one empty line
+    assert len(got[got.doc_id == 2]) == 1 and got[got.doc_id == 2].line.iloc[0] == ""
+    assert len(got[got.doc_id == 4]) == 2
+
+
+def test_unpivot(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import unpivot
+
+    df = pd.DataFrame({"id": [1, 2], "a": [1.5, 2.5], "b": [10, 20]})
+    got = (
+        unpivot(ray.data.from_pandas(df), ["id"], ["a", "b"])
+        .to_pandas()
+        .sort_values(["id", "measure"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "id": [1, 1, 2, 2],
+            "measure": ["a", "b", "a", "b"],
+            "value": [1.5, 10.0, 2.5, 20.0],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_fuzzy_nearest_ties_and_nulls(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.text import fuzzy_nearest
+
+    df = pd.DataFrame({"id": [1, 2, 3], "t": ["abx", None, "zzz"]})
+    got = (
+        fuzzy_nearest(
+            ray.data.from_pandas(df), "t", ["abc", "abd", "zz"], out_col="m", dist_col="d"
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # 'abx' ties abc/abd at distance 1 → lexicographically smallest wins
+    assert got.loc[0, "m"] == "abc" and got.loc[0, "d"] == 1
+    assert pd.isna(got.loc[1, "m"]) and pd.isna(got.loc[1, "d"])
+    assert got.loc[2, "m"] == "zz" and got.loc[2, "d"] == 1
