@@ -1676,17 +1676,91 @@ def _q_part_type_fuzzy(sf_dir: str):
     return fuzzy_nearest(ds, "p_name", candidates, out_col="best_type", dist_col="dist")
 
 
+def _q_events_interval_match(sf_dir: str):
+    """OVERLAPPING-interval join with two large sides (banded replication,
+    ops/joins.interval_join_banded) — the join class neither the equi-key
+    bucketed join nor the broadcast band assigner can express. Intervals
+    are derived from events itself: per (event_type, user_id % 8), the
+    [min, min + 10% of range] value window (min/max are EXACT in both
+    engines, so the float bounds are bit-identical to the oracle's).
+    Every event matches every interval containing its value; a small
+    per-interval rollup follows. band_width ≈ interval width keeps
+    replication at a few copies per interval."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsonld_ex_ray.ops.agg import groupby_agg_bucketed, groupby_agg_lowcard
+    from jsonld_ex_ray.ops.joins import interval_join_banded
+
+    ev = _read(sf_dir, "events").select_columns(["event_id", "value"])
+    src = _read(sf_dir, "events").select_columns(["event_type", "user_id", "value"])
+
+    def key_cols(batch: pa.Table) -> pa.Table:
+        # user_id is non-negative, so & 7 == % 8 (SQL's %)
+        gid = pc.cast(pc.bit_wise_and(batch.column("user_id"), 7), pa.int64())
+        batch = batch.append_column("ivl_gid", gid)
+        batch = batch.append_column("ivl_type", batch.column("event_type"))
+        return batch.select(["ivl_type", "ivl_gid", "value"])
+
+    bounds = groupby_agg_bucketed(
+        src.map_batches(key_cols, batch_format="pyarrow", zero_copy_batch=True),
+        ["ivl_type", "ivl_gid"],
+        [("value", "min", "vmin"), ("value", "max", "vmax")],
+    )
+
+    def mk_bounds(batch: pa.Table) -> pa.Table:
+        vmin = pc.cast(batch.column("vmin"), pa.float64())
+        vmax = pc.cast(batch.column("vmax"), pa.float64())
+        hi = pc.add(vmin, pc.multiply(pc.subtract(vmax, vmin), pa.scalar(0.1)))
+        batch = batch.append_column("lo", vmin).append_column("hi", hi)
+        return batch.drop_columns(["vmin", "vmax"])
+
+    intervals = bounds.map_batches(mk_bounds, batch_format="pyarrow", zero_copy_batch=True)
+    joined = interval_join_banded(
+        ev,
+        intervals,
+        left_val="value",
+        right_lo="lo",
+        right_hi="hi",
+        right_cols=["ivl_type", "ivl_gid"],
+        band_width=8.0,
+    )
+    return groupby_agg_lowcard(
+        joined,
+        ["ivl_type", "ivl_gid"],
+        [("value", "count", "n_matched"), ("value", "sum", "sum_matched", 2)],
+    )
+
+
+def _q_events_winsorized(sf_dir: str):
+    """Winsorize (p05/p95 quantile clamp — robust-stats preprocessing)
+    then per-type rollup. Bounds via the 3-pass streaming exact-quantile
+    op (driver holds one histogram, never the column), clamp is an
+    embarrassingly parallel arrow kernel; bounds rounded to 6 digits on
+    both sides so the clamp is oracle-stable."""
+    from jsonld_ex_ray.ops.agg import groupby_agg_lowcard, winsorize
+
+    ds = _read(sf_dir, "events").select_columns(["event_type", "value"])
+    w = winsorize(ds, "value", 0.05, 0.95, out_col="wvalue")
+    return groupby_agg_lowcard(
+        w,
+        ["event_type"],
+        [
+            ("wvalue", "count", "n"),
+            ("wvalue", "mean", "mean_w", 6),
+            ("wvalue", "min", "min_w"),
+            ("wvalue", "max", "max_w"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-query correctness window covers the
     stable oracled core: oracled queries first, rows-only / no_oracle
-    queries last. There are more oracled queries (63) than window slots
-    (50); the ones deliberately placed outside the window are
-    ``events_lag`` (same bounded-shuffle kernel family as the in-window
-    ``events_running_total``), ``orders_customers_full`` (same tag-union
-    join machinery as the in-window ``orders_last_ship``),
-    ``doc_repetition_filter`` (thin filter variant of the in-window
-    ``doc_repetition``), and the ten round-4 additions (stats/rollup/
-    ranking/set-ops/sampling/histogram family) — ALL of them
+    queries last. There are more oracled queries (69) than window slots
+    (50); never-driver-checked queries take window priority and the
+    ceded ones (the ``out_of_window`` tuple below, each annotated) are
+    long-green same-kernel siblings of an in-window query — ALL of them
     driver_sim- and pytest-verified at sf0.01 against the same DuckDB
     oracles the driver runs."""
     base = {
@@ -1782,11 +1856,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lines": _q_doc_lines,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "part_type_fuzzy": _q_part_type_fuzzy,
+        "events_interval_match": _q_events_interval_match,
+        "events_winsorized": _q_events_winsorized,
     }
     oracled = set(oracle_sql())
-    # 67 oracled queries, 50 driver slots: queries that have never had a
+    # 69 oracled queries, 50 driver slots: queries that have never had a
     # driver correctness row (round-4 additions + r3 positions 51+) and
-    # the two r3-red fixes take priority; the ceding 17 are long-green
+    # the two r3-red fixes take priority; the ceding 19 are long-green
     # (CORRECTNESS_r03 hash-green) same-kernel siblings of an in-window
     # query, and every ceded query stays driver_sim- and pytest-verified
     # (tests/driver_sim.py runs ALL queries at num_cpus=32).
@@ -1809,6 +1885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding",          # windowed range agg — events_rolling_1h in-window
         "doc_fingerprint",         # hash-kernel sibling of token_counts/doc_hash_sample
         "corpus_clean",            # composition; each stage individually in-window
+        "knn_join",                # similarity top-k — ann_topk (same matrix kernel) in-window
     )
     ordered: dict[str, Callable[[str], Any]] = {}
     for name in base:  # stable partition, original relative order kept
@@ -2519,6 +2596,34 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(value), 4) AS std_value,
                    round(var_samp(value), 2) AS var_value
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_interval_match": """
+            WITH iv AS (
+              SELECT event_type AS ivl_type, user_id % 8 AS ivl_gid,
+                     min(value) AS lo,
+                     min(value) + (max(value) - min(value)) * 0.1 AS hi
+              FROM events GROUP BY 1, 2
+            )
+            SELECT iv.ivl_type, iv.ivl_gid,
+                   count(*) AS n_matched,
+                   round(sum(e.value), 2) AS sum_matched
+            FROM events e JOIN iv ON e.value BETWEEN iv.lo AND iv.hi
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "events_winsorized": """
+            WITH q AS (
+              SELECT round(quantile_cont(value, 0.05), 6) AS qlo,
+                     round(quantile_cont(value, 0.95), 6) AS qhi
+              FROM events
+            )
+            SELECT event_type,
+                   count(value) AS n,
+                   round(avg(least(greatest(value, qlo), qhi)), 6) AS mean_w,
+                   min(least(greatest(value, qlo), qhi)) AS min_w,
+                   max(least(greatest(value, qlo), qhi)) AS max_w
+            FROM events, q
+            GROUP BY event_type ORDER BY event_type
         """,
         "lineitem_corr": """
             SELECT l_returnflag,

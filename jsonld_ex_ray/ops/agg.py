@@ -1564,3 +1564,89 @@ def heavy_hitters(ds, col: str, k: int, *, capacity: int = 2048):
         bucketed = groupby_agg_bucketed(ds, [col], [(col, "count", "n")])
         return topk(bucketed, ["n", col], [True, False], k).to_pandas()
     return exact
+
+
+def winsorize(
+    ds,
+    col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    *,
+    bins: int = 8192,
+    round_to: int = 6,
+    out_col: str | None = None,
+):
+    """Winsorize (outlier-clip) ``col`` to its exact [``p_lo``, ``p_hi``]
+    ``quantile_cont`` bounds — the standard robust-statistics
+    preprocessing step before training on heavy-tailed signals.
+
+    Ray shape: the bounds come from :func:`exact_quantiles` (three
+    streaming passes, driver state = one histogram of ``bins`` int64s —
+    never the column), then the clamp is an embarrassingly parallel
+    per-batch arrow kernel. Nothing materializes; the corpus streams
+    through once more with backpressure. The bounds are ROUNDED to
+    ``round_to`` digits before clamping so the op is oracle-stable
+    (SQL: ``least(greatest(col, round(quantile_cont(col, p_lo), r)),
+    round(quantile_cont(col, p_hi), r))``).
+
+    → the input Dataset with ``out_col`` (default: ``col`` replaced)
+    holding the clamped float64 values; null stays null.
+    """
+    if not 0.0 <= p_lo <= p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo <= p_hi <= 1, got {p_lo}, {p_hi}")
+    qdf = exact_quantiles(ds, col, [p_lo, p_hi], bins=bins, round_to=round_to)
+    lo_name = f"q{int(round(p_lo * 100))}"
+    hi_name = f"q{int(round(p_hi * 100))}"
+    qlo = qdf[lo_name].iloc[0]
+    qhi = qdf[hi_name].iloc[0]
+    name = out_col or col
+    if qlo is None or qhi is None:  # empty / all-null input: nothing to clamp
+        qlo, qhi = -np.inf, np.inf
+    qlo, qhi = float(qlo), float(qhi)
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(col), pa.float64())
+        # skip_nulls=False: SQL least/greatest PROPAGATE null (the default
+        # arrow behavior would clamp a null row to the bound instead)
+        y = pc.min_element_wise(
+            pc.max_element_wise(x, pa.scalar(qlo), skip_nulls=False),
+            pa.scalar(qhi),
+            skip_nulls=False,
+        )
+        if name in batch.schema.names:
+            return batch.set_column(batch.schema.get_field_index(name), name, y)
+        return batch.append_column(name, y)
+
+    return ds.map_batches(clamp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def median_abs_deviation(ds, col: str, *, bins: int = 8192, round_to: int = 6):
+    """Median absolute deviation — the robust scale estimate
+    (``median(|x - median(x)|)``) used for outlier gates where stddev is
+    poisoned by the outliers themselves.
+
+    Ray shape: two :func:`exact_quantiles` phases (each three streaming
+    passes, driver holds one ``bins``-int64 histogram — never the
+    column), with the deviation column computed by an embarrassingly
+    parallel arrow kernel between them. The inner median is ROUNDED to
+    ``round_to`` before the deviation pass so the op is oracle-stable
+    (SQL mirror: ``quantile_cont(abs(x - round(quantile_cont(x, .5),
+    r)), .5)`` — NOT DuckDB's ``mad()``, whose inner median is unrounded).
+
+    → pandas DataFrame with one row: ``median`` and ``mad`` (both
+    rounded to ``round_to``); both null on empty/all-null input.
+    """
+    import pandas as pd
+
+    med = exact_quantiles(ds, col, [0.5], bins=bins, round_to=round_to)["q50"].iloc[0]
+    if med is None:
+        return pd.DataFrame({"median": [None], "mad": [None]})
+    m = float(med)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(col), pa.float64())
+        return pa.table({"__ad": pc.abs(pc.subtract(x, pa.scalar(m)))})
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True)
+    mad = exact_quantiles(dev, "__ad", [0.5], bins=bins, round_to=round_to)["q50"].iloc[0]
+    return pd.DataFrame({"median": [m], "mad": [mad]})

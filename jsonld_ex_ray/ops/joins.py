@@ -358,3 +358,154 @@ def anti_join_broadcast(big_ds, small_ds, *, big_on: str, small_on: str):
         return batch.filter(pc.fill_null(mask, True))
 
     return big_ds.map_batches(drop_matches, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def interval_join_banded(
+    left_ds,
+    right_ds,
+    *,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    right_cols: list[str],
+    band_width: float,
+    num_buckets: int = 64,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Interval join with OVERLAPPING intervals and two LARGE sides:
+    emit (left row, right row) for every ``left.val BETWEEN right.lo AND
+    right.hi`` (inclusive, SQL ``BETWEEN``). This is the join class the
+    broadcast band assigner (``range_join_broadcast``) cannot serve:
+    intervals may overlap arbitrarily and the interval table may not fit
+    in worker memory.
+
+    Ray shape (banded replication — the standard distributed interval
+    join): the value domain is cut into fixed bands of ``band_width``;
+    a left row goes to the ONE band containing its value, a right
+    interval is replicated to EVERY band it overlaps, and the banded
+    tag-union is bucketed on ``hash(band) % num_buckets`` — one bounded
+    shuffle, no global sort. Each (row, interval) pair meets in exactly
+    one band (the row's), so no output dedup pass is needed. Inside a
+    bucket the match is vectorized: left rows are sorted by band once,
+    each interval probes its band's slice via ``searchsorted`` and a
+    numpy range mask.
+
+    Partitioning assumptions (document per call site): ``band_width``
+    should be on the order of the median interval width — much smaller
+    and wide intervals replicate to many bands; much larger and a band
+    degenerates toward a cross join. Null values / null or inverted
+    bounds never match (SQL BETWEEN semantics) and are dropped at the
+    tag step. Left and right column names must be disjoint.
+
+    → Dataset(left columns + [right_lo, right_hi] + right_cols).
+    """
+    import pyarrow.compute as pc
+
+    from .hashing import hash_int64
+
+    if band_width <= 0:
+        raise ValueError(f"band_width must be positive, got {band_width}")
+    if left_schema is None:
+        left_schema = left_ds.schema()
+    if right_schema is None:
+        right_schema = right_ds.schema()
+    left_names = list(left_schema.names)
+    right_keep = [right_lo, right_hi] + [
+        c for c in right_cols if c not in (right_lo, right_hi)
+    ]
+    clash = set(left_names) & set(right_keep)
+    if clash:
+        raise ValueError(f"left/right column names must be disjoint, both have {sorted(clash)}")
+    schema = _union_schema(left_schema, right_schema, right_keep)
+    fields = list(schema)
+    fields.insert(len(fields) - 2, pa.field("__band", pa.int64()))
+    schema = pa.schema(fields)
+    out_names = left_names + right_keep
+    out_schema = pa.schema([schema.field(n) for n in out_names])
+    w = float(band_width)
+
+    def _stamp(tbl: pa.Table, side: int, band: np.ndarray) -> pa.Table:
+        out = _pad_to_schema(tbl, schema)
+        out = out.set_column(
+            schema.get_field_index("__band"), "__band", pa.array(band, pa.int64())
+        )
+        out = out.set_column(
+            schema.get_field_index("__side"),
+            "__side",
+            pa.nulls(tbl.num_rows, pa.int8()).fill_null(side),
+        )
+        bucket = (hash_int64(band) % np.uint64(num_buckets)).astype(np.int32)
+        return out.set_column(
+            schema.get_field_index("__bucket"), "__bucket", pa.array(bucket, pa.int32())
+        )
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        v = batch.column(left_val).to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+            v = v[keep]
+        band = np.floor(v / w).astype(np.int64)
+        return _stamp(batch, 0, band)
+
+    def expand_right(batch: pa.Table) -> pa.Table:
+        lo = batch.column(right_lo).to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = batch.column(right_hi).to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(lo) & ~np.isnan(hi) & (lo <= hi)
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+            lo, hi = lo[keep], hi[keep]
+        blo = np.floor(lo / w).astype(np.int64)
+        bhi = np.floor(hi / w).astype(np.int64)
+        reps = bhi - blo + 1
+        idx = np.repeat(np.arange(len(blo), dtype=np.int64), reps)
+        total = int(reps.sum())
+        starts = np.r_[np.int64(0), np.cumsum(reps)[:-1]] if len(reps) else reps
+        band = np.arange(total, dtype=np.int64) - np.repeat(starts, reps) + np.repeat(blo, reps)
+        return _stamp(batch.take(pa.array(idx, pa.int64())), 1, band)
+
+    tagged_left = left_ds.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    tagged_right = right_ds.map_batches(
+        expand_right, batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = tagged_left.union(tagged_right)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        left_tbl = group.filter(pc.equal(side, pa.scalar(0, pa.int8())))
+        right_tbl = group.filter(pc.equal(side, pa.scalar(1, pa.int8())))
+        if left_tbl.num_rows == 0 or right_tbl.num_rows == 0:
+            return out_schema.empty_table()
+        v = left_tbl.column(left_val).to_numpy(zero_copy_only=False).astype(np.float64)
+        lband = left_tbl.column("__band").to_numpy(zero_copy_only=False)
+        order = np.argsort(lband, kind="stable")
+        lband_sorted = lband[order]
+        v_sorted = v[order]
+        lo = right_tbl.column(right_lo).to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = right_tbl.column(right_hi).to_numpy(zero_copy_only=False).astype(np.float64)
+        rband = right_tbl.column("__band").to_numpy(zero_copy_only=False)
+        li, ri = [], []
+        # one vectorized probe per interval copy in this bucket; the
+        # interval side is the small(er) side of the banding by design
+        for i in range(right_tbl.num_rows):
+            s = np.searchsorted(lband_sorted, rband[i], side="left")
+            e = np.searchsorted(lband_sorted, rband[i], side="right")
+            if s == e:
+                continue
+            m = (v_sorted[s:e] >= lo[i]) & (v_sorted[s:e] <= hi[i])
+            if m.any():
+                sel = order[s:e][m]
+                li.append(sel)
+                ri.append(np.full(sel.size, i, dtype=np.int64))
+        if not li:
+            return out_schema.empty_table()
+        lidx = pa.array(np.concatenate(li), pa.int64())
+        ridx = pa.array(np.concatenate(ri), pa.int64())
+        lt = left_tbl.select(left_names).take(lidx)
+        rt = right_tbl.select(right_keep).take(ridx)
+        return pa.Table.from_arrays(
+            [*lt.columns, *rt.columns], schema=out_schema
+        )
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

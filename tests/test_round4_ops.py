@@ -369,3 +369,132 @@ def test_fuzzy_nearest_ties_and_nulls(ray_session):
     assert got.loc[0, "m"] == "abc" and got.loc[0, "d"] == 1
     assert pd.isna(got.loc[1, "m"]) and pd.isna(got.loc[1, "d"])
     assert got.loc[2, "m"] == "zz" and got.loc[2, "d"] == 1
+
+
+def test_interval_join_banded_matches_duckdb(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.joins import interval_join_banded
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "row_id": np.arange(500, dtype="int64"),
+            "v": rng.uniform(-30, 70, 500),
+        }
+    )
+    left.loc[rng.random(500) < 0.05, "v"] = None  # NULL never matches
+    # heavily OVERLAPPING intervals, some spanning many bands, some
+    # inverted (lo > hi → never match), some null-bounded, one point
+    # interval sitting exactly on a left value
+    ivl = pd.DataFrame(
+        {
+            "ivl_id": np.arange(40, dtype="int64"),
+            "lo": rng.uniform(-35, 60, 40),
+        }
+    )
+    ivl["hi"] = ivl["lo"] + rng.uniform(0.1, 45, 40)
+    ivl.loc[0, ["lo", "hi"]] = [10.0, 5.0]  # inverted
+    ivl.loc[1, "lo"] = None
+    ivl.loc[2, "hi"] = None
+    ivl.loc[3, ["lo", "hi"]] = [left["v"].iloc[7], left["v"].iloc[7]]  # point hit
+    out = interval_join_banded(
+        ray.data.from_pandas(left).repartition(8),
+        ray.data.from_pandas(ivl).repartition(4),
+        left_val="v",
+        right_lo="lo",
+        right_hi="hi",
+        right_cols=["ivl_id"],
+        band_width=6.0,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", ivl)
+    exp = con.execute(
+        "SELECT l.row_id, l.v, r.lo, r.hi, r.ivl_id FROM l JOIN r ON l.v BETWEEN r.lo AND r.hi"
+    ).fetchdf()
+    key = ["row_id", "ivl_id"]
+    got_s = out.sort_values(key).reset_index(drop=True)
+    exp_s = exp.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s) > 0
+    assert (got_s["row_id"].values == exp_s["row_id"].values).all()
+    assert (got_s["ivl_id"].values == exp_s["ivl_id"].values).all()
+    assert np.allclose(got_s["v"], exp_s["v"])  # exactly one copy per pair
+    # point interval matched
+    assert ((got_s["row_id"] == 7) & (got_s["ivl_id"] == 3)).any()
+
+
+def test_interval_join_banded_empty_sides(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.joins import interval_join_banded
+
+    left = pd.DataFrame({"row_id": [1, 2], "v": [1.0, 2.0]})
+    ivl = pd.DataFrame({"ivl_id": pd.array([], dtype="int64"),
+                        "lo": pd.array([], dtype="float64"),
+                        "hi": pd.array([], dtype="float64")})
+    out = interval_join_banded(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(ivl),
+        left_val="v", right_lo="lo", right_hi="hi", right_cols=["ivl_id"],
+        band_width=1.0,
+    ).to_pandas()
+    assert len(out) == 0
+    # Ray drops the schema when EVERY output block is empty; when any
+    # block is non-empty the column layout is the documented one (the
+    # matches test asserts it)
+    assert list(out.columns) in ([], ["row_id", "v", "lo", "hi", "ivl_id"])
+    with pytest.raises(ValueError):
+        interval_join_banded(
+            ray.data.from_pandas(left), ray.data.from_pandas(ivl),
+            left_val="v", right_lo="lo", right_hi="hi", right_cols=["ivl_id"],
+            band_width=0.0,
+        )
+    with pytest.raises(ValueError):
+        interval_join_banded(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(left.rename(columns={"row_id": "a"})),
+            left_val="v", right_lo="v", right_hi="v", right_cols=["a"],
+            band_width=1.0,
+        )  # column clash: v on both sides
+
+
+def test_winsorize_matches_duckdb(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import winsorize
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"x": rng.lognormal(1.0, 1.2, 3000)})
+    df.loc[rng.random(3000) < 0.04, "x"] = None
+    out = (
+        winsorize(ray.data.from_pandas(df).repartition(8), "x", 0.05, 0.95, out_col="w")
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """WITH q AS (SELECT round(quantile_cont(x, 0.05), 6) AS qlo,
+                             round(quantile_cont(x, 0.95), 6) AS qhi FROM t)
+           SELECT x, CASE WHEN x IS NULL THEN NULL
+                          ELSE least(greatest(x, qlo), qhi) END AS w
+           FROM t, q ORDER BY x"""
+    ).fetchdf()
+    # nulls stay null, sort_values puts them last in both
+    assert len(out) == len(exp)
+    assert np.allclose(out["w"].dropna(), exp["w"].dropna())
+    assert out["w"].isna().sum() == exp["w"].isna().sum() == df["x"].isna().sum()
+
+
+def test_winsorize_empty_and_validation(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import winsorize
+
+    empty = pd.DataFrame({"x": pd.array([None, None], dtype="float64")})
+    out = winsorize(ray.data.from_pandas(empty), "x", 0.1, 0.9).to_pandas()
+    assert out["x"].isna().all()
+    with pytest.raises(ValueError):
+        winsorize(ray.data.from_pandas(empty), "x", 0.9, 0.1)
