@@ -1754,6 +1754,28 @@ def _q_events_winsorized(sf_dir: str):
     )
 
 
+def _q_doc_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES, hash-derived uniforms — ops/text.weighted_hash_sample):
+    100 docs drawn proportional to n_chars. Corpus never shuffles:
+    per-block top-k prefilter + tiny global selection; the float key is
+    computed with the identical ops as the SQL oracle, so the selection
+    is bit-stable."""
+    from jsonld_ex_ray.ops.text import weighted_hash_sample
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    return weighted_hash_sample(ds, 100, weight_col="n_chars", id_col="doc_id")
+
+
+def _q_events_value_mad(sf_dir: str):
+    """Median absolute deviation of event values (robust scale): two
+    streaming exact-quantile phases, driver holds one histogram each."""
+    from jsonld_ex_ray.ops.agg import median_abs_deviation
+
+    ds = _read(sf_dir, "events").select_columns(["value"])
+    return median_abs_deviation(ds, "value")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-query correctness window covers the
     stable oracled core: oracled queries first, rows-only / no_oracle
@@ -1858,6 +1880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_fuzzy": _q_part_type_fuzzy,
         "events_interval_match": _q_events_interval_match,
         "events_winsorized": _q_events_winsorized,
+        "doc_weighted_sample": _q_doc_weighted_sample,
+        "events_value_mad": _q_events_value_mad,
     }
     oracled = set(oracle_sql())
     # 69 oracled queries, 50 driver slots: queries that have never had a
@@ -1886,6 +1910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint",         # hash-kernel sibling of token_counts/doc_hash_sample
         "corpus_clean",            # composition; each stage individually in-window
         "knn_join",                # similarity top-k — ann_topk (same matrix kernel) in-window
+        "doc_chunks",              # per-doc segmentation — doc_lines (explode) in-window
+        "events_distinct_users",   # distinct machinery — users_customers_intersect in-window
     )
     ordered: dict[str, Callable[[str], Any]] = {}
     for name in base:  # stable partition, original relative order kept
@@ -2596,6 +2622,20 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(value), 4) AS std_value,
                    round(var_samp(value), 2) AS var_value
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_weighted_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars > 0
+            ORDER BY ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                        / 4294967296.0) / n_chars DESC,
+                     doc_id
+            LIMIT 100
+        """,
+        "events_value_mad": """
+            WITH m AS (SELECT round(quantile_cont(value, 0.5), 6) AS med FROM events)
+            SELECT m.med AS "median",
+                   round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+            FROM events e, m GROUP BY m.med
         """,
         "events_interval_match": """
             WITH iv AS (

@@ -337,3 +337,29 @@ def levenshtein_nearest(col, candidates: list[str]):
     best = pc.if_else(invalid, null_s, out.column("c").combine_chunks())
     dist = pc.if_else(invalid, null_i, pc.cast(out.column("d"), pa.int64()).combine_chunks())
     return best, dist
+
+
+def hex8_to_u32(arr) -> np.ndarray:
+    """Vectorized parse of 8-char lowercase-hex strings to uint32 — the
+    numeric view of an md5 digest's first 32 bits, bit-identical to SQL
+    ``CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)``. No per-row Python:
+    the char buffer is indexed as one (n, 8) uint8 matrix and folded
+    with a power-of-16 dot product. Inputs must be non-null (callers
+    digest a non-null id column)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.uint32)
+    if arr.null_count:
+        raise ValueError("hex8_to_u32: null digests")
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], off_dtype)[arr.offset : arr.offset + n + 1]
+    buf = np.frombuffer(arr.buffers()[2], np.uint8)
+    if not ((offs[1:] - offs[:-1]) == 8).all():
+        raise ValueError("hex8_to_u32: expected exactly 8 chars per value")
+    idx = offs[:-1, None].astype(np.int64) + np.arange(8, dtype=np.int64)
+    codes = buf[idx].astype(np.uint32)
+    digits = codes - 48 - 39 * (codes >= 97)  # '0'-'9' then 'a'-'f'
+    weights = (np.uint32(16) ** np.arange(7, -1, -1, dtype=np.uint32)).astype(np.uint64)
+    return digits.astype(np.uint64).dot(weights).astype(np.uint32)

@@ -1001,3 +1001,67 @@ def normalize_text(ds, *, text_col: str = "text", out_col: str = "text_norm"):
         )
 
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_hash_sample(
+    ds,
+    k: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+    key_col: str | None = None,
+):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row gets selection key ``ln(u) / w`` with ``u =
+    (first 32 md5 bits of salt||id + 0.5) / 2^32``; the k LARGEST keys
+    are exactly a weighted sample without replacement. Like
+    :func:`hash_sample`, the uniform comes from a hash, never RNG — the
+    same rows are selected on every run/retry/resume, and different
+    salts give independent draws.
+
+    Ray shape: per-batch key kernel (vectorized md5 via DuckDB's C
+    kernel + one numpy log) → per-block top-k prefilter → tiny global
+    selection (ops/agg.topk) — the corpus never shuffles and the driver
+    never sees more than k × n_blocks candidate rows.
+
+    Rows with null, zero or negative weight are excluded (SQL ``WHERE
+    w > 0``). Ties (astronomically unlikely across distinct md5s) break
+    by ``id_col`` ascending. Oracle-checkable: the key equals SQL
+    ``ln((CAST('0x' || substr(md5(salt || id), 1, 8) AS BIGINT) + 0.5)
+    / 4294967296.0) / w`` — both sides compute the identical float64
+    ops, so the selection is bit-stable.
+
+    → Dataset of the selected rows (input columns, plus the key as
+    ``key_col`` if given)."""
+    import numpy as np
+
+    from .hashing import hex8_to_u32, md5_hex
+    from jsonld_ex_ray.ops.agg import topk
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    kc = key_col or "__wkey"
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        w = pc.cast(batch.column(weight_col), pa.float64())
+        keep = pc.fill_null(pc.greater(w, 0.0), False)
+        ids_ok = pc.is_valid(batch.column(id_col))
+        keep = pc.and_(keep, ids_ok)
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return batch.append_column(kc, pa.array([], pa.float64()))
+        ids = pc.cast(batch.column(id_col), pa.string())
+        if salt:
+            ids = pc.binary_join_element_wise(pa.scalar(salt), ids, "")
+        u32 = hex8_to_u32(pc.utf8_slice_codeunits(md5_hex(ids), 0, 8))
+        u = (u32.astype(np.float64) + 0.5) / 4294967296.0
+        wv = pc.cast(batch.column(weight_col), pa.float64()).to_numpy(zero_copy_only=False)
+        key = np.log(u) / wv
+        return batch.append_column(kc, pa.array(key, pa.float64()))
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    out = topk(keyed_ds, [kc, id_col], [True, False], k)
+    if key_col is None:
+        out = out.drop_columns(["__wkey"])
+    return out

@@ -498,3 +498,97 @@ def test_winsorize_empty_and_validation(ray_session):
     assert out["x"].isna().all()
     with pytest.raises(ValueError):
         winsorize(ray.data.from_pandas(empty), "x", 0.9, 0.1)
+
+
+def test_weighted_hash_sample_matches_duckdb(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.text import weighted_hash_sample
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(800)],
+            "w": rng.integers(1, 500, 800).astype("float64"),
+        }
+    )
+    # excluded rows: zero, negative and null weights
+    df.loc[5, "w"] = 0.0
+    df.loc[6, "w"] = -3.0
+    df.loc[7, "w"] = None
+    got = (
+        weighted_hash_sample(
+            ray.data.from_pandas(df).repartition(6), 50, weight_col="w", id_col="doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """SELECT doc_id, w FROM t WHERE w > 0
+           ORDER BY ln((CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) + 0.5)
+                       / 4294967296.0) / w DESC, doc_id
+           LIMIT 50"""
+    ).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    # determinism: identical selection on a re-run
+    got2 = (
+        weighted_hash_sample(
+            ray.data.from_pandas(df).repartition(3), 50, weight_col="w", id_col="doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got2["doc_id"]) == list(got["doc_id"])
+    # a different salt gives a different (independent) draw
+    got3 = weighted_hash_sample(
+        ray.data.from_pandas(df), 50, weight_col="w", id_col="doc_id", salt="s1"
+    ).to_pandas()
+    assert set(got3["doc_id"]) != set(got["doc_id"])
+    with pytest.raises(ValueError):
+        weighted_hash_sample(ray.data.from_pandas(df), 0, weight_col="w")
+
+
+def test_weighted_hash_sample_is_weighted(ray_session):
+    """Heavy rows must be selected far more often than light ones."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.text import weighted_hash_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"h{i}" for i in range(100)] + [f"l{i}" for i in range(900)],
+            "w": [1000.0] * 100 + [1.0] * 900,
+        }
+    )
+    got = weighted_hash_sample(
+        ray.data.from_pandas(df).repartition(4), 100, weight_col="w", id_col="doc_id"
+    ).to_pandas()
+    heavy = got["doc_id"].str.startswith("h").sum()
+    assert heavy > 80  # expectation ~99; light-only selection would be ~10
+
+
+def test_median_abs_deviation(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import median_abs_deviation
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"x": rng.normal(10, 3, 5000)})
+    df.loc[rng.random(5000) < 0.05, "x"] = None
+    got = median_abs_deviation(ray.data.from_pandas(df).repartition(5), "x")
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """WITH m AS (SELECT round(quantile_cont(x, 0.5), 6) AS med FROM t)
+           SELECT m.med, round(quantile_cont(abs(t.x - m.med), 0.5), 6) AS mad
+           FROM t, m GROUP BY m.med"""
+    ).fetchone()
+    assert got["median"].iloc[0] == want[0]
+    assert got["mad"].iloc[0] == want[1]
+    empty = pd.DataFrame({"x": pd.array([None], dtype="float64")})
+    out = median_abs_deviation(ray.data.from_pandas(empty), "x")
+    assert out["median"].iloc[0] is None and out["mad"].iloc[0] is None
