@@ -1724,6 +1724,17 @@ def _q_events_interval_match(sf_dir: str):
         right_hi="hi",
         right_cols=["ivl_type", "ivl_gid"],
         band_width=8.0,
+        # explicit schemas: Dataset.schema() on the lazy aggregate would
+        # execute the interval plan once just to read column types
+        left_schema=pa.schema([("event_id", pa.int64()), ("value", pa.float64())]),
+        right_schema=pa.schema(
+            [
+                ("ivl_type", pa.string()),
+                ("ivl_gid", pa.int64()),
+                ("lo", pa.float64()),
+                ("hi", pa.float64()),
+            ]
+        ),
     )
     return groupby_agg_lowcard(
         joined,

@@ -459,6 +459,15 @@ def interval_join_banded(
         blo = np.floor(lo / w).astype(np.int64)
         bhi = np.floor(hi / w).astype(np.int64)
         reps = bhi - blo + 1
+        if len(reps) and int(reps.max()) > 100_000:
+            # replication safety valve: a single interval spanning 100k+
+            # bands means band_width is catastrophically mis-sized for
+            # this interval distribution — fail loudly instead of
+            # materializing millions of copies
+            raise ValueError(
+                f"interval spans {int(reps.max())} bands (band_width={w}); "
+                "choose band_width on the order of the median interval width"
+            )
         idx = np.repeat(np.arange(len(blo), dtype=np.int64), reps)
         total = int(reps.sum())
         starts = np.r_[np.int64(0), np.cumsum(reps)[:-1]] if len(reps) else reps

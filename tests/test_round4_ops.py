@@ -592,3 +592,22 @@ def test_median_abs_deviation(ray_session):
     empty = pd.DataFrame({"x": pd.array([None], dtype="float64")})
     out = median_abs_deviation(ray.data.from_pandas(empty), "x")
     assert out["median"].iloc[0] is None and out["mad"].iloc[0] is None
+
+
+def test_interval_join_replication_valve(ray_session):
+    """A single interval spanning >100k bands must fail loudly (mis-sized
+    band_width), not materialize millions of replicated rows."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.joins import interval_join_banded
+
+    left = pd.DataFrame({"row_id": [1], "v": [0.5]})
+    ivl = pd.DataFrame({"ivl_id": [1], "lo": [0.0], "hi": [1e9]})
+    ds = interval_join_banded(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(ivl),
+        left_val="v", right_lo="lo", right_hi="hi", right_cols=["ivl_id"],
+        band_width=1.0,
+    )
+    with pytest.raises(Exception, match="bands"):
+        ds.to_pandas()
