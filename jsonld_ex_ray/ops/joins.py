@@ -394,9 +394,10 @@ def interval_join_banded(
     Partitioning assumptions (document per call site): ``band_width``
     should be on the order of the median interval width — much smaller
     and wide intervals replicate to many bands; much larger and a band
-    degenerates toward a cross join. Null values / null or inverted
-    bounds never match (SQL BETWEEN semantics) and are dropped at the
-    tag step. Left and right column names must be disjoint.
+    degenerates toward a cross join. Null or non-finite values / null,
+    non-finite or inverted bounds never match (SQL BETWEEN semantics for
+    NULL; ±inf has no band) and are dropped at the tag step. Left and
+    right column names must be disjoint.
 
     → Dataset(left columns + [right_lo, right_hi] + right_cols).
     """
@@ -442,7 +443,9 @@ def interval_join_banded(
 
     def tag_left(batch: pa.Table) -> pa.Table:
         v = batch.column(left_val).to_numpy(zero_copy_only=False).astype(np.float64)
-        keep = ~np.isnan(v)
+        # non-finite values have no band (int64 cast of ±inf is UB);
+        # like SQL NULL they never match — documented contract
+        keep = np.isfinite(v)
         if not keep.all():
             batch = batch.filter(pa.array(keep))
             v = v[keep]
@@ -452,7 +455,7 @@ def interval_join_banded(
     def expand_right(batch: pa.Table) -> pa.Table:
         lo = batch.column(right_lo).to_numpy(zero_copy_only=False).astype(np.float64)
         hi = batch.column(right_hi).to_numpy(zero_copy_only=False).astype(np.float64)
-        keep = ~np.isnan(lo) & ~np.isnan(hi) & (lo <= hi)
+        keep = np.isfinite(lo) & np.isfinite(hi) & (lo <= hi)
         if not keep.all():
             batch = batch.filter(pa.array(keep))
             lo, hi = lo[keep], hi[keep]
