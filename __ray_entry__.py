@@ -1778,6 +1778,18 @@ def _q_doc_weighted_sample(sf_dir: str):
     return weighted_hash_sample(ds, 100, weight_col="n_chars", id_col="doc_id")
 
 
+def _q_doc_weighted_per_lang(sf_dir: str):
+    """Per-stratum weighted draw (20 docs per language, proportional to
+    n_chars): A-ES keys + the bounded-shuffle multi-group selection —
+    per-language weighted corpus mixing at million-stratum scale."""
+    from jsonld_ex_ray.ops.text import weighted_sample_per_group
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang", "n_chars"])
+    return weighted_sample_per_group(
+        ds, "lang", 20, weight_col="n_chars", id_col="doc_id"
+    )
+
+
 def _q_events_value_mad(sf_dir: str):
     """Median absolute deviation of event values (robust scale): two
     streaming exact-quantile phases, driver holds one histogram each."""
@@ -1893,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized": _q_events_winsorized,
         "doc_weighted_sample": _q_doc_weighted_sample,
         "events_value_mad": _q_events_value_mad,
+        "doc_weighted_per_lang": _q_doc_weighted_per_lang,
     }
     oracled = set(oracle_sql())
     # 69 oracled queries, 50 driver slots: queries that have never had a
@@ -1923,6 +1936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join",                # similarity top-k — ann_topk (same matrix kernel) in-window
         "doc_chunks",              # per-doc segmentation — doc_lines (explode) in-window
         "events_distinct_users",   # distinct machinery — users_customers_intersect in-window
+        "events_top_per_type",     # top_per_group — user_top_event_type (same kernel) in-window
     )
     ordered: dict[str, Callable[[str], Any]] = {}
     for name in base:  # stable partition, original relative order kept
@@ -2641,6 +2655,16 @@ def oracle_sql() -> dict[str, str]:
                         / 4294967296.0) / n_chars DESC,
                      doc_id
             LIMIT 100
+        """,
+        "doc_weighted_per_lang": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                           AS BIGINT) + 0.5) / 4294967296.0) / n_chars DESC,
+                                  doc_id) AS rn
+              FROM documents WHERE n_chars > 0
+            ) WHERE rn <= 20
         """,
         "events_value_mad": """
             WITH m AS (SELECT round(quantile_cont(value, 0.5), 6) AS med FROM events)

@@ -1034,14 +1034,30 @@ def weighted_hash_sample(
 
     → Dataset of the selected rows (input columns, plus the key as
     ``key_col`` if given)."""
-    import numpy as np
-
-    from .hashing import hex8_to_u32, md5_hex
     from jsonld_ex_ray.ops.agg import topk
 
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     kc = key_col or "__wkey"
+    keyed_ds = ds.map_batches(
+        _make_aes_keyer(weight_col, id_col, salt, kc),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = topk(keyed_ds, [kc, id_col], [True, False], k)
+    if key_col is None:
+        out = out.drop_columns(["__wkey"])
+    return out
+
+
+def _make_aes_keyer(weight_col: str, id_col: str, salt: str, kc: str):
+    """Per-batch Efraimidis–Spirakis key kernel shared by the global and
+    per-group weighted samplers: filters to w > 0 with a valid id, then
+    appends ``kc`` = ln(u)/w with the hash-derived uniform described in
+    :func:`weighted_hash_sample`."""
+    import numpy as np
+
+    from .hashing import hex8_to_u32, md5_hex
 
     def keyed(batch: pa.Table) -> pa.Table:
         w = pc.cast(batch.column(weight_col), pa.float64())
@@ -1060,8 +1076,70 @@ def weighted_hash_sample(
         key = np.log(u) / wv
         return batch.append_column(kc, pa.array(key, pa.float64()))
 
-    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-    out = topk(keyed_ds, [kc, id_col], [True, False], k)
-    if key_col is None:
-        out = out.drop_columns(["__wkey"])
-    return out
+    return keyed
+
+
+def weighted_sample_per_group(
+    ds,
+    group_col: str,
+    n: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+    num_buckets: int = 64,
+):
+    """Deterministic per-stratum WEIGHTED sampling without replacement:
+    within each ``group_col`` value, keep the ``n`` rows with the
+    LARGEST Efraimidis–Spirakis keys ``ln(u)/w`` (hash-derived uniform —
+    see :func:`weighted_hash_sample`) — e.g. "200 docs per language,
+    drawn proportional to length". Stable across runs/retries/resumes;
+    different salts give independent draws; rows with null/<=0 weight
+    are excluded.
+
+    Ray shape (same selection machinery as ops/agg.sample_per_group):
+    per-batch key kernel → map-side per-group top-n combiner → ONE
+    bounded shuffle on ``hash(group) % num_buckets`` with a vectorized
+    multi-group final selection per bucket — never one Python call per
+    distinct group, so per-domain draws over millions of domains stay
+    ≤ ``num_buckets`` tasks.
+
+    Oracle-checkable: selection equals SQL ``row_number() OVER
+    (PARTITION BY group ORDER BY ln(u)/w DESC, id) <= n``.
+
+    → Dataset of the selected rows (input columns only)."""
+    from .hashing import bucket_ids
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    kc = "__wk"
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = (
+            df.sort_values([group_col, kc, id_col], ascending=[True, False, True])
+            .groupby(group_col, sort=False, dropna=False)
+            .head(n)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_ids(batch, [group_col], num_buckets, seed=0)
+        )
+
+    def final_topn(group: pa.Table) -> pa.Table:
+        out = local_topn(group.drop_columns(["__bucket"]))
+        return out.drop_columns([kc])
+
+    return (
+        ds.map_batches(
+            _make_aes_keyer(weight_col, id_col, salt, kc),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(local_topn, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(tag_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(final_topn, batch_format="pyarrow")
+    )

@@ -611,3 +611,47 @@ def test_interval_join_replication_valve(ray_session):
     )
     with pytest.raises(Exception, match="bands"):
         ds.to_pandas()
+
+
+def test_weighted_sample_per_group_matches_duckdb(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.text import weighted_sample_per_group
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(1200)],
+            "g": rng.choice(["en", "de", "fr", "rare"], 1200, p=[0.6, 0.25, 0.14, 0.01]),
+            "w": rng.integers(1, 300, 1200).astype("float64"),
+        }
+    )
+    df.loc[3, "w"] = 0.0   # excluded
+    df.loc[4, "w"] = None  # excluded
+    got = (
+        weighted_sample_per_group(
+            ray.data.from_pandas(df).repartition(7), "g", 15,
+            weight_col="w", id_col="doc_id", num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["g", "doc_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """SELECT doc_id, g, w FROM (
+             SELECT doc_id, g, w,
+                    row_number() OVER (PARTITION BY g
+                        ORDER BY ln((CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) + 0.5)
+                                    / 4294967296.0) / w DESC, doc_id) AS rn
+             FROM t WHERE w > 0
+           ) WHERE rn <= 15
+           ORDER BY g, doc_id"""
+    ).fetchdf()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    # small strata keep everything they have (rare group < 15 members)
+    rare_n = ((df["g"] == "rare") & (df["w"] > 0)).sum()
+    assert (got["g"] == "rare").sum() == min(15, rare_n)
+    with pytest.raises(ValueError):
+        weighted_sample_per_group(ray.data.from_pandas(df), "g", 0, weight_col="w")
