@@ -1790,6 +1790,18 @@ def _q_doc_weighted_per_lang(sf_dir: str):
     )
 
 
+def _q_doc_dup_spans(sf_dir: str):
+    """Exact duplicated-substring spans (64-char windows, stride 32 —
+    the Lee-et-al substring-dedup signal): per-doc count of spans whose
+    text occurs in >= 2 distinct docs. Only (doc_id, span-hash) rows
+    shuffle; the corpus streams twice (cheap md5 re-scan) instead of
+    materializing the span table."""
+    from jsonld_ex_ray.ops.dedup import duplicate_spans
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return duplicate_spans(ds, window=64, stride=32)
+
+
 def _q_events_value_mad(sf_dir: str):
     """Median absolute deviation of event values (robust scale): two
     streaming exact-quantile phases, driver holds one histogram each."""
@@ -1906,6 +1918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": _q_doc_weighted_sample,
         "events_value_mad": _q_events_value_mad,
         "doc_weighted_per_lang": _q_doc_weighted_per_lang,
+        "doc_dup_spans": _q_doc_dup_spans,
     }
     oracled = set(oracle_sql())
     # 69 oracled queries, 50 driver slots: queries that have never had a
@@ -1937,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks",              # per-doc segmentation — doc_lines (explode) in-window
         "events_distinct_users",   # distinct machinery — users_customers_intersect in-window
         "events_top_per_type",     # top_per_group — user_top_event_type (same kernel) in-window
+        "doc_quality_filter",      # thin filter variant of in-window text_quality
     )
     ordered: dict[str, Callable[[str], Any]] = {}
     for name in base:  # stable partition, original relative order kept
@@ -2665,6 +2679,23 @@ def oracle_sql() -> dict[str, str]:
                                   doc_id) AS rn
               FROM documents WHERE n_chars > 0
             ) WHERE rn <= 20
+        """,
+        "doc_dup_spans": """
+            WITH pos AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 63, 0), 32)) AS i
+              FROM documents
+            ),
+            spans AS (
+              SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 64)) AS h FROM pos
+            ),
+            duph AS (
+              SELECT h FROM (SELECT DISTINCT h, doc_id FROM spans)
+              GROUP BY h HAVING count(*) >= 2
+            )
+            SELECT s.doc_id, count(*) AS n_dup_spans
+            FROM spans s JOIN duph USING (h)
+            GROUP BY s.doc_id
         """,
         "events_value_mad": """
             WITH m AS (SELECT round(quantile_cont(value, 0.5), 6) AS med FROM events)

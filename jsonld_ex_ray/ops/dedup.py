@@ -1431,3 +1431,104 @@ def dedup_lines(ds, *, text_col: str = "text", id_col: str = "doc_id", num_bucke
         .groupby("__bucket")
         .map_groups(rebuild, batch_format="pyarrow")
     )
+
+
+def duplicate_spans(
+    ds,
+    *,
+    window: int = 64,
+    stride: int = 32,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """Exact duplicated-substring detection — the per-span signal behind
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"; public method), made
+    shuffle-friendly by fixed ``window``-char spans at ``stride``:
+    every span is content-hashed, spans whose text occurs in at least
+    ``min_docs`` DISTINCT documents are flagged, and the op returns the
+    per-document count of flagged spans (the input to a "cut duplicated
+    runs" pass or a doc-level boilerplate score).
+
+    Ray shape: span emission is a per-batch loop over STRIDE OFFSETS —
+    each iteration is one vectorized arrow slice + md5 (DuckDB C
+    kernel) over the whole batch, so total work is O(total chars /
+    stride × window) with never a per-row Python loop. Only
+    ``(doc_id, span_hash)`` rows shuffle; the corpus text never does.
+    Duplicate discovery: distinct (hash, doc) rows → per-hash doc count
+    ≥ ``min_docs`` (bounded hash shuffles) → bucketed SEMI join of span
+    rows against the dup hashes → per-doc count. The span stream is
+    recomputed for its two consumers (cheap md5 re-scan) instead of
+    materializing ~chars/stride hash rows to the object store.
+
+    Hash caveat (same contract as the minhash family): md5 identity is
+    a FLAGGING signal, not a deletion decision — a caller deleting
+    content should value-verify like ``exact_dedup`` does.
+
+    Spans are codepoint-based: arrow ``utf8_slice_codeunits`` and SQL
+    ``substr`` agree on characters, so the op is oracle-checkable.
+    Docs shorter than ``window`` contribute no spans.
+
+    → Dataset(``id_col``, ``n_dup_spans``); docs with zero duplicated
+    spans are omitted.
+    """
+    import pyarrow.compute as pc
+
+    from .hashing import md5_hex
+    from jsonld_ex_ray.ops.agg import distinct_rows, groupby_agg_bucketed
+    from jsonld_ex_ray.ops.joins import hash_join_bucketed
+
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window and stride must be positive, got {window}, {stride}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+
+    # input schema is metadata-cheap (parquet read / in-memory source);
+    # the SPAN datasets are lazy map_batches whose .schema() would
+    # execute the whole extraction just to read two column types
+    in_schema = ds.schema()
+    id_type = dict(zip(in_schema.names, in_schema.types))[id_col]
+    span_schema = pa.schema([(id_col, id_type), ("h", pa.string())])
+
+    def spans(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_col), "")
+        ids = batch.column(id_col)
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        parts = []
+        max_len = int(lens.max()) if len(lens) else 0
+        for off in range(0, max(max_len - window + 1, 0), stride):
+            mask = pa.array(lens >= off + window)
+            sub_text = pc.utf8_slice_codeunits(text.filter(mask), off, off + window)
+            parts.append(
+                pa.table({id_col: ids.filter(mask), "h": md5_hex(sub_text)}, schema=span_schema)
+            )
+        if not parts:
+            return span_schema.empty_table()
+        return pa.concat_tables(parts)
+
+    span_ds = ds.map_batches(spans, batch_format="pyarrow", zero_copy_batch=True)
+    per_doc = distinct_rows(span_ds, ["h", id_col], num_buckets=num_buckets)
+    counts = groupby_agg_bucketed(
+        per_doc, ["h"], [(id_col, "count", "n_docs")], num_buckets=num_buckets
+    )
+    dup_h = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_docs"), min_docs)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    flagged = hash_join_bucketed(
+        span_ds,
+        dup_h,
+        left_on="h",
+        right_on="h",
+        right_cols=[],
+        join_type="semi",
+        num_buckets=num_buckets,
+        left_schema=span_schema,
+        right_schema=pa.schema([("h", pa.string()), ("n_docs", pa.int64())]),
+    )
+    return groupby_agg_bucketed(
+        flagged, [id_col], [("h", "count", "n_dup_spans")], num_buckets=num_buckets
+    )

@@ -655,3 +655,52 @@ def test_weighted_sample_per_group_matches_duckdb(ray_session):
     assert (got["g"] == "rare").sum() == min(15, rare_n)
     with pytest.raises(ValueError):
         weighted_sample_per_group(ray.data.from_pandas(df), "g", 0, weight_col="w")
+
+
+def test_duplicate_spans_matches_duckdb(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.dedup import duplicate_spans
+
+    rng = np.random.default_rng(23)
+    shared = "the quick brown fox jumps over the lazy dog again and again padding"
+    docs = []
+    for i in range(200):
+        filler = "".join(rng.choice(list("abcdefgh "), 80))
+        # ~40% of docs embed the shared 68-char run at a stride-aligned spot
+        docs.append(filler + (shared if i % 5 < 2 else filler) + f" tail{i}")
+    docs.append("short")       # < window → no spans
+    docs.append("")            # empty
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype="int64"), "text": docs})
+    got = (
+        duplicate_spans(
+            ray.data.from_pandas(df).repartition(6), window=32, stride=16, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        """WITH pos AS (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, greatest(length(text) - 31, 0), 16)) AS i
+             FROM documents
+           ),
+           spans AS (SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 32)) AS h FROM pos),
+           duph AS (
+             SELECT h FROM (SELECT DISTINCT h, doc_id FROM spans)
+             GROUP BY h HAVING count(*) >= 2
+           )
+           SELECT s.doc_id, count(*) AS n_dup_spans
+           FROM spans s JOIN duph USING (h)
+           GROUP BY s.doc_id ORDER BY doc_id"""
+    ).fetchdf()
+    assert len(got) == len(want) > 0
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["n_dup_spans"]) == list(want["n_dup_spans"])
+    with pytest.raises(ValueError):
+        duplicate_spans(ray.data.from_pandas(df), window=0)
+    with pytest.raises(ValueError):
+        duplicate_spans(ray.data.from_pandas(df), min_docs=1)
