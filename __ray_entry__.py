@@ -1802,6 +1802,28 @@ def _q_doc_dup_spans(sf_dir: str):
     return duplicate_spans(ds, window=64, stride=32)
 
 
+def _q_events_rolling_rows(sf_dir: str):
+    """ROWS-frame rolling mean (last 5 events per user): one bounded
+    hash(user) shuffle + segmented polars rolling kernel per bucket —
+    the count-based sibling of the RANGE-frame events_rolling_1h."""
+    from jsonld_ex_ray.ops.window import keyed_rolling_rows
+
+    ds = _read(sf_dir, "events").select_columns(["user_id", "ts", "event_id", "value"])
+    return keyed_rolling_rows(
+        ds, "user_id", "ts", "event_id", "value", 5, agg="mean", out_col="roll_mean"
+    )
+
+
+def _q_events_share_of_type(sf_dir: str):
+    """Ratio-to-report (value / per-type total): map-side combiner sums,
+    driver closes 5 numbers, second streaming pass divides — the corpus
+    never shuffles (same two-pass broadcast shape as the z-score)."""
+    from jsonld_ex_ray.ops.agg import share_of_group
+
+    ds = _read(sf_dir, "events").select_columns(["event_id", "event_type", "value"])
+    return share_of_group(ds, "event_type", "value", out_col="share")
+
+
 def _q_events_value_mad(sf_dir: str):
     """Median absolute deviation of event values (robust scale): two
     streaming exact-quantile phases, driver holds one histogram each."""
@@ -1919,6 +1941,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": _q_events_value_mad,
         "doc_weighted_per_lang": _q_doc_weighted_per_lang,
         "doc_dup_spans": _q_doc_dup_spans,
+        "events_rolling_rows": _q_events_rolling_rows,
+        "events_share_of_type": _q_events_share_of_type,
     }
     oracled = set(oracle_sql())
     # 69 oracled queries, 50 driver slots: queries that have never had a
@@ -1951,6 +1975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users",   # distinct machinery — users_customers_intersect in-window
         "events_top_per_type",     # top_per_group — user_top_event_type (same kernel) in-window
         "doc_quality_filter",      # thin filter variant of in-window text_quality
+        "events_rolling_1h",       # RANGE rolling — events_rolling_rows (ROWS sibling) in-window
+        "events_value_zscore",     # stats-broadcast — events_share_of_type (same shape) in-window
     )
     ordered: dict[str, Callable[[str], Any]] = {}
     for name in base:  # stable partition, original relative order kept
@@ -2696,6 +2722,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, count(*) AS n_dup_spans
             FROM spans s JOIN duph USING (h)
             GROUP BY s.doc_id
+        """,
+        "events_rolling_rows": """
+            SELECT user_id, event_id, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   ), 6) AS roll_mean
+            FROM events
+        """,
+        "events_share_of_type": """
+            SELECT event_id, event_type, value,
+                   round(value / sum(value) OVER (PARTITION BY event_type), 6) AS share
+            FROM events
         """,
         "events_value_mad": """
             WITH m AS (SELECT round(quantile_cont(value, 0.5), 6) AS med FROM events)

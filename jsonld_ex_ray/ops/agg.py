@@ -1650,3 +1650,50 @@ def median_abs_deviation(ds, col: str, *, bins: int = 8192, round_to: int = 6):
     dev = ds.map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True)
     mad = exact_quantiles(dev, "__ad", [0.5], bins=bins, round_to=round_to)["q50"].iloc[0]
     return pd.DataFrame({"median": [m], "mad": [mad]})
+
+
+def share_of_group(
+    ds,
+    group_col: str,
+    value_col: str,
+    *,
+    out_col: str = "share",
+    round_to: int = 6,
+):
+    """Ratio-to-report: each row's ``value / sum(value) OVER (PARTITION
+    BY group)`` — the per-domain/per-source contribution transform
+    (corpus-mix reporting, per-type traffic shares).
+
+    Ray shape (same two-pass stats-broadcast as :func:`zscore_by_group`):
+    group sums ride the map-side combiner (one tiny partial per block,
+    NO shuffle), the driver closes ≤ |groups| numbers, and a second
+    streaming pass divides — the corpus never shuffles or materializes.
+    Null values and groups absent from the stats pass (NULL keys) emit
+    null; a zero-sum group emits null (SQL x/0). Rounded on both sides:
+    the parallel partial sums reorder float additions vs the oracle's
+    serial windowed sum."""
+    import pandas as pd
+
+    stats = groupby_agg_lowcard(
+        ds,
+        [group_col],
+        [(value_col, "sum", "__s")],
+    )
+    groups = pd.Index(stats[group_col])
+    sums = stats["__s"].to_numpy(dtype=np.float64)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        gi = groups.get_indexer(batch.column(group_col).to_numpy(zero_copy_only=False))
+        varr = batch.column(value_col)
+        v = pc.cast(varr, pa.float64()).to_numpy(zero_copy_only=False)
+        seen = gi >= 0
+        gi_safe = np.where(seen, gi, 0)
+        denom = sums[gi_safe]
+        ok = seen & (denom != 0.0) & pc.is_valid(varr).to_numpy(zero_copy_only=False)
+        share = np.zeros_like(v)
+        np.divide(v, denom, out=share, where=ok)
+        return batch.append_column(
+            out_col, pa.array(round_half_away(share, round_to), mask=~ok)
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)

@@ -584,3 +584,76 @@ def ranked(
         .groupby("__bucket")
         .map_groups(rank_bucket, batch_format="pyarrow")
     )
+
+
+def keyed_rolling_rows(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    n_rows: int,
+    *,
+    agg: str = "mean",
+    out_col: str | None = None,
+    round_to: int = 6,
+    num_buckets: int = 64,
+):
+    """Per-key ROWS-frame rolling aggregate — SQL ``agg(value) OVER
+    (PARTITION BY key ORDER BY ts, id ROWS BETWEEN n_rows-1 PRECEDING
+    AND CURRENT ROW)`` (the count-based sibling of the RANGE-frame
+    :func:`rolling_time_agg`): smoothed per-user signals, n-event moving
+    averages. Partial leading windows aggregate over the rows available
+    so far, like SQL.
+
+    Ray shape (same as :func:`keyed_running_sum`): ONE bounded shuffle
+    on ``hash(key) % num_buckets``, then a vectorized segmented rolling
+    kernel per bucket (polars ``rolling_*(window_size).over(key)``) —
+    zero per-key Python. Emits ``ts_s`` (epoch-second BIGINT, floor
+    division) for representation-stable hashing. ``agg``: ``mean`` |
+    ``sum`` | ``min`` | ``max``. Rounded on both sides for the float
+    aggs: the windowed additions associate differently than the
+    oracle's."""
+    import numpy as np
+
+    from .hashing import bucket_ids
+
+    if agg not in ("mean", "sum", "min", "max"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    if n_rows <= 0:
+        raise ValueError(f"n_rows must be positive, got {n_rows}")
+    name = out_col or f"roll_{agg}"
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_ids(batch, [key_col], num_buckets)
+        )
+
+    def scan_bucket(group: pa.Table) -> pa.Table:
+        from .agg import round_half_away
+
+        g = _sort_keyed(group, key_col, ts_col, id_col)
+        import polars as pl
+
+        col = pl.col(value_col).cast(pl.Float64)
+        expr = {
+            "mean": col.rolling_mean(window_size=n_rows, min_samples=1),
+            "sum": col.rolling_sum(window_size=n_rows, min_samples=1),
+            "min": col.rolling_min(window_size=n_rows, min_samples=1),
+            "max": col.rolling_max(window_size=n_rows, min_samples=1),
+        }[agg]
+        out = (
+            pl.from_arrow(g.select([key_col, value_col]))
+            .select(expr.over(key_col))
+            .to_series()
+            .to_numpy()
+        )
+        if round_to is not None and agg in ("mean", "sum"):
+            out = round_half_away(out, round_to)
+        return g.append_column(name, pa.array(out, pa.float64()))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(scan_bucket, batch_format="pyarrow")
+    )

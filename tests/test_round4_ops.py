@@ -704,3 +704,73 @@ def test_duplicate_spans_matches_duckdb(ray_session):
         duplicate_spans(ray.data.from_pandas(df), window=0)
     with pytest.raises(ValueError):
         duplicate_spans(ray.data.from_pandas(df), min_docs=1)
+
+
+def test_keyed_rolling_rows_matches_duckdb(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.window import keyed_rolling_rows
+
+    rng = np.random.default_rng(29)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+            "id": np.arange(n, dtype="int64"),
+            "v": rng.uniform(0, 100, n),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    for agg, sql in (("mean", "avg(v)"), ("sum", "sum(v)"), ("max", "max(v)")):
+        got = (
+            keyed_rolling_rows(ds, "k", "ts", "id", "v", 7, agg=agg, num_buckets=4)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"""SELECT id, round({sql} OVER (PARTITION BY k ORDER BY ts, id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS r
+                FROM df ORDER BY id"""
+        ).fetchdf()
+        col = f"roll_{agg}"
+        if agg == "max":  # unrounded: exact values
+            assert np.allclose(got[col], want["r"])
+        else:
+            assert (got[col].values == want["r"].values).all(), agg
+    with pytest.raises(ValueError):
+        keyed_rolling_rows(ds, "k", "ts", "id", "v", 0)
+    with pytest.raises(ValueError):
+        keyed_rolling_rows(ds, "k", "ts", "id", "v", 5, agg="median")
+
+
+def test_share_of_group_matches_duckdb(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import share_of_group
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 2000),
+            "id": np.arange(2000, dtype="int64"),
+            "v": rng.uniform(-5, 50, 2000),
+        }
+    )
+    df.loc[3, "v"] = None        # null value -> null share
+    df.loc[df["g"] == "z", "v"] = 0.0  # zero-sum group -> null share (x/0)
+    got = (
+        share_of_group(ray.data.from_pandas(df).repartition(4), "g", "v")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """SELECT id, round(v / nullif(sum(v) OVER (PARTITION BY g), 0), 6) AS share
+           FROM df ORDER BY id"""
+    ).fetchdf()
+    gm, wm = got["share"].isna(), want["share"].isna()
+    assert (gm.values == wm.values).all()
+    assert np.allclose(got["share"].dropna(), want["share"].dropna())
