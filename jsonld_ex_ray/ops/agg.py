@@ -887,6 +887,19 @@ def grouped_approx_distinct_hll(
     )
 
 
+def _q_names(qs: list[float]) -> list[str]:
+    """Output column names for quantile requests: ``q<percent>`` ints when
+    distinct (the oracle-facing convention), else high-resolution labels
+    (``q9.5``) — two requests that rounded to the same integer percent used
+    to silently overwrite each other in the output dict."""
+    names = [f"q{int(round(q * 100))}" for q in qs]
+    if len(set(names)) < len(names):
+        names = [f"q{q * 100:g}" for q in qs]
+        if len(set(names)) < len(names):
+            raise ValueError(f"duplicate quantile requests: {qs}")
+    return names
+
+
 def exact_quantiles(ds, col: str, qs: list[float], bins: int = 8192, round_to: int = 6):
     """EXACT ``quantile_cont`` values without a global sort and without
     materializing the column: three streaming passes with tiny driver
@@ -913,13 +926,14 @@ def exact_quantiles(ds, col: str, qs: list[float], bins: int = 8192, round_to: i
             {"n": pa.array([len(v)], pa.int64()), "lo": pa.array([v.min()]), "hi": pa.array([v.max()])}
         )
 
+    qnames = _q_names(qs)
     st = ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     n = int(st.n.sum())
     if n == 0:
-        return pd.DataFrame({f"q{int(round(q * 100))}": [None] for q in qs})
+        return pd.DataFrame({name: [None] for name in qnames})
     lo, hi = float(st.lo.min()), float(st.hi.max())
     if lo == hi:
-        return pd.DataFrame({f"q{int(round(q * 100))}": [round(lo, round_to)] for q in qs})
+        return pd.DataFrame({name: [round(lo, round_to)] for name in qnames})
     width = (hi - lo) / bins
 
     def hist(batch: pa.Table) -> pa.Table:
@@ -966,11 +980,11 @@ def exact_quantiles(ds, col: str, qs: list[float], bins: int = 8192, round_to: i
         below_total = int(cum[b - 1]) if b > 0 else 0
         rank_of[k] = below_collected + (k - below_total)
     out = {}
-    for q, k0, k1, frac in plan:
+    for name, (q, k0, k1, frac) in zip(qnames, plan):
         v0 = picked[rank_of[k0]]
         v1 = picked[rank_of[k1]]
         val = v0 + (v1 - v0) * frac
-        out[f"q{int(round(q * 100))}"] = [float(round_half_away(np.array([val]), round_to)[0])]
+        out[name] = [float(round_half_away(np.array([val]), round_to)[0])]
     return pd.DataFrame(out)
 
 
@@ -1117,9 +1131,10 @@ def grouped_exact_quantiles(
         g_bins[int(g)] = nb
         g_below[int(g)] = np.r_[0, np.cumsum(counts[g, nb])[:-1]]
 
+    qname = dict(zip(qs, _q_names(qs)))
     out: dict = {group_col: list(groups)}
     for q in qs:
-        out[f"q{int(round(q * 100))}"] = [None] * n_g
+        out[qname[q]] = [None] * n_g
     for g, q, k0, k1, frac in plans:
         cum = cums[g]
         vals = by_group[g]
@@ -1131,7 +1146,7 @@ def grouped_exact_quantiles(
             below_total = int(cum[b - 1]) if b > 0 else 0
             got[k] = vals[collected_below + (k - below_total)]
         val = got[k0] + (got[k1] - got[k0]) * frac
-        out[f"q{int(round(q * 100))}"][g] = float(round_half_away(np.array([val]), round_to)[0])
+        out[qname[q]][g] = float(round_half_away(np.array([val]), round_to)[0])
 
     return pd.DataFrame(out).sort_values(group_col).reset_index(drop=True)
 
@@ -1159,7 +1174,7 @@ def grouped_quantiles_bucketed(
 
     from .hashing import bucket_ids
 
-    qcols = [f"q{int(round(q * 100))}" for q in qs]
+    qcols = _q_names(qs)
 
     def emit(batch: pa.Table) -> pa.Table:
         t = batch.select([group_col, col])
@@ -1594,11 +1609,13 @@ def winsorize(
     """
     if not 0.0 <= p_lo <= p_hi <= 1.0:
         raise ValueError(f"need 0 <= p_lo <= p_hi <= 1, got {p_lo}, {p_hi}")
-    qdf = exact_quantiles(ds, col, [p_lo, p_hi], bins=bins, round_to=round_to)
-    lo_name = f"q{int(round(p_lo * 100))}"
-    hi_name = f"q{int(round(p_hi * 100))}"
-    qlo = qdf[lo_name].iloc[0]
-    qhi = qdf[hi_name].iloc[0]
+    # pass distinct requests and index POSITIONALLY — two percentiles that
+    # round to the same integer percent used to collide on the q<pct>
+    # column name and clamp the whole column to one constant
+    ps = [p_lo] if p_lo == p_hi else [p_lo, p_hi]
+    qdf = exact_quantiles(ds, col, ps, bins=bins, round_to=round_to)
+    qlo = qdf.iloc[0, 0]
+    qhi = qdf.iloc[0, -1]
     name = out_col or col
     if qlo is None or qhi is None:  # empty / all-null input: nothing to clamp
         qlo, qhi = -np.inf, np.inf

@@ -306,6 +306,12 @@ def levenshtein_nearest(col, candidates: list[str]):
     global _DUCK
     import duckdb
 
+    # fail fast on the driver with a clear message — an empty or
+    # None-bearing vocabulary otherwise surfaces as an opaque arrow
+    # length-mismatch / TypeError deep inside a Ray worker task
+    if not candidates or any(not isinstance(c, str) for c in candidates):
+        raise ValueError("candidates must be a non-empty list of strings")
+
     with _DUCK_LOCK:
         if _DUCK is None:
             _DUCK = duckdb.connect()

@@ -56,6 +56,31 @@ def set_op(
         group = group.drop_columns(["__bucket"])
         import pyarrow.compute as pc
 
+        def fill_value(typ):
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                return ""
+            if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+                return b""
+            if pa.types.is_boolean(typ):
+                return False
+            return 0
+
+        def null_safe(t: pa.Table):
+            # SQL set ops treat NULL as equal to NULL (IS NOT DISTINCT
+            # FROM), but the arrow hash join never matches null keys —
+            # join instead on (null-filled shadow, validity flag) pairs,
+            # which are never null and distinguish a filled NULL from a
+            # genuine sentinel value.
+            keys = []
+            for i, c in enumerate(left_cols):
+                col = t.column(c)
+                typ = col.type
+                t = t.append_column(
+                    f"__k{i}", pc.fill_null(col, pa.scalar(fill_value(typ), typ))
+                ).append_column(f"__v{i}", pc.is_valid(col))
+                keys += [f"__k{i}", f"__v{i}"]
+            return t, keys
+
         side = group.column("__side")
         left = group.filter(pc.equal(side, 0)).drop_columns(["__side"])
         right = group.filter(pc.equal(side, 1)).drop_columns(["__side"])
@@ -65,7 +90,10 @@ def set_op(
         join_type = "left semi" if op == "intersect" else "left anti"
         if right.num_rows == 0:
             return left.schema.empty_table() if op == "intersect" else left
-        return left.join(right, keys=left_cols, join_type=join_type)
+        left_e, keys = null_safe(left)
+        right_e, _ = null_safe(right)
+        out = left_e.join(right_e.select(keys), keys=keys, join_type=join_type)
+        return out.select(left_cols)
 
     tagged = left_ds.map_batches(
         make_side(left_cols, 0), batch_format="pyarrow", zero_copy_batch=True

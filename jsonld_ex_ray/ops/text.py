@@ -250,6 +250,12 @@ def stratified_sample(
         raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
 
     def thr_hex(f: float) -> str:
+        # f == 1.0 must keep EVERY row. format(16**8, "08x") is the
+        # 9-char "100000000", which compares lexicographically BELOW
+        # almost every 8-char digest prefix ('1' < '2'..'f') and would
+        # silently keep ~6% of the stratum; "g" sorts above all hex.
+        if f >= 1.0:
+            return "g"
         return format(int(f * 16**8), "08x")
 
     groups = sorted(fractions)
@@ -353,13 +359,22 @@ def pmi_ngrams(
 
     u1 = uni.map_batches(rename("c1"), batch_format="pyarrow", zero_copy_batch=True)
     u2 = uni.map_batches(rename("c2"), batch_format="pyarrow", zero_copy_batch=True)
+    # schemas are statically known constants — passing them saves
+    # Dataset.schema() from executing each lazy plan an extra time (the
+    # second join's left side is the FIRST join's whole bucketed shuffle)
+    s, i64 = pa.string(), pa.int64()
+    surv_schema = pa.schema([("gram", s), ("cnt", i64), ("w1", s), ("w2", s)])
+    uni_schema = lambda c: pa.schema([("word", s), (c, i64)])  # noqa: E731
     j = hash_join_bucketed(
         survivors, u1, left_on="w1", right_on="word", right_cols=["c1"],
         num_buckets=num_buckets,
+        left_schema=surv_schema, right_schema=uni_schema("c1"),
     )
     j = hash_join_bucketed(
         j, u2, left_on="w2", right_on="word", right_cols=["c2"],
         num_buckets=num_buckets,
+        left_schema=surv_schema.append(pa.field("c1", i64)),
+        right_schema=uni_schema("c2"),
     )
 
     nb, nu = float(n_windows), float(n_tokens)
@@ -393,6 +408,10 @@ def explode_lines(ds, id_col: str = "doc_id", text_col: str = "text"):
     import numpy as np
 
     def explode(batch: pa.Table) -> pa.Table:
+        # NULL text emits no rows — matching SQL UNNEST(string_split(..))
+        # semantics; without the filter the null list length becomes NaN
+        # → a negative int64 that crashes np.repeat.
+        batch = batch.filter(pc.is_valid(batch.column(text_col)))
         lists = pc.split_pattern(batch.column(text_col), pattern="\n")
         parents = pc.list_parent_indices(lists)
         lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -428,6 +447,10 @@ def fuzzy_nearest(
     from DuckDB's C levenshtein kernel via one cross-join per batch
     (``ops/hashing.py`` connection discipline) — no per-row Python."""
     from .hashing import levenshtein_nearest
+
+    # validate on the driver at call time, not inside a worker task
+    if not candidates or any(not isinstance(c, str) for c in candidates):
+        raise ValueError("candidates must be a non-empty list of strings")
 
     def attach(batch: pa.Table) -> pa.Table:
         best, dist = levenshtein_nearest(batch.column(text_col), candidates)

@@ -642,15 +642,22 @@ def keyed_rolling_rows(
             "min": col.rolling_min(window_size=n_rows, min_samples=1),
             "max": col.rolling_max(window_size=n_rows, min_samples=1),
         }[agg]
-        out = (
+        s = (
             pl.from_arrow(g.select([key_col, value_col]))
             .select(expr.over(key_col))
             .to_series()
-            .to_numpy()
         )
+        # A frame with zero non-null values yields polars null; keep it a
+        # real arrow NULL (SQL windowed agg semantics), not the NaN that
+        # .to_numpy() would coerce it to — keyed_shift preserves nulls the
+        # same way.
+        null_mask = s.is_null().to_numpy()
+        out = s.to_numpy()
         if round_to is not None and agg in ("mean", "sum"):
             out = round_half_away(out, round_to)
-        return g.append_column(name, pa.array(out, pa.float64()))
+        return g.append_column(
+            name, pa.array(np.asarray(out, np.float64), pa.float64(), mask=null_mask)
+        )
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)

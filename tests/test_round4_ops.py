@@ -774,3 +774,139 @@ def test_share_of_group_matches_duckdb(ray_session):
     gm, wm = got["share"].isna(), want["share"].isna()
     assert (gm.values == wm.values).all()
     assert np.allclose(got["share"].dropna(), want["share"].dropna())
+
+
+def test_stratified_sample_fraction_one_keeps_all(ray_session):
+    """fraction=1.0 must keep EVERY row of its stratum (regression: the
+    9-char hex threshold '100000000' compared below most digests)."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.text import stratified_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(400), "lang": ["en", "fr"] * 200})
+    got = stratified_sample(
+        ray.data.from_pandas(df).repartition(4),
+        "lang",
+        {"fr": 1.0, "en": 0.25},
+        id_col="doc_id",
+    ).to_pandas()
+    assert (got.lang == "fr").sum() == 200
+    n_en = (got.lang == "en").sum()
+    assert 20 < n_en < 80  # ~25% of 200
+    # default_fraction=1.0 keeps groups absent from the dict too
+    got2 = stratified_sample(
+        ray.data.from_pandas(df), "lang", {}, id_col="doc_id", default_fraction=1.0
+    ).to_pandas()
+    assert len(got2) == 400
+
+
+def test_explode_lines_null_text(ray_session):
+    """NULL text emits no rows (SQL UNNEST semantics), instead of the
+    NaN→negative-repeat crash."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.text import explode_lines
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["a\nb", None, "c"]})
+    got = (
+        explode_lines(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values(["doc_id", "line_no"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """SELECT doc_id,
+                  CAST(generate_subscripts(string_split(text, chr(10)), 1) AS BIGINT)
+                      AS line_no,
+                  unnest(string_split(text, chr(10))) AS line
+           FROM t ORDER BY doc_id, line_no"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_set_op_null_rows_match_sql(ray_session):
+    """SQL set ops treat NULL as equal to NULL (IS NOT DISTINCT FROM);
+    the arrow join alone never matches null keys."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.setops import set_op
+
+    lt = pa.table({"k": pa.array([1, None, 2, None], pa.int64()),
+                   "s": pa.array(["a", None, "b", "c"], pa.string())})
+    rt = pa.table({"k": pa.array([1, None], pa.int64()),
+                   "s": pa.array(["a", None], pa.string())})
+    l_ds, r_ds = ray.data.from_arrow(lt), ray.data.from_arrow(rt)
+    inter = (
+        set_op(l_ds, r_ds, left_cols=["k", "s"], op="intersect")
+        .to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
+    )
+    exc = (
+        set_op(l_ds, r_ds, left_cols=["k", "s"], op="except")
+        .to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
+    )
+    lt_df, rt_df = lt.to_pandas(), rt.to_pandas()
+    want_i = duckdb.sql(
+        "SELECT * FROM lt_df INTERSECT SELECT * FROM rt_df ORDER BY k, s"
+    ).fetchdf()
+    want_e = duckdb.sql(
+        "SELECT * FROM lt_df EXCEPT SELECT * FROM rt_df ORDER BY k, s"
+    ).fetchdf()
+    assert len(inter) == len(want_i) == 2
+    assert len(exc) == len(want_e) == 2
+    pd.testing.assert_frame_equal(inter.astype({"k": "float64"}), want_i.astype({"k": "float64"}))
+    pd.testing.assert_frame_equal(exc.astype({"k": "float64"}), want_e.astype({"k": "float64"}))
+
+
+def test_keyed_rolling_rows_all_null_frame_is_null(ray_session):
+    """A frame with zero non-null values emits arrow NULL, not NaN."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.window import keyed_rolling_rows
+
+    t = pa.table(
+        {
+            "k": ["u"] * 3,
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([None, 2.0, 4.0], pa.float64()),
+        }
+    )
+    got = (
+        keyed_rolling_rows(ray.data.from_arrow(t), "k", "ts", "id", "v", 2)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert pd.isna(got.roll_mean.iloc[0])
+    assert got.roll_mean.iloc[1] == 2.0 and got.roll_mean.iloc[2] == 3.0
+
+
+def test_winsorize_subpercent_quantiles(ray_session):
+    """p_lo/p_hi that round to the same integer percent must not collide
+    on the q<pct> column name and collapse the column to a constant."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import winsorize
+
+    df = pd.DataFrame({"x": np.arange(1000, dtype="float64")})
+    got = winsorize(ray.data.from_pandas(df), "x", 0.095, 0.10).to_pandas()
+    want = duckdb.sql(
+        """SELECT least(greatest(x,
+                    round((SELECT quantile_cont(x, 0.095) FROM df), 6)),
+                    round((SELECT quantile_cont(x, 0.10) FROM df), 6)) AS x
+           FROM df"""
+    ).fetchdf()
+    assert np.allclose(np.sort(got.x), np.sort(want.x))
+    # p_lo == p_hi clamps everything to the single quantile
+    same = winsorize(ray.data.from_pandas(df), "x", 0.5, 0.5).to_pandas()
+    assert same.x.nunique() == 1
+
+
+def test_fuzzy_nearest_rejects_bad_candidates(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.text import fuzzy_nearest
+
+    ds = ray.data.from_pandas(pd.DataFrame({"text": ["abc"]}))
+    with pytest.raises(ValueError, match="non-empty"):
+        fuzzy_nearest(ds, "text", [])
+    with pytest.raises(ValueError, match="non-empty"):
+        fuzzy_nearest(ds, "text", ["ok", None])
