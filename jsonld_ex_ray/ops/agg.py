@@ -376,16 +376,12 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str], *, var_col: str = "me
     return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def rollup_agg(ds, keys: list[str], aggs):
-    """``GROUP BY ROLLUP(*keys)``: ONE partial scan at the finest level;
-    every coarser level (``keys[:-1]`` … grand total) is re-aggregated from
-    the tiny finest PARTIAL table — partials are mergeable sums/counts/
-    mins/maxes by construction, so adding rollup levels costs no extra
-    pass over the data. Same lowcard contract as ``groupby_agg_lowcard``
-    (driver combine is n_blocks × n_finest_groups rows). NULL in a key
-    column marks a rolled-up level, as in SQL ROLLUP output; source rows
-    whose key is itself NULL are indistinguishable from subtotals, exactly
-    like SQL without ``GROUPING()``. → pandas DataFrame(keys + aliases)."""
+def _grouping_sets_agg(ds, keys: list[str], aggs, level_sets: list[list[str]]):
+    """Shared engine under :func:`rollup_agg` / :func:`cube_agg`: ONE
+    partial scan at the finest level, then each requested grouping set is
+    re-aggregated from the tiny finest PARTIAL table (partials are
+    mergeable sums/counts/mins/maxes by construction). Keys absent from a
+    level become typed NULL columns, as in SQL ROLLUP/CUBE output."""
     import pandas as pd
     import ray
 
@@ -404,19 +400,33 @@ def rollup_agg(ds, keys: list[str], aggs):
     finest = pa.concat_tables(tbls)
     key_types = {k: finest.schema.field(k).type for k in keys}
     levels = []
-    for i in range(len(keys), -1, -1):
-        lvl_keys = keys[:i]
+    for lvl_keys in level_sets:
         if lvl_keys:
-            out = _finalize_arrow(finest, lvl_keys, aggs, partials)
+            out = _finalize_arrow(finest, list(lvl_keys), aggs, partials)
         else:
             # grand total: arrow group_by needs ≥1 key — a constant does it
             t = finest.append_column("__all", pa.array(np.zeros(finest.num_rows, np.int8)))
             out = _finalize_arrow(t, ["__all"], aggs, partials).drop_columns(["__all"])
-        for k in keys[i:]:  # rolled-up keys become typed NULL columns
-            out = out.append_column(k, pa.nulls(out.num_rows, key_types[k]))
+        for k in keys:  # rolled-up keys become typed NULL columns
+            if k not in lvl_keys:
+                out = out.append_column(k, pa.nulls(out.num_rows, key_types[k]))
         levels.append(out.select(out_cols))
     result = pa.concat_tables(levels).to_pandas()
     return result.sort_values(keys).reset_index(drop=True)
+
+
+def rollup_agg(ds, keys: list[str], aggs):
+    """``GROUP BY ROLLUP(*keys)``: ONE partial scan at the finest level;
+    every coarser level (``keys[:-1]`` … grand total) is re-aggregated from
+    the tiny finest PARTIAL table — partials are mergeable sums/counts/
+    mins/maxes by construction, so adding rollup levels costs no extra
+    pass over the data. Same lowcard contract as ``groupby_agg_lowcard``
+    (driver combine is n_blocks × n_finest_groups rows). NULL in a key
+    column marks a rolled-up level, as in SQL ROLLUP output; source rows
+    whose key is itself NULL are indistinguishable from subtotals, exactly
+    like SQL without ``GROUPING()``. → pandas DataFrame(keys + aliases)."""
+    level_sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    return _grouping_sets_agg(ds, keys, aggs, level_sets)
 
 
 def cube_agg(ds, keys: list[str], aggs):
@@ -431,41 +441,10 @@ def cube_agg(ds, keys: list[str], aggs):
     an engine limit. → pandas DataFrame(keys + aliases)."""
     from itertools import combinations
 
-    import pandas as pd
-    import ray
-
-    aggs = _norm_aggs(aggs)
-    partials = _plan_partials(aggs)
-    derived = _plan_derived(aggs)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        return _partial_table(batch, keys, partials, derived)
-
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
-    out_cols = [*keys, *[a[2] for a in aggs]]
-    if not tbls:
-        return pd.DataFrame(columns=out_cols)
-    finest = pa.concat_tables(tbls)
-    key_types = {k: finest.schema.field(k).type for k in keys}
-    levels = []
-    for r in range(len(keys), -1, -1):
-        for lvl_keys in combinations(keys, r):
-            if lvl_keys:
-                out = _finalize_arrow(finest, list(lvl_keys), aggs, partials)
-            else:
-                t = finest.append_column(
-                    "__all", pa.array(np.zeros(finest.num_rows, np.int8))
-                )
-                out = _finalize_arrow(t, ["__all"], aggs, partials).drop_columns(
-                    ["__all"]
-                )
-            for k in keys:
-                if k not in lvl_keys:
-                    out = out.append_column(k, pa.nulls(out.num_rows, key_types[k]))
-            levels.append(out.select(out_cols))
-    result = pa.concat_tables(levels).to_pandas()
-    return result.sort_values(keys).reset_index(drop=True)
+    level_sets = [
+        list(c) for r in range(len(keys), -1, -1) for c in combinations(keys, r)
+    ]
+    return _grouping_sets_agg(ds, keys, aggs, level_sets)
 
 
 def grouped_entropy(
@@ -609,6 +588,24 @@ def histogram_fixed(ds, col: str, lo: float, hi: float, nbins: int):
     )
 
 
+def segmented_head(t: pa.Table, group_col: str, sort_keys, k: int) -> pa.Table:
+    """Vectorized per-group top-k over ONE table: sort by
+    ``(group_col, *sort_keys)``, compute each row's rank within its group
+    run via a segmented arange, keep ``rank < k`` — zero per-group Python.
+    Shared by top_per_group, knn_join and the per-group samplers so the
+    tie-break and null-group semantics stay identical everywhere (a null
+    group sorts last and forms one contiguous run; a float NaN group key
+    splits per-row — don't use float group keys)."""
+    idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending"), *sort_keys])
+    t = t.take(idx)
+    g = t.column(group_col).to_numpy(zero_copy_only=False)
+    if len(g) == 0:
+        return t
+    starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
+    rank = np.arange(len(g)) - np.repeat(starts, np.diff(np.r_[starts, len(g)]))
+    return t.filter(pa.array(rank < k))
+
+
 def sample_per_group(ds, group_col: str, id_col: str, n: int, num_buckets: int = 64):
     """Deterministic stratified sampling: keep the ``n`` rows per group
     with the smallest ``md5(id)`` — reproducible across runs/retries and
@@ -623,13 +620,7 @@ def sample_per_group(ds, group_col: str, id_col: str, n: int, num_buckets: int =
         return batch.append_column("__rk", md5_hex(batch.column(id_col)))
 
     def local_topn(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        out = (
-            df.sort_values([group_col, "__rk"])
-            .groupby(group_col, sort=False, dropna=False)
-            .head(n)
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return segmented_head(batch, group_col, [("__rk", "ascending")], n)
 
     def tag_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -1370,20 +1361,9 @@ def top_per_group(
     totals = groupby_agg_bucketed(ds, [group_col, agg_key], [spec], num_buckets)
 
     def local_head(batch: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            batch,
-            sort_keys=[
-                (group_col, "ascending"),
-                (alias, "descending"),
-                (agg_key, "ascending"),
-            ],
+        return segmented_head(
+            batch, group_col, [(alias, "descending"), (agg_key, "ascending")], k
         )
-        t = batch.take(idx)
-        g = t.column(group_col).to_numpy(zero_copy_only=False)
-        pos = np.arange(len(g))
-        starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1] if len(g) else np.zeros(0, np.int64)
-        rank = pos - np.repeat(starts, np.diff(np.r_[starts, len(g)])) if len(g) else pos
-        return t.filter(pa.array(rank < k))
 
     from .hashing import bucket_ids
 

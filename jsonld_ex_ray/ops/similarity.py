@@ -401,23 +401,16 @@ def knn_join(
         )
 
     def final_head(group: pa.Table) -> pa.Table:
-        # a BUCKET of queries: segmented per-query rank < k (vectorized)
-        t = group.drop_columns(["__bucket"])
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[
-                ("query_id", "ascending"),
-                ("sim", "descending"),
-                ("neighbor_id", "ascending"),
-            ],
+        # a BUCKET of queries: segmented per-query rank < k (vectorized,
+        # shared kernel — keeps the tie-break identical to top_per_group)
+        from .agg import segmented_head
+
+        return segmented_head(
+            group.drop_columns(["__bucket"]),
+            "query_id",
+            [("sim", "descending"), ("neighbor_id", "ascending")],
+            k,
         )
-        t = t.take(idx)
-        g = t.column("query_id").to_numpy(zero_copy_only=False)
-        if len(g) == 0:
-            return t
-        starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
-        rank = np.arange(len(g)) - np.repeat(starts, np.diff(np.r_[starts, len(g)]))
-        return t.filter(pa.array(rank < k))
 
     return (
         ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)

@@ -1138,13 +1138,11 @@ def weighted_sample_per_group(
     kc = "__wk"
 
     def local_topn(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        out = (
-            df.sort_values([group_col, kc, id_col], ascending=[True, False, True])
-            .groupby(group_col, sort=False, dropna=False)
-            .head(n)
+        from jsonld_ex_ray.ops.agg import segmented_head
+
+        return segmented_head(
+            batch, group_col, [(kc, "descending"), (id_col, "ascending")], n
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
 
     def tag_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(

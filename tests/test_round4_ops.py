@@ -910,3 +910,28 @@ def test_fuzzy_nearest_rejects_bad_candidates(ray_session):
         fuzzy_nearest(ds, "text", [])
     with pytest.raises(ValueError, match="non-empty"):
         fuzzy_nearest(ds, "text", ["ok", None])
+
+
+def test_cube_matches_duckdb(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import cube_agg
+
+    df = _frame()
+    df["h"] = (df["id"] % 3).astype("int64")
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = cube_agg(
+        ds, ["g", "h"], [("x", "sum", "sx", 4), ("x", "count", "n"), ("x", "min", "mn")]
+    )
+    want = duckdb.sql(
+        """SELECT g, h, round(sum(x),4) sx, count(*) n, min(x) mn
+           FROM df GROUP BY CUBE(g, h) ORDER BY g, h"""
+    ).fetchdf()
+    # CUBE has the (NULL, h) level that ROLLUP lacks — check it exists
+    assert (got["g"].isna() & got["h"].notna()).any()
+    for f in (got, want):
+        f["g"] = f["g"].fillna(-1).astype("int64")
+        f["h"] = f["h"].fillna(-1).astype("int64")
+    got = got.sort_values(["g", "h"]).reset_index(drop=True)
+    want = want.sort_values(["g", "h"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
