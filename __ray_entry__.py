@@ -1522,6 +1522,21 @@ def _q_lineitem_rollup(sf_dir: str):
     )
 
 
+def _q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE: every subset of the key set re-aggregates the same
+    finest mergeable partial table — 2^k levels, still one data pass."""
+    from jsonld_ex_ray.ops.agg import cube_agg
+
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    return cube_agg(
+        ds,
+        ["o_orderpriority", "o_orderstatus"],
+        [("o_totalprice", "sum", "sum_price", 2), ("o_totalprice", "count", "n")],
+    )
+
+
 def _q_orders_ranked(sf_dir: str):
     """Full SQL ranking family (row_number/rank/dense_rank/percent_rank/
     cume_dist/ntile) per partition in ONE bounded shuffle + segmented
@@ -1943,6 +1958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans": _q_doc_dup_spans,
         "events_rolling_rows": _q_events_rolling_rows,
         "events_share_of_type": _q_events_share_of_type,
+        "orders_cube": _q_orders_cube,
     }
     oracled = set(oracle_sql())
     # 69 oracled queries, 50 driver slots: queries that have never had a
@@ -1977,6 +1993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter",      # thin filter variant of in-window text_quality
         "events_rolling_1h",       # RANGE rolling — events_rolling_rows (ROWS sibling) in-window
         "events_value_zscore",     # stats-broadcast — events_share_of_type (same shape) in-window
+        "orders_cube",             # CUBE — shares _grouping_sets_agg with in-window lineitem_rollup
     )
     ordered: dict[str, Callable[[str], Any]] = {}
     for name in base:  # stable partition, original relative order kept
@@ -2784,6 +2801,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "orders_cube": """
+            SELECT o_orderpriority, o_orderstatus,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   count(*) AS n
+            FROM orders
+            GROUP BY CUBE(o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority, o_orderstatus
         """,
         "orders_ranked": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,
