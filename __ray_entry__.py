@@ -1961,11 +1961,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": _q_orders_cube,
     }
     oracled = set(oracle_sql())
-    # 69 oracled queries, 50 driver slots: queries that have never had a
+    # 76 oracled queries, 50 driver slots: queries that have never had a
     # driver correctness row (round-4 additions + r3 positions 51+) and
-    # the two r3-red fixes take priority; the ceding 19 are long-green
+    # the two r3-red fixes take priority; the ceding 26 are long-green
     # (CORRECTNESS_r03 hash-green) same-kernel siblings of an in-window
-    # query, and every ceded query stays driver_sim- and pytest-verified
+    # query (plus orders_cube, new but engine-identical to in-window
+    # lineitem_rollup), and every ceded query stays driver_sim- and pytest-verified
     # (tests/driver_sim.py runs ALL queries at num_cpus=32).
     out_of_window = (
         "doc_repetition_filter",   # sibling of doc_repetition (same kernel + filter)
