@@ -1851,7 +1851,7 @@ def _q_events_value_mad(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-query correctness window covers the
     stable oracled core: oracled queries first, rows-only / no_oracle
-    queries last. There are more oracled queries (69) than window slots
+    queries last. There are more oracled queries (76) than window slots
     (50); never-driver-checked queries take window priority and the
     ceded ones (the ``out_of_window`` tuple below, each annotated) are
     long-green same-kernel siblings of an in-window query — ALL of them

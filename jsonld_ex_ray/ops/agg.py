@@ -593,14 +593,19 @@ def segmented_head(t: pa.Table, group_col: str, sort_keys, k: int) -> pa.Table:
     ``(group_col, *sort_keys)``, compute each row's rank within its group
     run via a segmented arange, keep ``rank < k`` — zero per-group Python.
     Shared by top_per_group, knn_join and the per-group samplers so the
-    tie-break and null-group semantics stay identical everywhere (a null
-    group sorts last and forms one contiguous run; a float NaN group key
-    splits per-row — don't use float group keys)."""
+    tie-break and null-group semantics stay identical everywhere. Run
+    boundaries come from dictionary codes of the sorted group column, so
+    NULL group keys (any type — nullable ints included) coalesce into ONE
+    run exactly like SQL ``PARTITION BY`` treats them, instead of the
+    NaN-per-row splitting a raw ``to_numpy`` comparison would produce."""
     idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending"), *sort_keys])
     t = t.take(idx)
-    g = t.column(group_col).to_numpy(zero_copy_only=False)
-    if len(g) == 0:
+    if t.num_rows == 0:
         return t
+    # dictionary codes: equal values (adjacent after the sort) share a
+    # code; nulls get a null index → fill with -1 so they form one run.
+    enc = t.column(group_col).combine_chunks().dictionary_encode()
+    g = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
     starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
     rank = np.arange(len(g)) - np.repeat(starts, np.diff(np.r_[starts, len(g)]))
     return t.filter(pa.array(rank < k))
