@@ -497,19 +497,38 @@ def interval_join_banded(
         lo = right_tbl.column(right_lo).to_numpy(zero_copy_only=False).astype(np.float64)
         hi = right_tbl.column(right_hi).to_numpy(zero_copy_only=False).astype(np.float64)
         rband = right_tbl.column("__band").to_numpy(zero_copy_only=False)
+        # fully vectorized probe: ONE batched searchsorted locates every
+        # interval's band slice, then the candidate (row, interval) pairs
+        # are repeat-expanded and masked in bulk — no per-interval Python.
+        # Chunked by a candidate budget so a hot band (many rows × many
+        # intervals) expands at most ~8M index pairs at a time.
+        s_all = np.searchsorted(lband_sorted, rband, side="left")
+        e_all = np.searchsorted(lband_sorted, rband, side="right")
+        cnt = e_all - s_all
+        nz = np.flatnonzero(cnt)
+        if nz.size == 0:
+            return out_schema.empty_table()
+        budget = 8_000_000
+        csum = np.cumsum(cnt[nz])
+        total_all = int(csum[-1])
+        if total_all <= budget:
+            bounds = [0, nz.size]
+        else:
+            targets = np.arange(budget, total_all, budget, dtype=np.int64)
+            cuts = np.searchsorted(csum, targets, side="left") + 1
+            bounds = np.unique(np.r_[0, cuts, nz.size]).tolist()
         li, ri = [], []
-        # one vectorized probe per interval copy in this bucket; the
-        # interval side is the small(er) side of the banding by design
-        for i in range(right_tbl.num_rows):
-            s = np.searchsorted(lband_sorted, rband[i], side="left")
-            e = np.searchsorted(lband_sorted, rband[i], side="right")
-            if s == e:
-                continue
-            m = (v_sorted[s:e] >= lo[i]) & (v_sorted[s:e] <= hi[i])
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            ivs = nz[b0:b1]
+            c = cnt[ivs]
+            total = int(c.sum())
+            ridx_exp = np.repeat(ivs, c)
+            starts = np.r_[np.int64(0), np.cumsum(c)[:-1]]
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, c) + np.repeat(s_all[ivs], c)
+            m = (v_sorted[pos] >= lo[ridx_exp]) & (v_sorted[pos] <= hi[ridx_exp])
             if m.any():
-                sel = order[s:e][m]
-                li.append(sel)
-                ri.append(np.full(sel.size, i, dtype=np.int64))
+                li.append(order[pos[m]])
+                ri.append(ridx_exp[m])
         if not li:
             return out_schema.empty_table()
         lidx = pa.array(np.concatenate(li), pa.int64())

@@ -45,3 +45,52 @@ def test_segmented_head_null_group_types_matrix():
         out = segmented_head(t, "g", [("v", "ascending")], 1)
         assert out.num_rows == 2, typ
         assert out.column("v").to_pylist() == [1, 3], typ
+
+
+# ---------------------------------------------------------------------------
+# interval_join_banded: vectorized bucket probe (no per-interval Python)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_many_intervals_one_band(ray_session):
+    """50k intervals all landing in ONE band, plus values spread across
+    it: the batched searchsorted/repeat-expand probe must produce exactly
+    the brute-force BETWEEN matches (and do so loop-free — this sizing
+    finishes fast only if the kernel is vectorized)."""
+    import ray.data
+    from jsonld_ex_ray.ops.joins import interval_join_banded
+
+    rng = np.random.RandomState(7)
+    n_iv = 50_000
+    lo = rng.uniform(0, 999, n_iv)
+    hi = lo + rng.uniform(0, 0.6, n_iv)  # narrow: every interval in band 0
+    vals = rng.uniform(0, 1000, 400)
+    left = pd.DataFrame({"v": vals, "lid": np.arange(400, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"lo": lo, "hi": hi, "rid": np.arange(n_iv, dtype=np.int64)}
+    )
+    out = (
+        interval_join_banded(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(4),
+            left_val="v",
+            right_lo="lo",
+            right_hi="hi",
+            right_cols=["rid"],
+            band_width=1000.0,  # one band for everything
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    # brute force oracle
+    m = (vals[:, None] >= lo[None, :]) & (vals[:, None] <= hi[None, :])
+    li, ri = np.nonzero(m)
+    want = (
+        pd.DataFrame({"lid": li.astype(np.int64), "rid": ri.astype(np.int64)})
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(want) > 0
+    pd.testing.assert_frame_equal(out[["lid", "rid"]], want)
