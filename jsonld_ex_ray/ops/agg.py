@@ -1397,15 +1397,24 @@ def pivot_agg(
     pivot_values: list[str],
     *,
     round_to: int = 2,
+    max_broadcast_groups: int = 100_000,
+    num_buckets: int = 64,
 ):
     """Pivot/wide aggregate: one ``n_<v>`` count and ``sum_<v>`` sum
     column per pivot value, grouped by ``key_col`` — the
     crosstab/feature-table shape. Pivot columns are materialized as
     vectorized indicator columns inside ``map_batches`` (absent
     combinations aggregate to 0, SQL ``coalesce(sum(CASE …), 0)``), then
-    everything rides the map-side-combiner groupby — no shuffle beyond
-    the tiny partial rows. ``pivot_values`` is explicit (schema must be
-    static); values outside the list are ignored."""
+    everything rides the map-side combiner into the bucketed groupby —
+    no shuffle beyond the tiny partial rows. ``pivot_values`` is
+    explicit (schema must be static); values outside the list are
+    ignored. CARDINALITY-GATED: at or below ``max_broadcast_groups``
+    distinct keys the result collects to a pandas DataFrame sorted by
+    key (the crosstab shape callers chart/join locally); above the gate
+    the one-row-per-key result STAYS a distributed Dataset — a
+    per-domain feature table over tens of millions of domains never
+    lands in driver memory."""
+    import pandas as pd
 
     def widen(batch: pa.Table) -> pa.Table:
         p = batch.column(pivot_col)
@@ -1426,7 +1435,12 @@ def pivot_agg(
         aggs.append((f"__c_{val}", "sum", f"n_{val}"))
         aggs.append((f"__v_{val}", "sum", f"sum_{val}", round_to))
     wide = ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
-    return groupby_agg_lowcard(wide, [key_col], aggs)
+    res_ds = groupby_agg_bucketed(wide, [key_col], aggs, num_buckets=num_buckets).materialize()
+    if res_ds.count() > max_broadcast_groups:
+        return res_ds
+    return (
+        res_ds.to_pandas().sort_values(key_col).reset_index(drop=True)
+    )
 
 
 def zscore_by_group(
@@ -1436,14 +1450,22 @@ def zscore_by_group(
     *,
     out_col: str = "z",
     round_to: int = 6,
+    max_broadcast_groups: int = 100_000,
+    num_buckets: int = 64,
 ):
     """Per-group standardization: ``(x − mean_g) / stddev_pop_g`` — the
     feature-normalization transform. Group moments (sum, sum-of-squares,
-    count) ride the map-side combiner path (one tiny partial per block,
-    no shuffle), the driver closes them into (mean, σ) per group, and a
-    second streaming pass emits the normalized column — two passes, the
-    corpus never shuffles and never materializes. Assumes non-null
-    values (SQL COUNT(*) semantics in the denominator)."""
+    count) ride the map-side combiner into the bucketed combine, and the
+    path is CARDINALITY-GATED like share_of_group / grouped quantiles:
+    at or below ``max_broadcast_groups`` the driver closes the moments
+    into (mean, σ) per group and a second streaming pass emits the
+    normalized column (zero corpus shuffle); above it the moments join
+    back via ``hash_join_bucketed`` on the group key — driver state O(1)
+    at any group cardinality. A NULL group key is ONE real partition
+    (SQL parity) whose moments ride as driver scalars on both paths; a
+    constant-valued group emits null (SQL x/0). Assumes non-null values
+    (SQL COUNT(*) semantics in the denominator)."""
+    import pandas as pd
 
     def add_sq(batch: pa.Table) -> pa.Table:
         v = pc.cast(batch.column(value_col), pa.float64())
@@ -1451,45 +1473,72 @@ def zscore_by_group(
             "__sq", pc.multiply(v, v)
         )
 
-    stats = groupby_agg_lowcard(
+    stats, null_row, stats_ds = _group_stats_gated(
         ds.map_batches(add_sq, batch_format="pyarrow", zero_copy_batch=True),
-        [group_col],
+        group_col,
         [(value_col, "sum", "__s"), ("__sq", "sum", "__s2"), (value_col, "count", "__n")],
+        max_broadcast_groups,
+        num_buckets,
     )
-    mu = {}
-    sd = {}
-    for _, r in stats.iterrows():
-        n = float(r["__n"])
-        m = r["__s"] / n
-        var = max(r["__s2"] / n - m * m, 0.0)
-        mu[r[group_col]] = m
-        sd[r[group_col]] = float(np.sqrt(var))
 
-    import pandas as pd
+    def close_moments(s, s2, n):
+        """(sum, sumsq, count) → (mean, stddev_pop); n==0 → (nan, 0)."""
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = np.divide(s, n, out=np.full_like(s, np.nan), where=n > 0)
+            var = np.maximum(np.divide(s2, n, out=np.zeros_like(s2), where=n > 0) - m * m, 0.0)
+        return m, np.sqrt(var)
 
-    groups = pd.Index(list(mu))
-    mu_a = np.asarray([mu[g] for g in groups])
-    sd_a = np.asarray([sd[g] for g in groups])
+    if null_row is not None:
+        null_mu, null_sd = close_moments(
+            np.array([float(null_row["__s"])]),
+            np.array([float(null_row["__s2"])]),
+            np.array([float(null_row["__n"])]),
+        )
+        null_mu, null_sd = float(null_mu[0]), float(null_sd[0])
 
-    def emit(batch: pa.Table) -> pa.Table:
-        gi = groups.get_indexer(batch.column(group_col).to_numpy(zero_copy_only=False))
+    def finish(batch: pa.Table, mu: np.ndarray, sd: np.ndarray, seen: np.ndarray) -> pa.Table:
         v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        # get_indexer returns -1 for groups absent from the stats table
-        # (e.g. NULL keys, which the pandas combine drops) — an unmasked
-        # -1 would silently index the LAST group's moments. Emit null z
-        # for those rows, matching SQL's real NULL partition.
-        seen = gi >= 0
-        gi_safe = np.where(seen, gi, 0)
-        sd = sd_a[gi_safe]
+        if null_row is not None:
+            nm = ~pc.is_valid(batch.column(group_col)).to_numpy(zero_copy_only=False)
+            mu = np.where(nm, null_mu, mu)
+            sd = np.where(nm, null_sd, sd)
+            seen = seen | nm
         ok = seen & (sd > 0.0)
         z = np.zeros_like(v)
-        np.divide(v - mu_a[gi_safe], sd, out=z, where=ok)
+        np.divide(v - np.where(seen, mu, 0.0), sd, out=z, where=ok)
         # constant-valued group: SQL x/0 is NULL, never inf/nan
         return batch.append_column(
             out_col, pa.array(round_half_away(z, round_to), mask=~ok)
         )
 
-    return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+    if stats is not None:
+        groups = pd.Index(stats[group_col])
+        mu_a, sd_a = close_moments(
+            stats["__s"].to_numpy(np.float64),
+            stats["__s2"].to_numpy(np.float64),
+            stats["__n"].to_numpy(np.float64),
+        )
+
+        def emit(batch: pa.Table) -> pa.Table:
+            gi = groups.get_indexer(batch.column(group_col).to_numpy(zero_copy_only=False))
+            seen = gi >= 0
+            gi_safe = np.where(seen, gi, 0)
+            return finish(batch, mu_a[gi_safe], sd_a[gi_safe], seen)
+
+        return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = _stats_join_back(ds, stats_ds, group_col, ["__s", "__s2", "__n"], num_buckets)
+
+    def emit_joined(batch: pa.Table) -> pa.Table:
+        narr = batch.column("__n")
+        seen = pc.is_valid(narr).to_numpy(zero_copy_only=False)
+        n = pc.fill_null(narr, 0).to_numpy(zero_copy_only=False).astype(np.float64)
+        s = pc.fill_null(batch.column("__s"), 0.0).to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = pc.fill_null(batch.column("__s2"), 0.0).to_numpy(zero_copy_only=False).astype(np.float64)
+        mu, sd = close_moments(s, s2, n)
+        return finish(batch, mu, sd, seen).drop_columns(["__s", "__s2", "__n"])
+
+    return joined.map_batches(emit_joined, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def heavy_hitters(ds, col: str, k: int, *, capacity: int = 2048):
@@ -1654,6 +1703,52 @@ def median_abs_deviation(ds, col: str, *, bins: int = 8192, round_to: int = 6):
     return pd.DataFrame({"median": [m], "mad": [mad]})
 
 
+def _group_stats_gated(ds, group_col: str, stat_aggs, max_broadcast_groups: int, num_buckets: int):
+    """Shared gate for the stats-broadcast window family (share_of_group,
+    zscore_by_group): compute per-group stats with the bucketed combine
+    (driver sees NOTHING until after the count), then either hand back a
+    small pandas stats table for the broadcast fast path, or None plus
+    the distributed stats Dataset for the join-back path. Mirrors the
+    grouped_exact_quantiles gate (same cure for the same driver-memory
+    cliff — a per-domain transform over tens of millions of groups must
+    not land every group's moments in driver memory)."""
+    stats_ds = groupby_agg_bucketed(ds, [group_col], stat_aggs, num_buckets=num_buckets).materialize()
+    # the NULL-key group (SQL GROUP BY keeps one) is handled as explicit
+    # driver-held scalars on BOTH paths: the broadcast Index can't hash
+    # null reliably across key dtypes, and the bucketed hash join never
+    # matches null keys — either would silently drop the NULL partition
+    def only_null(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_null(b.column(group_col)))
+
+    null_stats = stats_ds.map_batches(
+        only_null, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    null_row = None if null_stats.empty else null_stats.iloc[0]
+    if stats_ds.count() <= max_broadcast_groups:
+        stats = stats_ds.to_pandas()
+        return stats[stats[group_col].notna()].reset_index(drop=True), null_row, stats_ds
+    return None, null_row, stats_ds
+
+
+def _stats_join_back(ds, stats_ds, group_col: str, stat_cols: list[str], num_buckets: int):
+    """High-cardinality path: per-group stats joined back onto the rows
+    via the bucketed hash join (ONE bounded shuffle each side), never a
+    driver-held pandas Index. NULL group keys match nothing in the hash
+    join — their stat columns come back null, exactly like the broadcast
+    path's get_indexer(-1) miss."""
+    from .joins import hash_join_bucketed
+
+    return hash_join_bucketed(
+        ds,
+        stats_ds,
+        left_on=group_col,
+        right_on=group_col,
+        right_cols=stat_cols,
+        join_type="left",
+        num_buckets=num_buckets,
+    )
+
+
 def share_of_group(
     ds,
     group_col: str,
@@ -1661,36 +1756,39 @@ def share_of_group(
     *,
     out_col: str = "share",
     round_to: int = 6,
+    max_broadcast_groups: int = 100_000,
+    num_buckets: int = 64,
 ):
     """Ratio-to-report: each row's ``value / sum(value) OVER (PARTITION
     BY group)`` — the per-domain/per-source contribution transform
     (corpus-mix reporting, per-type traffic shares).
 
-    Ray shape (same two-pass stats-broadcast as :func:`zscore_by_group`):
-    group sums ride the map-side combiner (one tiny partial per block,
-    NO shuffle), the driver closes ≤ |groups| numbers, and a second
-    streaming pass divides — the corpus never shuffles or materializes.
-    Null values and groups absent from the stats pass (NULL keys) emit
-    null; a zero-sum group emits null (SQL x/0). Rounded on both sides:
-    the parallel partial sums reorder float additions vs the oracle's
-    serial windowed sum."""
+    Ray shape: group sums ride the map-side combiner into the bucketed
+    combine (one tiny partial per block, one bounded shuffle of partial
+    rows), CARDINALITY-GATED like grouped_exact_quantiles: at or below
+    ``max_broadcast_groups`` the driver closes ≤ |groups| numbers and a
+    second streaming pass divides (zero corpus shuffle); above it the
+    stats Dataset is joined back via ``hash_join_bucketed`` on the group
+    key, so driver state stays O(1) at ANY group cardinality. Null
+    values and groups absent from the stats pass (NULL keys) emit null;
+    a zero-sum group emits null (SQL x/0). A NULL group key is ONE real
+    partition (SQL parity) whose sum rides as a driver scalar on both
+    paths. Rounded on both sides: the parallel partial sums reorder
+    float additions vs the oracle's serial windowed sum."""
     import pandas as pd
 
-    stats = groupby_agg_lowcard(
-        ds,
-        [group_col],
-        [(value_col, "sum", "__s")],
+    stats, null_row, stats_ds = _group_stats_gated(
+        ds, group_col, [(value_col, "sum", "__s")], max_broadcast_groups, num_buckets
     )
-    groups = pd.Index(stats[group_col])
-    sums = stats["__s"].to_numpy(dtype=np.float64)
+    null_s = float(null_row["__s"]) if null_row is not None else 0.0
 
-    def emit(batch: pa.Table) -> pa.Table:
-        gi = groups.get_indexer(batch.column(group_col).to_numpy(zero_copy_only=False))
+    def finish(batch: pa.Table, denom: np.ndarray, seen: np.ndarray) -> pa.Table:
         varr = batch.column(value_col)
         v = pc.cast(varr, pa.float64()).to_numpy(zero_copy_only=False)
-        seen = gi >= 0
-        gi_safe = np.where(seen, gi, 0)
-        denom = sums[gi_safe]
+        if null_row is not None:
+            nm = ~pc.is_valid(batch.column(group_col)).to_numpy(zero_copy_only=False)
+            denom = np.where(nm, null_s, denom)
+            seen = seen | nm
         ok = seen & (denom != 0.0) & pc.is_valid(varr).to_numpy(zero_copy_only=False)
         share = np.zeros_like(v)
         np.divide(v, denom, out=share, where=ok)
@@ -1698,4 +1796,24 @@ def share_of_group(
             out_col, pa.array(round_half_away(share, round_to), mask=~ok)
         )
 
-    return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+    if stats is not None:
+        groups = pd.Index(stats[group_col])
+        sums = stats["__s"].to_numpy(dtype=np.float64)
+
+        def emit(batch: pa.Table) -> pa.Table:
+            gi = groups.get_indexer(batch.column(group_col).to_numpy(zero_copy_only=False))
+            seen = gi >= 0
+            denom = sums[np.where(seen, gi, 0)]
+            return finish(batch, denom, seen)
+
+        return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = _stats_join_back(ds, stats_ds, group_col, ["__s"], num_buckets)
+
+    def emit_joined(batch: pa.Table) -> pa.Table:
+        s = batch.column("__s")
+        seen = pc.is_valid(s).to_numpy(zero_copy_only=False)
+        denom = pc.fill_null(s, 0.0).to_numpy(zero_copy_only=False).astype(np.float64)
+        return finish(batch, denom, seen).drop_columns(["__s"])
+
+    return joined.map_batches(emit_joined, batch_format="pyarrow", zero_copy_batch=True)

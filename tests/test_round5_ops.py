@@ -94,3 +94,145 @@ def test_interval_join_many_intervals_one_band(ray_session):
     )
     assert len(out) == len(want) > 0
     pd.testing.assert_frame_equal(out[["lid", "rid"]], want)
+
+
+# ---------------------------------------------------------------------------
+# cardinality-gated group-stats family (share / zscore / pivot)
+# ---------------------------------------------------------------------------
+
+
+def _share_oracle(df):
+    s = df.groupby("g", dropna=True)["v"].transform("sum")
+    share = df["v"] / s
+    share[df["g"].isna() | (s == 0)] = np.nan
+    return share
+
+
+def test_share_of_group_bucketed_matches_broadcast(ray_session):
+    """120k distinct groups — above the default broadcast gate, so the
+    stats must join back via the bucketed hash join with O(1) driver
+    state — against the pandas windowed-sum oracle; and a tiny-gate run
+    must agree with the broadcast path bit-for-bit."""
+    import ray.data
+    from jsonld_ex_ray.ops.agg import share_of_group
+
+    rng = np.random.RandomState(3)
+    n = 360_000
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 120_000, n).astype("int64"),
+            "v": rng.uniform(-5, 5, n),
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    out = (
+        share_of_group(ray.data.from_pandas(df).repartition(8), "g", "v", num_buckets=16)
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    want = np.round(_share_oracle(df), 6)
+    got = out["share"].to_numpy()
+    assert np.allclose(got, want, atol=1e-6, equal_nan=True)
+
+
+def test_share_and_zscore_paths_agree_with_null_keys(ray_session):
+    """Forcing the join-back path with a tiny gate must give the same
+    rows as the broadcast path — and on BOTH paths the NULL group key is
+    ONE real partition (SQL PARTITION BY parity): share over (9, 1) is
+    0.9/0.1, z over (9, 1) is ±1."""
+    import ray.data
+    from jsonld_ex_ray.ops.agg import share_of_group, zscore_by_group
+
+    tbl = pa.table(
+        {
+            "g": pa.array([1, 1, 2, 2, 2, None, None, 3], type=pa.int64()),
+            "v": pa.array([1.0, 3.0, 2.0, 2.0, 6.0, 9.0, 1.0, 5.0]),
+            "rid": pa.array(np.arange(8, dtype=np.int64)),
+        }
+    )
+    df = tbl.to_pandas()
+    null_mask = df["g"].isna().to_numpy()
+    expect_null = {"share": [0.9, 0.1], "z": [1.0, -1.0]}
+    for fn, col in [(share_of_group, "share"), (zscore_by_group, "z")]:
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        wide = fn(ds, "g", "v").to_pandas().sort_values("rid").reset_index(drop=True)
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        narrow = (
+            fn(ds, "g", "v", max_broadcast_groups=1)
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        assert np.allclose(
+            wide[col].to_numpy(np.float64),
+            narrow[col].to_numpy(np.float64),
+            equal_nan=True,
+        ), col
+        for out in (wide, narrow):
+            got = out.loc[null_mask, col].tolist()
+            assert got == expect_null[col], (col, got)
+
+
+def test_zscore_bucketed_many_groups(ray_session):
+    import ray.data
+    from jsonld_ex_ray.ops.agg import zscore_by_group
+
+    rng = np.random.RandomState(5)
+    n = 330_000
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 110_000, n).astype("int64"),
+            "v": rng.normal(0, 2, n),
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    out = (
+        zscore_by_group(ray.data.from_pandas(df).repartition(8), "g", "v", num_buckets=16)
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    grp = df.groupby("g")["v"]
+    mu = grp.transform("mean")
+    sd = grp.transform(lambda x: x.std(ddof=0))
+    want = ((df["v"] - mu) / sd).where(sd > 0, np.nan)
+    assert np.allclose(
+        out["z"].to_numpy(), np.round(want, 6), atol=1e-6, equal_nan=True
+    )
+
+
+def test_pivot_agg_gate_returns_dataset_above(ray_session):
+    """pivot_agg stays a distributed Dataset above the gate (a
+    per-domain feature table must not land in driver memory) and an
+    identical pandas frame below it."""
+    import ray.data
+    from jsonld_ex_ray.ops.agg import pivot_agg
+
+    rng = np.random.RandomState(9)
+    n = 40_000
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5_000, n).astype("int64"),
+            "p": rng.choice(["a", "b"], n),
+            "v": rng.uniform(0, 10, n),
+        }
+    )
+    small = pivot_agg(
+        ray.data.from_pandas(df).repartition(4), "k", "p", "v", ["a", "b"]
+    )
+    assert isinstance(small, pd.DataFrame)
+    big = pivot_agg(
+        ray.data.from_pandas(df).repartition(4),
+        "k",
+        "p",
+        "v",
+        ["a", "b"],
+        max_broadcast_groups=10,
+    )
+    assert not isinstance(big, pd.DataFrame)  # stays a Dataset
+    big_df = big.to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        small, big_df, check_dtype=False, check_exact=False, rtol=1e-9
+    )
