@@ -61,3 +61,38 @@ def _stabilize_fsspec_http() -> None:
 
 
 _stabilize_fsspec_http()
+
+
+def _silence_empty_schema_divergence_warning() -> None:
+    """Drop Ray's schema-divergence warning ONLY for the empty-new-schema
+    artifact, keeping real schema drift visible.
+
+    Ray's sort-based shuffle (under every ``groupby``) builds an output
+    partition that received zero rows as a ZERO-COLUMN table
+    (``merge_sorted_blocks`` → ``_empty_table()`` →
+    ``pyarrow_table_from_pydict({})`` in
+    ray/data/_internal/arrow_block.py), so any bucketed op whose range
+    partitions outnumber its distinct keys logs "Operator produced a
+    RefBundle with a different schema … new schema: ." once per
+    operator. That warning is noise from Ray's internals — our bucket
+    kernels emit schema-stable empty tables — and worse, it sets the
+    once-per-operator warned flag, masking REAL drift. A real divergence
+    (non-empty new schema) still logs; only the empty-new-schema form
+    (str(empty schema) == "") is filtered."""
+    import logging
+
+    class _EmptyNewSchemaFilter(logging.Filter):
+        _NEEDLE = "new schema: . This may lead"
+
+        def filter(self, record: logging.LogRecord) -> bool:  # pragma: no cover
+            try:
+                return self._NEEDLE not in record.getMessage()
+            except Exception:
+                return True
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptyNewSchemaFilter())
+
+
+_silence_empty_schema_divergence_warning()

@@ -97,6 +97,42 @@ def test_interval_join_many_intervals_one_band(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# empty-schema divergence filter: Ray's artifact dropped, real drift kept
+# ---------------------------------------------------------------------------
+
+
+def test_empty_schema_warning_filter_is_selective():
+    import logging
+
+    import jsonld_ex_ray  # noqa: F401  (import installs the filter)
+
+    lg = logging.getLogger("ray.data._internal.execution.streaming_executor_state")
+    filters = [f for f in lg.filters if type(f).__name__ == "_EmptyNewSchemaFilter"]
+    assert filters, "package import must install the filter"
+    f = filters[0]
+
+    def rec(msg):
+        return logging.LogRecord("x", logging.WARNING, "p", 1, msg, None, None)
+
+    # the Ray empty-merge artifact (empty schema prints as ""): dropped
+    assert not f.filter(
+        rec(
+            "Operator produced a RefBundle with a different schema than the "
+            "previous one. Previous schema: a: int64, "
+            "new schema: . This may lead to unexpected behavior."
+        )
+    )
+    # REAL schema drift (non-empty new schema): kept
+    assert f.filter(
+        rec(
+            "Operator produced a RefBundle with a different schema than the "
+            "previous one. Previous schema: a: int64, "
+            "new schema: b: string. This may lead to unexpected behavior."
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # cardinality-gated group-stats family (share / zscore / pivot)
 # ---------------------------------------------------------------------------
 
