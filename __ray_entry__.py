@@ -1817,6 +1817,18 @@ def _q_doc_dup_spans(sf_dir: str):
     return duplicate_spans(ds, window=64, stride=32)
 
 
+def _q_doc_dedup_cut(sf_dir: str):
+    """Substring-dedup CUT pass (Lee et al. 2022's intervention): every
+    doc rewritten with the union of flagged 64-char/stride-32 duplicated
+    windows REMOVED. Only (doc_id, offset) rows shuffle beyond the span
+    hashes; the rewrite is one vectorized byte-surgery kernel per
+    hash(doc_id) bucket."""
+    from jsonld_ex_ray.ops.dedup import cut_duplicate_spans
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return cut_duplicate_spans(ds, window=64, stride=32)
+
+
 def _q_events_rolling_rows(sf_dir: str):
     """ROWS-frame rolling mean (last 5 events per user): one bounded
     hash(user) shuffle + segmented polars rolling kernel per bucket —
@@ -1959,6 +1971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_rows": _q_events_rolling_rows,
         "events_share_of_type": _q_events_share_of_type,
         "orders_cube": _q_orders_cube,
+        # round-5 additions
+        "doc_dedup_cut": _q_doc_dedup_cut,
     }
     oracled = set(oracle_sql())
     # 76 oracled queries, 50 driver slots: queries that have never had a
@@ -2740,6 +2754,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, count(*) AS n_dup_spans
             FROM spans s JOIN duph USING (h)
             GROUP BY s.doc_id
+        """,
+        "doc_dedup_cut": """
+            WITH pos AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 63, 0), 32)) AS i
+              FROM documents
+            ),
+            spans AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS i,
+                     md5(substr(text, CAST(i AS INTEGER), 64)) AS h
+              FROM pos
+            ),
+            duph AS (
+              SELECT h FROM (SELECT DISTINCT h, doc_id FROM spans)
+              GROUP BY h HAVING count(*) >= 2
+            ),
+            flagged AS (
+              SELECT DISTINCT s.doc_id, s.i FROM spans s JOIN duph USING (h)
+            ),
+            chars AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, length(text), 1)) AS i
+              FROM documents
+            ),
+            kept AS (
+              SELECT c.doc_id, c.i
+              FROM chars c
+              ANTI JOIN (
+                SELECT DISTINCT c2.doc_id, c2.i
+                FROM chars c2 JOIN flagged f
+                  ON c2.doc_id = f.doc_id AND c2.i BETWEEN f.i AND f.i + 63
+              ) cut USING (doc_id, i)
+            ),
+            rebuilt AS (
+              SELECT k.doc_id,
+                     string_agg(substr(d.text, CAST(k.i AS INTEGER), 1), '' ORDER BY k.i) AS text
+              FROM kept k JOIN documents d USING (doc_id)
+              GROUP BY k.doc_id
+            )
+            SELECT d.doc_id, coalesce(r.text, '') AS text
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "events_rolling_rows": """
             SELECT user_id, event_id, value,

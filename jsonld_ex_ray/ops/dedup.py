@@ -1433,6 +1433,43 @@ def dedup_lines(ds, *, text_col: str = "text", id_col: str = "doc_id", num_bucke
     )
 
 
+def _span_schema(id_col: str, id_type, *, with_offset: bool) -> pa.Schema:
+    fields = [(id_col, id_type)]
+    if with_offset:
+        fields.append(("off", pa.int64()))
+    fields.append(("h", pa.string()))
+    return pa.schema(fields)
+
+
+def _make_span_emitter(window: int, stride: int, text_col: str, id_col: str, span_schema: pa.Schema, *, with_offset: bool):
+    """Span-hash emission shared by duplicate_spans and the cut pass: a
+    per-batch loop over STRIDE OFFSETS — each iteration one vectorized
+    arrow slice + md5 over the whole batch, never per-row Python."""
+    import pyarrow.compute as pc
+
+    from .hashing import md5_hex
+
+    def spans(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_col), "")
+        ids = batch.column(id_col)
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        parts = []
+        max_len = int(lens.max()) if len(lens) else 0
+        for off in range(0, max(max_len - window + 1, 0), stride):
+            mask = pa.array(lens >= off + window)
+            sub_text = pc.utf8_slice_codeunits(text.filter(mask), off, off + window)
+            cols = {id_col: ids.filter(mask)}
+            if with_offset:
+                cols["off"] = pa.nulls(len(sub_text), pa.int64()).fill_null(off)
+            cols["h"] = md5_hex(sub_text)
+            parts.append(pa.table(cols, schema=span_schema))
+        if not parts:
+            return span_schema.empty_table()
+        return pa.concat_tables(parts)
+
+    return spans
+
+
 def duplicate_spans(
     ds,
     *,
@@ -1490,25 +1527,12 @@ def duplicate_spans(
     # execute the whole extraction just to read two column types
     in_schema = ds.schema()
     id_type = dict(zip(in_schema.names, in_schema.types))[id_col]
-    span_schema = pa.schema([(id_col, id_type), ("h", pa.string())])
-
-    def spans(batch: pa.Table) -> pa.Table:
-        text = pc.fill_null(batch.column(text_col), "")
-        ids = batch.column(id_col)
-        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
-        parts = []
-        max_len = int(lens.max()) if len(lens) else 0
-        for off in range(0, max(max_len - window + 1, 0), stride):
-            mask = pa.array(lens >= off + window)
-            sub_text = pc.utf8_slice_codeunits(text.filter(mask), off, off + window)
-            parts.append(
-                pa.table({id_col: ids.filter(mask), "h": md5_hex(sub_text)}, schema=span_schema)
-            )
-        if not parts:
-            return span_schema.empty_table()
-        return pa.concat_tables(parts)
-
-    span_ds = ds.map_batches(spans, batch_format="pyarrow", zero_copy_batch=True)
+    span_schema = _span_schema(id_col, id_type, with_offset=False)
+    span_ds = ds.map_batches(
+        _make_span_emitter(window, stride, text_col, id_col, span_schema, with_offset=False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     per_doc = distinct_rows(span_ds, ["h", id_col], num_buckets=num_buckets)
     counts = groupby_agg_bucketed(
         per_doc, ["h"], [(id_col, "count", "n_docs")], num_buckets=num_buckets
@@ -1532,3 +1556,219 @@ def duplicate_spans(
     return groupby_agg_bucketed(
         flagged, [id_col], [("h", "count", "n_dup_spans")], num_buckets=num_buckets
     )
+
+
+def cut_duplicate_spans(
+    ds,
+    *,
+    window: int = 64,
+    stride: int = 32,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """The CUT pass over :func:`duplicate_spans`' signal — Lee et al.
+    2022's actual intervention: every document is rewritten with its
+    duplicated runs REMOVED (the union of all flagged
+    ``[off, off+window)`` codepoint ranges), not just scored.
+
+    Ray shape: the same span-hash stream as ``duplicate_spans`` (one
+    vectorized md5 scan per stride offset), dup-hash discovery over
+    distinct ``(hash, doc)`` rows (bounded shuffles), then a bucketed
+    SEMI join keeps the flagged ``(doc_id, off)`` rows — only 16-byte
+    offset rows shuffle — and docs + their flagged offsets meet in ONE
+    ``hash(doc_id)`` bucketed shuffle where the rewrite happens. The
+    rewrite is fully vectorized for ASCII documents (one numpy +1/−1
+    interval counter over the bucket's concatenated text bytes, one
+    boolean gather, arrow offsets rebuilt from cumulative kept counts);
+    non-ASCII documents — where codepoint ≠ byte — fall back to per-doc
+    Python slicing, bounded to the flagged non-ASCII docs in the bucket.
+
+    Spans are codepoint-based (arrow ``utf8_slice_codeunits`` and SQL
+    ``substr`` agree), so the op is oracle-checkable: the SQL twin cuts
+    ``substr`` positions covered by any flagged window. NULL text
+    canonicalizes to ``""`` (SQL ``coalesce`` parity). Overlapping
+    flagged windows merge naturally via the interval counter. A doc
+    whose every codepoint is flagged comes back as ``""``, never
+    dropped.
+
+    → Dataset(``id_col``, ``text_col``) — every input doc exactly once.
+    """
+    import pyarrow.compute as pc
+
+    from .hashing import bucket_ids
+    from jsonld_ex_ray.ops.agg import distinct_rows, groupby_agg_bucketed
+    from jsonld_ex_ray.ops.joins import hash_join_bucketed
+
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window and stride must be positive, got {window}, {stride}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+
+    in_schema = ds.schema()
+    id_type = dict(zip(in_schema.names, in_schema.types))[id_col]
+    span_schema = _span_schema(id_col, id_type, with_offset=True)
+    span_ds = ds.map_batches(
+        _make_span_emitter(window, stride, text_col, id_col, span_schema, with_offset=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    hash_only = span_ds.map_batches(
+        lambda b: b.drop_columns(["off"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_doc = distinct_rows(hash_only, ["h", id_col], num_buckets=num_buckets)
+    counts = groupby_agg_bucketed(
+        per_doc, ["h"], [(id_col, "count", "n_docs")], num_buckets=num_buckets
+    )
+    dup_h = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_docs"), min_docs)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    flagged = hash_join_bucketed(
+        span_ds,
+        dup_h,
+        left_on="h",
+        right_on="h",
+        right_cols=[],
+        join_type="semi",
+        num_buckets=num_buckets,
+        left_schema=span_schema,
+        right_schema=pa.schema([("h", pa.string()), ("n_docs", pa.int64())]),
+    )
+
+    # tag-union: docs (side 0, full text) + flagged offsets (side 1) meet
+    # bucketed on hash(doc_id) — the only shuffle the corpus text rides
+    union_schema = pa.schema(
+        [
+            (id_col, id_type),
+            (text_col, pa.string()),
+            ("off", pa.int64()),
+            ("__side", pa.int8()),
+            ("__bucket", pa.int32()),
+        ]
+    )
+    out_schema = pa.schema([(id_col, id_type), (text_col, pa.string())])
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                text_col: pc.fill_null(pc.cast(batch.column(text_col), pa.string()), ""),
+                "off": pa.nulls(n, pa.int64()),
+                "__side": pa.nulls(n, pa.int8()).fill_null(0),
+                "__bucket": bucket_ids(batch, [id_col], num_buckets, seed=0),
+            },
+            schema=union_schema,
+        )
+
+    def tag_flags(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                text_col: pa.nulls(n, pa.string()),
+                "off": batch.column("off"),
+                "__side": pa.nulls(n, pa.int8()).fill_null(1),
+                "__bucket": bucket_ids(batch, [id_col], num_buckets, seed=0),
+            },
+            schema=union_schema,
+        )
+
+    both = ds.map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True).union(
+        flagged.map_batches(tag_flags, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def _cut_ascii(texts: pa.Array, starts_idx: np.ndarray, offs: np.ndarray, window: int) -> pa.Array:
+        """Vectorized byte surgery over the bucket's ASCII docs: texts is
+        the (combined) string array, (starts_idx, offs) are the flagged
+        spans as (doc index, codepoint offset)."""
+        off_buf = np.frombuffer(texts.buffers()[1], np.int32)
+        starts = off_buf[texts.offset : texts.offset + len(texts) + 1].astype(np.int64)
+        vals = np.frombuffer(texts.buffers()[2], np.uint8)
+        base, end = int(starts[0]), int(starts[-1])
+        total = end - base
+        delta = np.zeros(total + 1, np.int64)
+        gs = starts[starts_idx] - base + offs
+        np.add.at(delta, gs, 1)
+        np.add.at(delta, gs + window, -1)
+        keep = np.cumsum(delta[:-1]) == 0
+        seg = vals[base:end][keep]
+        csum0 = np.r_[np.int64(0), np.cumsum(keep)]
+        cnt = csum0[starts[1:] - base] - csum0[starts[:-1] - base]
+        new_offsets = np.r_[np.int64(0), np.cumsum(cnt)].astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.utf8(),
+            len(texts),
+            [None, pa.py_buffer(new_offsets.tobytes()), pa.py_buffer(seg.tobytes())],
+        )
+
+    def cut_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        docs = group.filter(pc.equal(side, pa.scalar(0, pa.int8()))).select([id_col, text_col])
+        flags = group.filter(pc.equal(side, pa.scalar(1, pa.int8()))).select([id_col, "off"])
+        if docs.num_rows == 0:
+            return out_schema.empty_table()
+        if flags.num_rows == 0:
+            return docs.cast(out_schema)
+        flag_ids = pc.unique(flags.column(id_col))
+        touched = pc.is_in(docs.column(id_col), value_set=flag_ids)
+        passthrough = docs.filter(pc.invert(touched))
+        work = docs.filter(touched)
+        work = work.take(pc.sort_indices(work, sort_keys=[(id_col, "ascending")]))
+        texts = work.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        nbytes = pc.binary_length(texts).to_numpy(zero_copy_only=False)
+        nchars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        ascii_doc = nbytes == nchars
+        w_ids = work.column(id_col).to_numpy(zero_copy_only=False)
+        f_ids = flags.column(id_col).to_numpy(zero_copy_only=False)
+        f_off = flags.column("off").to_numpy(zero_copy_only=False)
+        f_idx = np.searchsorted(w_ids, f_ids)
+        parts = [passthrough.cast(out_schema)]
+        a_mask = ascii_doc[f_idx]
+        if ascii_doc.all():
+            cut_arr = _cut_ascii(texts, f_idx, f_off, window)
+            parts.append(pa.table({id_col: work.column(id_col), text_col: cut_arr}, schema=out_schema))
+        else:
+            # mixed bucket: vectorized path for the ASCII docs, per-doc
+            # Python slicing only for the flagged NON-ASCII docs
+            ascii_sel = np.flatnonzero(ascii_doc)
+            if ascii_sel.size:
+                sub = texts.take(pa.array(ascii_sel, pa.int64()))
+                remap = np.full(len(w_ids), -1, np.int64)
+                remap[ascii_sel] = np.arange(ascii_sel.size)
+                cut_arr = _cut_ascii(sub, remap[f_idx[a_mask]], f_off[a_mask], window)
+                parts.append(
+                    pa.table(
+                        {
+                            id_col: work.column(id_col).take(pa.array(ascii_sel, pa.int64())),
+                            text_col: cut_arr,
+                        },
+                        schema=out_schema,
+                    )
+                )
+            nonascii_sel = np.flatnonzero(~ascii_doc)
+            py_texts = texts.take(pa.array(nonascii_sel, pa.int64())).to_pylist()
+            out_txt = []
+            for local_i, doc_i in enumerate(nonascii_sel):
+                s = py_texts[local_i]
+                m = np.zeros(len(s), bool)
+                for o in f_off[f_idx == doc_i]:
+                    m[o : o + window] = True
+                out_txt.append("".join(np.array(list(s), dtype=object)[~m].tolist()) if len(s) else s)
+            parts.append(
+                pa.table(
+                    {
+                        id_col: work.column(id_col).take(pa.array(nonascii_sel, pa.int64())),
+                        text_col: pa.array(out_txt, pa.string()),
+                    },
+                    schema=out_schema,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return both.groupby("__bucket").map_groups(cut_bucket, batch_format="pyarrow")

@@ -16,7 +16,10 @@ materialization anywhere.
 Near-dup (MinHash) and decontamination stages compose the same way —
 ``clean_corpus(..., near_dup=True)`` — but sit behind a flag because
 their outputs are rows-only checkable (LSH banding is not
-SQL-expressible).
+SQL-expressible). ``cut_spans=True`` additionally rewrites every
+surviving doc with duplicated 64-char substring runs removed (the Lee
+et al. 2022 intervention, itself an oracled operator — see
+``doc_dedup_cut``) before splits are assigned.
 """
 
 from __future__ import annotations
@@ -29,9 +32,12 @@ def clean_corpus(
     max_dup_word_frac: float = 0.62,
     max_top_word_frac: float = 0.12,
     near_dup: bool = False,
+    cut_spans: bool = False,
+    cut_window: int = 64,
+    cut_stride: int = 32,
 ):
     """documents Dataset → cleaned Dataset with a ``split`` column."""
-    from ..ops.dedup import exact_dedup, minhash_lsh_duplicates
+    from ..ops.dedup import cut_duplicate_spans, exact_dedup, minhash_lsh_duplicates
     from ..ops.text import assign_splits, filter_quality, filter_repetition
 
     ds = filter_quality(ds, min_quality=min_quality)
@@ -39,6 +45,38 @@ def clean_corpus(
         ds, max_dup_word_frac=max_dup_word_frac, max_top_word_frac=max_top_word_frac
     )
     ds = exact_dedup(ds)
+    if cut_spans:
+        # the cut pass consumes its input three times (two span scans +
+        # the doc tag) — checkpoint the gated stream once, then rewrite;
+        # the rewrite keeps only (doc_id, text), so re-attach the other
+        # survivor columns via their doc_id (bucketed join, both sides
+        # already partition-parallel)
+        from ..ops.joins import hash_join_bucketed
+
+        ds = ds.materialize()
+        keep_cols = [c for c in ds.schema().names if c != "text"]
+        cut = cut_duplicate_spans(
+            ds, window=cut_window, stride=cut_stride
+        )
+        if keep_cols != ["doc_id"]:
+            import pyarrow as pa
+
+            side = ds.select_columns(keep_cols)
+            ds = hash_join_bucketed(
+                cut,
+                side,
+                left_on="doc_id",
+                right_on="doc_id",
+                right_cols=[c for c in keep_cols if c != "doc_id"],
+                left_schema=pa.schema(
+                    [
+                        ("doc_id", ds.schema().base_schema.field("doc_id").type),
+                        ("text", pa.string()),
+                    ]
+                ),
+            )
+        else:
+            ds = cut
     if near_dup:
         import pyarrow as pa
         import pyarrow.compute as pc

@@ -133,6 +133,125 @@ def test_empty_schema_warning_filter_is_selective():
 
 
 # ---------------------------------------------------------------------------
+# substring-dedup CUT pass
+# ---------------------------------------------------------------------------
+
+
+def _cut_oracle(docs, window, stride, min_docs=2):
+    """Reference implementation in plain Python: flag windows whose text
+    occurs in >= min_docs distinct docs, remove the union of flagged
+    codepoint ranges."""
+    spans = {}
+    for did, text in docs:
+        for off in range(0, max(len(text) - window + 1, 0), stride):
+            spans.setdefault(text[off : off + window], set()).add(did)
+    dup = {t for t, ids in spans.items() if len(ids) >= min_docs}
+    out = []
+    for did, text in docs:
+        m = np.zeros(len(text), bool)
+        for off in range(0, max(len(text) - window + 1, 0), stride):
+            if text[off : off + window] in dup:
+                m[off : off + window] = True
+        out.append((did, "".join(c for c, cut in zip(text, m) if not cut)))
+    return out
+
+
+def test_cut_duplicate_spans_matches_reference(ray_session):
+    """Mixed corpus: shared boilerplate block across docs (cut), unique
+    text (kept), overlapping flagged windows (merged), a doc that is all
+    boilerplate (becomes \"\"), a non-ASCII doc sharing the duplicated
+    run (per-doc fallback path), and a doc shorter than the window
+    (untouched)."""
+    import ray.data
+    from jsonld_ex_ray.ops.dedup import cut_duplicate_spans
+
+    w, s = 16, 8
+    boiler = "REPEATED-BLOCK-" + "x" * 17  # 32 chars → several windows
+    rng = np.random.RandomState(2)
+
+    def rand(n):
+        return "".join(rng.choice(list("abcdefgh "), n))
+
+    docs = [
+        (1, rand(40) + boiler + rand(30)),
+        (2, boiler + rand(55)),
+        (3, boiler),  # all flagged → ""
+        (4, rand(70)),  # unique → untouched
+        (5, "héllo wörld " + boiler + " ünïqué tail here"),  # non-ASCII
+        (6, "short"),  # < window → untouched
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = (
+        cut_duplicate_spans(ds, window=w, stride=s, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(_cut_oracle(docs, w, s), columns=["doc_id", "text"])
+    assert len(got) == len(docs)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # sanity on the interesting rows
+    row = dict(zip(got.doc_id, got.text))
+    assert boiler not in row[1] and boiler not in row[2]
+    assert row[4] == docs[3][1]
+    assert row[6 - 1 + 0] is not None  # doc 5 processed through fallback
+    assert row[6] == "short"
+
+
+def test_cut_duplicate_spans_no_dups_passthrough(ray_session):
+    import ray.data
+    from jsonld_ex_ray.ops.dedup import cut_duplicate_spans
+
+    rng = np.random.RandomState(4)
+    texts = ["".join(rng.choice(list("abcdefghij"), 100)) for _ in range(20)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(20), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(4)
+    got = (
+        cut_duplicate_spans(ds, window=32, stride=16, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["text"].tolist() == texts
+
+
+def test_clean_corpus_cut_spans_stage(ray_session):
+    """clean_corpus(cut_spans=True) keeps the same survivors as the
+    plain pipeline, rewrites text in place, and retains the split
+    column and the side columns."""
+    import ray.data
+    from jsonld_ex_ray.pipelines.corpus_clean import clean_corpus
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = clean_corpus(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ds2 = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    cut = (
+        clean_corpus(ds2, cut_spans=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(cut.doc_id) == list(plain.doc_id)
+    assert set(plain.columns) == set(cut.columns)
+    assert "split" in cut.columns
+    # the rewrite never grows a doc
+    assert (cut.text.str.len() <= plain.text.str.len()).all()
+
+
+# ---------------------------------------------------------------------------
 # cardinality-gated group-stats family (share / zscore / pivot)
 # ---------------------------------------------------------------------------
 
