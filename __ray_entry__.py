@@ -1656,6 +1656,70 @@ def _q_user_event_seq(sf_dir: str):
     )
 
 
+def _q_user_first_last(sf_dir: str):
+    """Arg-extreme aggregate (the user's first/last event): map-side
+    per-block first+last rows per user (segmented top-1 combiner), ONE
+    bounded hash(user) shuffle of 2×|users-per-block| rows, per-bucket
+    zip — SQL first(x ORDER BY …)/last(x ORDER BY …)."""
+    from jsonld_ex_ray.ops.agg import group_first_last
+
+    ds = _read(sf_dir, "events").select_columns(["user_id", "event_type", "ts", "event_id"])
+    return group_first_last(
+        ds, "user_id", ["ts", "event_id"], ["event_type", "ts"]
+    )
+
+
+def _q_user_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution
+    (behavioural diversity): per-batch (user, type) count partials, ONE
+    bounded hash(user) shuffle, segmented −Σ p·ln p per bucket."""
+    from jsonld_ex_ray.ops.agg import grouped_entropy
+
+    ds = _read(sf_dir, "events").select_columns(["user_id", "event_type"])
+    return grouped_entropy(ds, "user_id", "event_type")
+
+
+def _q_user_distinct_types(sf_dir: str):
+    """Per-user COUNT(DISTINCT event_type): bucketed distinct of
+    (user, type) pairs → bucketed per-user count — two bounded shuffles
+    of pre-deduped pair rows, exact at any user cardinality."""
+    from jsonld_ex_ray.ops.agg import distinct_rows, groupby_agg_bucketed
+
+    pairs = distinct_rows(
+        _read(sf_dir, "events").select_columns(["user_id", "event_type"]),
+        ["user_id", "event_type"],
+    )
+    return groupby_agg_bucketed(
+        pairs, ["user_id"], [("event_type", "count", "n_types")]
+    )
+
+
+def _q_lsh_candidate_recall(sf_dir: str):
+    """LSH candidate-superset invariant as an oracled query: clone the
+    first 50 docs under shifted ids, then return the exact-duplicate
+    pairs the MinHash banding surfaces as candidates. Identical text ⇒
+    identical signature ⇒ every exact-dup pair must be a candidate, so
+    the result equals the SQL md5(text) self-join — a real end-to-end
+    check of the signature/banding/pair machinery."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsonld_ex_ray.ops.dedup import lsh_exactdup_candidate_pairs
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def clone(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.less(batch.column("doc_id"), pa.scalar(50)))
+        return sub.set_column(
+            sub.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(sub.column("doc_id"), pa.scalar(1_000_000)),
+        )
+
+    aug = ds.union(ds.map_batches(clone, batch_format="pyarrow", zero_copy_batch=True))
+    return lsh_exactdup_candidate_pairs(aug)
+
+
 def _q_doc_lines(sf_dir: str):
     """UNNEST with ordinality (flat-map): vectorized newline explode with
     segmented-arange line numbers — no shuffle."""
@@ -1973,6 +2037,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": _q_orders_cube,
         # round-5 additions
         "doc_dedup_cut": _q_doc_dedup_cut,
+        "user_first_last": _q_user_first_last,
+        "user_type_entropy": _q_user_type_entropy,
+        "user_distinct_types": _q_user_distinct_types,
+        "lsh_candidate_recall": _q_lsh_candidate_recall,
     }
     oracled = set(oracle_sql())
     # 76 oracled queries, 50 driver slots: queries that have never had a
@@ -2796,6 +2864,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(r.text, '') AS text
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "user_first_last": """
+            SELECT user_id,
+                   first(event_type ORDER BY ts, event_id) AS first_event_type,
+                   min(ts) AS first_ts,
+                   last(event_type ORDER BY ts, event_id) AS last_event_type,
+                   max(ts) AS last_ts
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "user_type_entropy": """
+            WITH c AS (
+              SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS n
+              FROM events GROUP BY user_id, event_type
+            ),
+            t AS (SELECT user_id, sum(n) AS s FROM c GROUP BY user_id)
+            SELECT c.user_id, round(-sum((n / s) * ln(n / s)), 6) AS entropy
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id ORDER BY c.user_id
+        """,
+        "user_distinct_types": """
+            SELECT user_id, count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "lsh_candidate_recall": """
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id < 50
+            ),
+            h AS (SELECT doc_id, md5(text) AS h FROM aug)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b
         """,
         "events_rolling_rows": """
             SELECT user_id, event_id, value,

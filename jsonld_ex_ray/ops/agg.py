@@ -611,6 +611,74 @@ def segmented_head(t: pa.Table, group_col: str, sort_keys, k: int) -> pa.Table:
     return t.filter(pa.array(rank < k))
 
 
+def group_first_last(
+    ds,
+    group_col: str,
+    order_cols: list[str],
+    value_cols: list[str],
+    *,
+    num_buckets: int = 64,
+):
+    """Arg-extreme aggregate: for every group, the ``value_cols`` of the
+    FIRST and LAST row under the deterministic total order
+    ``ORDER BY *order_cols`` (include a unique id as the final order col
+    so ties are stable and the op is oracle-checkable — SQL
+    ``first(x ORDER BY …)`` / ``last(x ORDER BY …)``). The classic
+    "user's first/last event" shape.
+
+    Ray shape: a map-side combiner keeps ONE first and ONE last row per
+    group per block (``segmented_head`` k=1, ascending and descending),
+    so only 2 × |groups-per-block| tagged rows ride the ONE bounded
+    ``hash(group)`` shuffle; each bucket re-runs the same kernel over
+    its partial rows and zips the two sides into one row per group —
+    zero per-group Python anywhere. NULL group keys form one real group
+    (SQL GROUP BY), courtesy of segmented_head's null-coalescing runs.
+    → Dataset(group_col, first_<v>…, last_<v>…), one row per group."""
+    from .hashing import bucket_ids
+
+    keep = [group_col] + [c for c in dict.fromkeys(order_cols + value_cols)]
+    asc = [(c, "ascending") for c in order_cols]
+    desc = [(c, "descending") for c in order_cols]
+
+    def local_ends(batch: pa.Table) -> pa.Table:
+        t = batch.select(keep)
+        firsts = segmented_head(t, group_col, asc, 1)
+        lasts = segmented_head(t, group_col, desc, 1)
+        side = pa.chunked_array(
+            [
+                pa.nulls(firsts.num_rows, pa.int8()).fill_null(0),
+                pa.nulls(lasts.num_rows, pa.int8()).fill_null(1),
+            ]
+        )
+        both = pa.concat_tables([firsts, lasts]).append_column("__side", side)
+        return both.append_column(
+            "__bucket", bucket_ids(both, [group_col], num_buckets, seed=0)
+        )
+
+    def zip_bucket(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__bucket"])
+        side = g.column("__side")
+        f = g.filter(pc.equal(side, pa.scalar(0, pa.int8()))).drop_columns(["__side"])
+        l = g.filter(pc.equal(side, pa.scalar(1, pa.int8()))).drop_columns(["__side"])
+        f = segmented_head(f, group_col, asc, 1)
+        l = segmented_head(l, group_col, desc, 1)
+        # one row per group on each side, same group set — align by key
+        f = f.take(pc.sort_indices(f, sort_keys=[(group_col, "ascending")]))
+        l = l.take(pc.sort_indices(l, sort_keys=[(group_col, "ascending")]))
+        cols = {group_col: f.column(group_col)}
+        for v in value_cols:
+            cols[f"first_{v}"] = f.column(v)
+        for v in value_cols:
+            cols[f"last_{v}"] = l.column(v)
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(local_ends, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(zip_bucket, batch_format="pyarrow")
+    )
+
+
 def sample_per_group(ds, group_col: str, id_col: str, n: int, num_buckets: int = 64):
     """Deterministic stratified sampling: keep the ``n`` rows per group
     with the smallest ``md5(id)`` — reproducible across runs/retries and

@@ -1558,6 +1558,121 @@ def duplicate_spans(
     )
 
 
+def lsh_exactdup_candidate_pairs(
+    ds,
+    *,
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """LSH candidate-superset invariant, as an ORACLE-CHECKABLE query:
+    the exact-duplicate pairs (byte-identical text) that the MinHash/LSH
+    banding surfaces as candidates. Identical texts produce identical
+    signatures, hence identical band hashes in EVERY band — so every
+    exact-dup pair MUST appear in the candidate set, and this op's
+    result equals the full exact-dup pair set (SQL: self-join on
+    ``md5(text)``, ``a < b``). A missing pair means the banding /
+    signature / pair-emission machinery dropped a guaranteed collision —
+    exactly the regression this query exists to catch.
+
+    Ray shape: band rows and candidate mining are the production LSH
+    path (``_band_rows`` → ``_candidate_pairs`` → ``_dedup_pairs``,
+    bounded shuffles, id-only rows); exact-dup pairs come from a
+    ``hash(md5(text))`` bucketed shuffle of (digest, id) rows with
+    per-run pair emission (dup runs are real duplicate groups — rare by
+    nature); the intersection is one bucketed SEMI join on the packed
+    pair key. → Dataset(doc_a, doc_b)."""
+    import pyarrow.compute as pc
+
+    from .hashing import md5_hex
+    from jsonld_ex_ray.ops.joins import hash_join_bucketed
+
+    in_schema = ds.schema()
+    id_type = dict(zip(in_schema.names, in_schema.types))[id_col]
+    band_ds = _band_rows(
+        ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        text_col=text_col, id_col=id_col,
+    )
+    cand = _dedup_pairs(_candidate_pairs(band_ds, id_col=id_col))
+
+    def digest_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h": md5_hex(pc.fill_null(batch.column(text_col), "")),
+                id_col: batch.column(id_col),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from .hashing import bucket_ids
+
+        return batch.append_column(
+            "__bucket", bucket_ids(batch, ["h"], num_buckets, seed=0)
+        )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__bucket"])
+        idx = pc.sort_indices(g, sort_keys=[("h", "ascending"), (id_col, "ascending")])
+        g = g.take(idx)
+        ids = g.column(id_col)
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        a_idx: list[int] = []
+        b_idx: list[int] = []
+        if len(h):
+            starts = np.r_[0, np.flatnonzero(h[1:] != h[:-1]) + 1, len(h)]
+            for s, e in zip(starts[:-1], starts[1:]):
+                n = e - s
+                if n >= 2:  # a real duplicate group — rare by nature
+                    xs, ys = np.triu_indices(n, k=1)
+                    a_idx.extend((s + xs).tolist())
+                    b_idx.extend((s + ys).tolist())
+        return pa.table(
+            {
+                "doc_a": ids.take(pa.array(a_idx, pa.int64())),
+                "doc_b": ids.take(pa.array(b_idx, pa.int64())),
+            }
+        )
+
+    exact = (
+        ds.map_batches(digest_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column("doc_a"), pa.string()),
+            pc.cast(batch.column("doc_b"), pa.string()),
+            "|",
+        )
+        return batch.append_column("__pk", key)
+
+    exact_p = exact.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    cand_p = cand.map_batches(
+        lambda b: pack(b).select(["__pk"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    kept = hash_join_bucketed(
+        exact_p,
+        cand_p,
+        left_on="__pk",
+        right_on="__pk",
+        right_cols=[],
+        join_type="semi",
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [("doc_a", id_type), ("doc_b", id_type), ("__pk", pa.string())]
+        ),
+        right_schema=pa.schema([("__pk", pa.string())]),
+    )
+    return kept.map_batches(
+        lambda b: b.drop_columns(["__pk"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def cut_duplicate_spans(
     ds,
     *,

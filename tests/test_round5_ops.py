@@ -133,6 +133,70 @@ def test_empty_schema_warning_filter_is_selective():
 
 
 # ---------------------------------------------------------------------------
+# group_first_last: arg-extreme aggregate
+# ---------------------------------------------------------------------------
+
+
+def test_group_first_last_matches_pandas(ray_session):
+    import ray.data
+    from jsonld_ex_ray.ops.agg import group_first_last
+
+    rng = np.random.RandomState(13)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 300, n).astype("int64"),
+            "o": rng.randint(0, 50, n).astype("int64"),  # ties guaranteed
+            "i": np.arange(n, dtype=np.int64),
+            "p": rng.choice(list("xyz"), n),
+        }
+    )
+    got = (
+        group_first_last(
+            ray.data.from_pandas(df).repartition(8),
+            "g",
+            ["o", "i"],
+            ["p", "o"],
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    s = df.sort_values(["g", "o", "i"])
+    first = s.groupby("g").head(1).set_index("g")
+    last = s.groupby("g").tail(1).set_index("g")
+    assert got["first_p"].tolist() == first["p"].tolist()
+    assert got["first_o"].tolist() == first["o"].tolist()
+    assert got["last_p"].tolist() == last["p"].tolist()
+    assert got["last_o"].tolist() == last["o"].tolist()
+
+
+def test_lsh_exactdup_candidate_pairs_finds_all(ray_session):
+    """Every byte-identical pair must surface as an LSH candidate —
+    identical text means identical signature in every band."""
+    import ray.data
+    from jsonld_ex_ray.ops.dedup import lsh_exactdup_candidate_pairs
+
+    rng = np.random.RandomState(21)
+    base = ["".join(rng.choice(list("abcdefg "), 120)) for _ in range(30)]
+    # dup groups: docs 0/30 identical, 1/31/61 identical (triple)
+    texts = base + [base[0], base[1]] + [base[1]]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ).repartition(4)
+    got = (
+        lsh_exactdup_candidate_pairs(ds, num_buckets=8)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want = [(0, 30), (1, 31), (1, 32), (31, 32)]
+    assert list(map(tuple, got.to_numpy())) == want
+
+
+# ---------------------------------------------------------------------------
 # substring-dedup CUT pass
 # ---------------------------------------------------------------------------
 
