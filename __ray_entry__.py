@@ -1925,14 +1925,15 @@ def _q_events_value_mad(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """Ordered so the driver's 50-query correctness window covers the
-    stable oracled core: oracled queries first, rows-only / no_oracle
-    queries last. There are more oracled queries (76) than window slots
-    (50); never-driver-checked queries take window priority and the
-    ceded ones (the ``out_of_window`` tuple below, each annotated) are
-    long-green same-kernel siblings of an in-window query — ALL of them
-    driver_sim- and pytest-verified at sf0.01 against the same DuckDB
-    oracles the driver runs."""
+    """Ordered so the driver's 50-query correctness window re-proves the
+    queries that need it most: oracled queries first, rows-only /
+    no_oracle queries last. There are more oracled queries (81) than
+    window slots (50); the ``window_priority`` tuple below picks the 50 —
+    never-driver-checked queries, queries whose last driver row is stale,
+    and queries whose kernels changed this round — and every ceded query
+    carries a green CORRECTNESS_r04 row and stays driver_sim- and
+    pytest-verified at sf0.01 against the same DuckDB oracles the driver
+    runs."""
     base = {
         "lineitem_agg": _q_lineitem_agg,
         "top_orders": _q_top_orders,
@@ -2043,49 +2044,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_candidate_recall": _q_lsh_candidate_recall,
     }
     oracled = set(oracle_sql())
-    # 76 oracled queries, 50 driver slots: queries that have never had a
-    # driver correctness row (round-4 additions + r3 positions 51+) and
-    # the two r3-red fixes take priority; the ceding 26 are long-green
-    # (CORRECTNESS_r03 hash-green) same-kernel siblings of an in-window
-    # query (plus orders_cube, new but engine-identical to in-window
-    # lineitem_rollup), and every ceded query stays driver_sim- and pytest-verified
-    # (tests/driver_sim.py runs ALL queries at num_cpus=32).
-    out_of_window = (
-        "doc_repetition_filter",   # sibling of doc_repetition (same kernel + filter)
-        "events_window",           # tumbling kernel — events_tumbling in-window
-        "events_window_users",     # tumbling + distinct, both kernels in-window
-        "events_top_users",        # global top-k — top_orders in-window
-        "orders_by_segment",       # groupby_agg — lineitem_agg in-window
-        "doc_stats_by_lang",       # groupby_agg — lineitem_agg in-window
-        "parts_never_heavy",       # anti join — customers_no_events in-window
-        "orders_no_recent_ship",   # semi join — events_bloom_semi in-window
-        "doc_sample_per_lang",     # bucketed per-group pick — events_top_per_type in-window
-        "events_running_total",    # keyed prefix sum — daily_new_users cum-sum in-window
-        "doc_splits",              # hash split — doc_hash_sample in-window
-        "events_value_bands",      # binning — price_histogram in-window
-        "events_value_quantiles",  # global quantiles — events_quantiles_by_type in-window
-        "shipping_priority",       # join+agg composition of in-window kernels
-        "local_supplier_volume",   # multi-join composition of in-window kernels
-        "events_sliding",          # windowed range agg — events_rolling_1h in-window
-        "doc_fingerprint",         # hash-kernel sibling of token_counts/doc_hash_sample
-        "corpus_clean",            # composition; each stage individually in-window
-        "knn_join",                # similarity top-k — ann_topk (same matrix kernel) in-window
-        "doc_chunks",              # per-doc segmentation — doc_lines (explode) in-window
-        "events_distinct_users",   # distinct machinery — users_customers_intersect in-window
-        "events_top_per_type",     # top_per_group — user_top_event_type (same kernel) in-window
-        "doc_quality_filter",      # thin filter variant of in-window text_quality
-        "events_rolling_1h",       # RANGE rolling — events_rolling_rows (ROWS sibling) in-window
-        "events_value_zscore",     # stats-broadcast — events_share_of_type (same shape) in-window
-        "orders_cube",             # CUBE — shares _grouping_sets_agg with in-window lineitem_rollup
+    # 81 oracled queries, 50 driver slots — ROUND-5 ROTATION: the 26
+    # queries that ceded their slot in round 4 (all green in
+    # CORRECTNESS_r03 / judge driver_sim but without a fresh driver row)
+    # plus the 5 round-5 additions take the window, followed by 19
+    # round-4 greens whose kernels CHANGED this round (segmented_head
+    # null fix, group-stats gates, interval-join probe, span-emitter
+    # refactor, the r3-red events_sessions kept under watch). The 31
+    # ceding queries all carry green CORRECTNESS_r04 rows and stay
+    # driver_sim-/pytest-verified (tests/driver_sim.py runs ALL queries
+    # at num_cpus=32); with this rotation every oracled query has a
+    # driver row dated r4-or-r5.
+    window_priority = (
+        # — the 26 stale-row queries rotated back in —
+        "doc_repetition_filter",
+        "events_window",
+        "events_window_users",
+        "events_top_users",
+        "orders_by_segment",
+        "doc_stats_by_lang",
+        "parts_never_heavy",
+        "orders_no_recent_ship",
+        "doc_sample_per_lang",      # segmented_head consumer (r5 null fix)
+        "events_running_total",
+        "doc_splits",
+        "events_value_bands",
+        "events_value_quantiles",
+        "shipping_priority",
+        "local_supplier_volume",
+        "events_sliding",
+        "doc_fingerprint",
+        "corpus_clean",             # gained optional cut_spans stage r5
+        "knn_join",                 # segmented_head consumer
+        "doc_chunks",
+        "events_distinct_users",
+        "events_top_per_type",      # segmented_head consumer
+        "doc_quality_filter",
+        "events_rolling_1h",
+        "events_value_zscore",      # r5 cardinality gate
+        "orders_cube",              # never driver-checked before
+        # — round-5 additions (never driver-checked) —
+        "doc_dedup_cut",
+        "user_first_last",
+        "user_type_entropy",
+        "user_distinct_types",
+        "lsh_candidate_recall",
+        # — r4 greens whose kernels changed this round —
+        "events_share_of_type",     # r5 cardinality gate
+        "events_pivot_daily",       # r5 cardinality gate
+        "events_quantiles_by_type", # gate-family sibling
+        "events_interval_match",    # r5 vectorized probe
+        "user_top_event_type",      # segmented_head consumer
+        "doc_weighted_per_lang",    # segmented selection consumer
+        "doc_weighted_sample",
+        "doc_dup_spans",            # span-emitter refactor
+        "orders_last_ship",         # bucketed join family
+        "orders_customers_full",
+        "events_sessions",          # the r3 red — keep under driver watch
+        "doc_dedup_exact",
+        "dedup_lines",
+        "decontaminate",
+        "token_counts",
+        "text_quality",
+        "lineitem_agg",
+        "top_orders",
+        "revenue_by_priority",
     )
+    assert len(window_priority) == 50 and set(window_priority) <= set(base)
     ordered: dict[str, Callable[[str], Any]] = {}
-    for name in base:  # stable partition, original relative order kept
-        if name in oracled and name not in out_of_window:
+    for name in window_priority:
+        ordered[name] = base[name]
+    for name in base:  # ceded oracled queries next, original order kept
+        if name in oracled and name not in ordered:
             ordered[name] = base[name]
-    for name in out_of_window:
-        if name in base:
-            ordered[name] = base[name]
-    for name in base:
+    for name in base:  # rows-only queries last
         if name not in ordered:
             ordered[name] = base[name]
     return ordered
