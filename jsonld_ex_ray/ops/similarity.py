@@ -200,6 +200,75 @@ def embedding_cosine_duplicates(
     )
 
 
+def brute_force_dup_pairs(
+    ds,
+    threshold: float = 0.42,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 4,
+    max_broadcast_rows: int = 2_000_000,
+):
+    """EXACT all-pairs cosine near-duplicate detection — the brute-force
+    baseline that ``embedding_cosine_duplicates`` (centroid-bucketed, can
+    miss cross-bucket pairs) approximates, and the exact-recall anchor
+    for it. → Dataset(vec_id_a, vec_id_b, sim) with vec_id_a < vec_id_b.
+
+    Brute-force contract (same as ``brute_force_topk``'s query side): the
+    normalized (id, vector) matrix is gathered once on the driver and
+    broadcast via ``ray.put`` — O(n·d) memory, guarded by
+    ``max_broadcast_rows``; each batch then does ONE numpy matmul against
+    it (O(n_batch·n) per batch, zero shuffle, pairs emitted where the
+    broadcast id < the batch id so every pair surfaces exactly once).
+    Above the guard use ``embedding_cosine_duplicates`` /
+    ``ivf_recall_at_k`` — quadratic scoring is the wrong tool there by
+    definition, not an engine limitation."""
+    import ray
+
+    side = pa.concat_tables(
+        list(ds.select_columns([id_col, emb_col]).iter_batches(batch_format="pyarrow"))
+    )
+    if side.num_rows > max_broadcast_rows:
+        raise ValueError(
+            f"brute_force_dup_pairs: {side.num_rows} rows exceed the "
+            f"broadcast guard ({max_broadcast_rows}); use "
+            "embedding_cosine_duplicates for corpora this size"
+        )
+    all_ids = side.column(id_col).to_numpy(zero_copy_only=False)
+    all_m = _normalize(_to_matrix(side.column(emb_col)))
+    ref = ray.put((all_ids, all_m))
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id_a": pa.array([], pa.int64()),
+                "vec_id_b": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids_all, m_all = ray.get(ref)
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        bm = _normalize(_to_matrix(batch.column(emb_col)))
+        g = bm @ m_all.T  # (n_batch, n_all)
+        mask = (g >= threshold) & (ids_all[None, :] < bids[:, None])
+        rows, cols = np.nonzero(mask)
+        if not len(rows):
+            return empty
+        return pa.table(
+            {
+                "vec_id_a": pa.array(ids_all[cols].tolist(), pa.int64()),
+                "vec_id_b": pa.array(bids[rows].tolist(), pa.int64()),
+                "sim": pa.array(
+                    round_half_away(g[rows, cols], round_to).tolist(), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(local_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def ivf_recall_at_k(
     ds,
     queries,

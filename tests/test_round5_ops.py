@@ -455,3 +455,60 @@ def test_pivot_agg_gate_returns_dataset_above(ray_session):
     pd.testing.assert_frame_equal(
         small, big_df, check_dtype=False, check_exact=False, rtol=1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# brute_force_dup_pairs: exact all-pairs cosine baseline (oracled query)
+# ---------------------------------------------------------------------------
+
+
+def test_brute_force_dup_pairs_matches_numpy(ray_session):
+    """Exactly-once pair emission vs a driver-side O(n^2) reference:
+    every (a<b) pair at-or-above threshold, none below, sims rounded
+    half-away like the DuckDB oracle."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.similarity import _normalize, brute_force_dup_pairs
+
+    rng = np.random.default_rng(7)
+    n, d = 300, 16
+    base = rng.normal(size=(n, d))
+    # plant 10 near-dup rows: row i copies row i-10 with tiny noise
+    base[-10:] = base[:10] + rng.normal(scale=0.01, size=(10, d))
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {"vec_id": ids, "embedding": pa.array(base.tolist(), pa.list_(pa.float32()))}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    got = (
+        brute_force_dup_pairs(ds, threshold=0.9)
+        .to_pandas()
+        .sort_values(["vec_id_a", "vec_id_b"])
+        .reset_index(drop=True)
+    )
+    m = _normalize(base.astype(np.float32).astype(np.float64))
+    g = m @ m.T
+    iu = np.triu_indices(n, k=1)
+    keep = g[iu] >= 0.9
+    want = pd.DataFrame(
+        {
+            "vec_id_a": iu[0][keep].astype(np.int64),
+            "vec_id_b": iu[1][keep].astype(np.int64),
+        }
+    )
+    assert len(want) >= 10  # the planted dups are present
+    pd.testing.assert_frame_equal(got[["vec_id_a", "vec_id_b"]], want)
+    # sims are the rounded cosines of those pairs
+    assert np.allclose(got["sim"].to_numpy(), np.round(g[iu][keep], 4), atol=5e-5)
+
+
+def test_brute_force_dup_pairs_broadcast_guard(ray_session):
+    import ray.data
+
+    from jsonld_ex_ray.ops.similarity import brute_force_dup_pairs
+
+    tbl = pa.table(
+        {"vec_id": [1, 2, 3], "embedding": pa.array([[1.0], [2.0], [3.0]], pa.list_(pa.float32()))}
+    )
+    with pytest.raises(ValueError, match="broadcast guard"):
+        brute_force_dup_pairs(ray.data.from_arrow(tbl), max_broadcast_rows=2)
