@@ -567,9 +567,24 @@ def _q_events_bloom_semi(sf_dir: str):
     from jsonld_ex_ray.ops.bloom import semi_join_bloom
 
     events = _read(sf_dir, "events").drop_columns(["ts", "props"])
-    err_users = events.filter(
-        expr="event_type == 'error' and value > 150.0"
-    ).select_columns(["user_id"])
+
+    # filter+project fused into ONE arrow UDF rather than
+    # .filter(expr).select_columns(): Ray's map wrapper passes EMPTY
+    # input blocks through un-transformed (plan_udf_map_op.py's
+    # all-to-all workaround), so a fused Filter->Project chain emits the
+    # pre-projection schema for blocks where the filter matched nothing
+    # and the executor logs a real-looking schema divergence. A single
+    # UDF always returns the projected schema, 0 rows or not.
+    def err_user_ids(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch.column("event_type"), "error"),
+            pc.greater(batch.column("value"), 150.0),
+        )
+        return batch.filter(keep).select(["user_id"])
+
+    err_users = events.map_batches(
+        err_user_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
     pre = semi_join_bloom(events, err_users, big_on="user_id", small_on="user_id")
     # exact verify on the (already shrunk) survivor stream
     exact = pa.concat_tables(
