@@ -296,6 +296,31 @@ def sha256_quads(col) -> pa.Table:
     return out
 
 
+def sha256_hex(col, null_as: str = "") -> pa.ChunkedArray:
+    """Vectorized SHA-256 hex digests of a string column (DuckDB's C
+    kernel — no per-row Python hashing). This is the SAME digest the
+    extraction stage mints per file (hashlib over utf-8 bytes;
+    DuckDB strings are utf-8, so the two agree — pytest-pinned in
+    test_round5_ops). Null handling mirrors :func:`md5_hex`."""
+    global _DUCK
+    import duckdb
+
+    with _DUCK_LOCK:
+        if _DUCK is None:
+            _DUCK = duckdb.connect()
+            _DUCK.execute("SET threads TO 1")
+        if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+            col = pa.array(col)
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+            col = pc.cast(col, pa.string())
+        _DUCK.register("__sha_in", pa.table({"v": pc.fill_null(col, null_as)}))
+        try:
+            out = _DUCK.execute("SELECT sha256(v) AS h FROM __sha_in").arrow().column("h")
+        finally:
+            _DUCK.unregister("__sha_in")
+    return out
+
+
 def levenshtein_nearest(col, candidates: list[str]):
     """For each string, the candidate with the smallest Levenshtein
     distance (ties → lexicographically smallest candidate) — DuckDB's C

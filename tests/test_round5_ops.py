@@ -512,3 +512,23 @@ def test_brute_force_dup_pairs_broadcast_guard(ray_session):
     )
     with pytest.raises(ValueError, match="broadcast guard"):
         brute_force_dup_pairs(ray.data.from_arrow(tbl), max_broadcast_rows=2)
+
+
+# ---------------------------------------------------------------------------
+# sha256_hex: the lineage-audit kernel equals the extract stage's digest
+# ---------------------------------------------------------------------------
+
+
+def test_sha256_hex_matches_extract_stage_hashlib():
+    """kg_lineage's oracle checks the engine's vectorized sha kernel;
+    this pins that kernel byte-equal to the hashlib digest the
+    extraction stage mints per file (stages/extract.py), including
+    non-ASCII content and the null->'' convention."""
+    import hashlib
+
+    from jsonld_ex_ray.ops.hashing import sha256_hex
+
+    vals = ["", "abc", "snowman ☃ utf-8", '{"@id": "x"}', None]
+    got = sha256_hex(pa.array(vals, pa.string())).to_pylist()
+    want = [hashlib.sha256(((v or "")).encode("utf-8")).hexdigest() for v in vals]
+    assert got == want
