@@ -1813,6 +1813,24 @@ def _q_user_distinct_types(sf_dir: str):
     )
 
 
+def _clone_docs(ds, n: int = 50, shift: int = 1_000_000):
+    """Clone the first ``n`` docs under ids shifted by ``shift`` — the
+    shared planted-duplicate fixture for the *_clone_recall /
+    *_candidate_recall invariant queries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def clone(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.less(batch.column("doc_id"), pa.scalar(n)))
+        return sub.set_column(
+            sub.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(sub.column("doc_id"), pa.scalar(shift)),
+        )
+
+    return ds.union(ds.map_batches(clone, batch_format="pyarrow", zero_copy_batch=True))
+
+
 def _q_lsh_candidate_recall(sf_dir: str):
     """LSH candidate-superset invariant as an oracled query: clone the
     first 50 docs under shifted ids, then return the exact-duplicate
@@ -1820,23 +1838,49 @@ def _q_lsh_candidate_recall(sf_dir: str):
     identical signature ⇒ every exact-dup pair must be a candidate, so
     the result equals the SQL md5(text) self-join — a real end-to-end
     check of the signature/banding/pair machinery."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from jsonld_ex_ray.ops.dedup import lsh_exactdup_candidate_pairs
 
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return lsh_exactdup_candidate_pairs(_clone_docs(ds))
 
-    def clone(batch: pa.Table) -> pa.Table:
-        sub = batch.filter(pc.less(batch.column("doc_id"), pa.scalar(50)))
-        return sub.set_column(
-            sub.schema.get_field_index("doc_id"),
-            "doc_id",
-            pc.add(sub.column("doc_id"), pa.scalar(1_000_000)),
+
+def _q_jaccard_clone_recall(sf_dir: str):
+    """Exact-Jaccard invariant as an oracled query: clone the first 50
+    docs under shifted ids; byte-identical texts have identical
+    word-shingle sets, so the exact-verified pair list at threshold 1.0
+    equals the SQL md5(text) self-join (jaccard constant 1.0).
+    Exercises the banding → candidate → exact-verify chain end-to-end
+    with a checkable answer (sibling of lsh_candidate_recall)."""
+    from jsonld_ex_ray.ops.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return ngram_jaccard_pairs(_clone_docs(ds), threshold=1.0)
+
+
+def _q_simhash_clone_recall(sf_dir: str):
+    """SimHash pigeonhole-recall invariant: every cloned doc has a
+    byte-identical origin, hence an identical 64-bit signature, hence a
+    hamming-0 match that the chunk banding MUST surface. Returns the
+    clone ids the simhash path reports at hamming 0 — equals the planted
+    id set (dup_of is dropped: min-id tie-breaks against colliding
+    ORIGINALS are legal and scheduling-independent but not
+    SQL-predictable)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsonld_ex_ray.ops.dedup import simhash_duplicates
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = simhash_duplicates(_clone_docs(ds), max_hamming=0)
+
+    def planted_only(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("doc_id"), pa.scalar(1_000_000)),
+            pc.equal(batch.column("hamming"), pa.scalar(0)),
         )
+        return batch.filter(keep).select(["doc_id"])
 
-    aug = ds.union(ds.map_batches(clone, batch_format="pyarrow", zero_copy_batch=True))
-    return lsh_exactdup_candidate_pairs(aug)
+    return out.map_batches(planted_only, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_doc_lines(sf_dir: str):
@@ -2046,7 +2090,7 @@ def _q_events_value_mad(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-query correctness window re-proves the
     queries that need it most: oracled queries first, rows-only /
-    no_oracle queries last. There are more oracled queries (85) than
+    no_oracle queries last. There are more oracled queries (87) than
     window slots (50); the ``window_priority`` tuple below picks the 50 —
     never-driver-checked queries, queries whose last driver row is stale,
     and queries whose kernels changed this round — and every ceded query
@@ -2169,15 +2213,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_entropy": _q_user_type_entropy,
         "user_distinct_types": _q_user_distinct_types,
         "lsh_candidate_recall": _q_lsh_candidate_recall,
+        "jaccard_clone_recall": _q_jaccard_clone_recall,
+        "simhash_clone_recall": _q_simhash_clone_recall,
     }
     oracled = set(oracle_sql())
-    # 85 oracled queries, 50 driver slots — ROUND-5 ROTATION: the 26
+    # 87 oracled queries, 50 driver slots — ROUND-5 ROTATION: the 26
     # queries that ceded their slot in round 4 (all green in
     # CORRECTNESS_r03 / judge driver_sim but without a fresh driver row)
-    # plus the 9 round-5 additions take the window, followed by 15
+    # plus the 11 round-5 additions take the window, followed by 13
     # round-4 greens whose kernels CHANGED this round (segmented_head
     # null fix, group-stats gates, interval-join probe, span-emitter
-    # refactor, the r3-red events_sessions kept under watch). The 35
+    # refactor, the r3-red events_sessions kept under watch). The 37
     # ceding queries all carry green CORRECTNESS_r04 rows and stay
     # driver_sim-/pytest-verified (tests/driver_sim.py runs ALL queries
     # at num_cpus=32); with this rotation every oracled query has a
@@ -2220,6 +2266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lineage",
         "kg_dedup_check",
         "kg_subject_degree",
+        "jaccard_clone_recall",
+        "simhash_clone_recall",
         # — r4 greens whose kernels changed this round —
         "events_share_of_type",     # r5 cardinality gate
         "events_pivot_daily",       # r5 cardinality gate
@@ -2233,9 +2281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customers_full",
         "events_sessions",          # the r3 red — keep under driver watch
         "doc_dedup_exact",
-        "dedup_lines",
         "decontaminate",
-        "token_counts",
     )
     assert len(window_priority) == 50 and set(window_priority) <= set(base)
     ordered: dict[str, Callable[[str], Any]] = {}
@@ -3087,6 +3133,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b
+        """,
+        "jaccard_clone_recall": """
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id < 50
+            ),
+            h AS (SELECT doc_id, md5(text) AS h FROM aug)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jaccard
+            FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b
+        """,
+        "simhash_clone_recall": """
+            SELECT doc_id + 1000000 AS doc_id FROM documents
+            WHERE doc_id < 50 ORDER BY doc_id
         """,
         "events_rolling_rows": """
             SELECT user_id, event_id, value,
