@@ -1005,6 +1005,67 @@ def _q_kg_subject_degree(sf_dir: str):
     return materialize_graph(ds).select_columns(["subj", "degree"])
 
 
+_LINK_CHECK_MAPPING = {
+    f"https://kg.example/hot/{i}": f"https://kg.example/canonical/hot-{i}"
+    for i in range(4)
+}
+
+
+def _q_kg_link_check(sf_dir: str):
+    """The EntityLinker actor stage (canonical dictionary broadcast via
+    ray.put, materialized once per actor in __init__) vs a SQL VALUES
+    join replicating its lookup semantics — exact alias hit first, then
+    the normalized fallback (lower, strip trailing '/', https→http),
+    literals untouched — over the shared triples parquet. All input
+    columns ride through, so the compare covers passthrough too."""
+    import ray.data
+
+    from jsonld_ex_ray.stages.linker import EntityLinker, build_canonical_dictionary
+
+    ref = build_canonical_dictionary(_LINK_CHECK_MAPPING)
+    return ray.data.read_parquet(_triples_parquet()).map_batches(
+        EntityLinker,
+        fn_constructor_kwargs={"dict_ref": ref},
+        concurrency=2,
+        batch_format="pyarrow",
+    )
+
+
+def _q_kg_canon_passthrough(sf_dir: str):
+    """URDNA2015 canonicalization must relabel ONLY blank nodes: the
+    non-bnode subset of its output (subj/obj/graph all non-bnode) equals
+    the same subset of the input triples parquet, verbatim. The bnode
+    rows themselves are pytest-gated (adversarial symmetric graphs);
+    this driver row proves the doc-bucketed relabel shuffle never
+    corrupts, drops, or duplicates the rows it isn't supposed to touch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from jsonld_ex_ray.pipeline import canonicalize_bnodes
+
+    out = canonicalize_bnodes(ray.data.read_parquet(_triples_parquet()))
+
+    def non_bnode(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.invert(pc.starts_with(batch.column("subj"), "_:")),
+                pc.not_equal(batch.column("obj_kind"), "bnode"),
+            ),
+            # or_kleene: NULL graph (the default graph) must pass —
+            # plain or_ propagates the null and drops the row
+            pc.or_kleene(
+                pc.is_null(batch.column("graph")),
+                pc.invert(pc.starts_with(batch.column("graph"), "_:")),
+            ),
+        )
+        return batch.filter(keep).select(
+            ["graph", "subj", "pred", "obj", "obj_datatype", "obj_lang", "doc_id"]
+        )
+
+    return out.map_batches(non_bnode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_kg_triples(sf_dir: str):
     from jsonld_ex_ray.pipeline import build_triples, triples_only
 
@@ -2090,7 +2151,7 @@ def _q_events_value_mad(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-query correctness window re-proves the
     queries that need it most: oracled queries first, rows-only /
-    no_oracle queries last. There are more oracled queries (87) than
+    no_oracle queries last. There are more oracled queries (89) than
     window slots (50); the ``window_priority`` tuple below picks the 50 —
     never-driver-checked queries, queries whose last driver row is stale,
     and queries whose kernels changed this round — and every ceded query
@@ -2171,6 +2232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lineage": _q_kg_lineage,
         "kg_dedup_check": _q_kg_dedup_check,
         "kg_subject_degree": _q_kg_subject_degree,
+        "kg_link_check": _q_kg_link_check,
+        "kg_canon_passthrough": _q_kg_canon_passthrough,
         "kg_triples": _q_kg_triples,
         "kg_errors": _q_kg_errors,
         "kg_dedup": _q_kg_dedup,
@@ -2217,13 +2280,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_clone_recall": _q_simhash_clone_recall,
     }
     oracled = set(oracle_sql())
-    # 87 oracled queries, 50 driver slots — ROUND-5 ROTATION: the 26
+    # 89 oracled queries, 50 driver slots — ROUND-5 ROTATION: the 26
     # queries that ceded their slot in round 4 (all green in
     # CORRECTNESS_r03 / judge driver_sim but without a fresh driver row)
-    # plus the 11 round-5 additions take the window, followed by 13
+    # plus the 13 round-5 additions take the window, followed by 11
     # round-4 greens whose kernels CHANGED this round (segmented_head
     # null fix, group-stats gates, interval-join probe, span-emitter
-    # refactor, the r3-red events_sessions kept under watch). The 37
+    # refactor, the r3-red events_sessions kept under watch). The 39
     # ceding queries all carry green CORRECTNESS_r04 rows and stay
     # driver_sim-/pytest-verified (tests/driver_sim.py runs ALL queries
     # at num_cpus=32); with this rotation every oracled query has a
@@ -2268,6 +2331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_subject_degree",
         "jaccard_clone_recall",
         "simhash_clone_recall",
+        "kg_link_check",
+        "kg_canon_passthrough",
         # — r4 greens whose kernels changed this round —
         "events_share_of_type",     # r5 cardinality gate
         "events_pivot_daily",       # r5 cardinality gate
@@ -2280,8 +2345,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_last_ship",         # bucketed join family
         "orders_customers_full",
         "events_sessions",          # the r3 red — keep under driver watch
-        "doc_dedup_exact",
-        "decontaminate",
     )
     assert len(window_priority) == 50 and set(window_priority) <= set(base)
     ordered: dict[str, Callable[[str], Any]] = {}
@@ -2521,6 +2584,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, count(*) AS degree
             FROM read_parquet('/tmp/jsonld_ex_ray_triples_4000/*.parquet')
             GROUP BY subj
+        """,
+        "kg_link_check": """
+            WITH m(alias, iri) AS (VALUES
+              ('https://kg.example/hot/0', 'https://kg.example/canonical/hot-0'),
+              ('https://kg.example/hot/1', 'https://kg.example/canonical/hot-1'),
+              ('https://kg.example/hot/2', 'https://kg.example/canonical/hot-2'),
+              ('https://kg.example/hot/3', 'https://kg.example/canonical/hot-3')),
+            t AS (SELECT * FROM read_parquet('/tmp/jsonld_ex_ray_triples_4000/*.parquet'))
+            SELECT t.*,
+                   coalesce(ms1.iri, ms2.iri, t.subj) AS subj_canon,
+                   CASE WHEN t.obj_kind = 'iri'
+                        THEN coalesce(mo1.iri, mo2.iri, t.obj)
+                        ELSE t.obj END AS obj_canon
+            FROM t
+            LEFT JOIN m ms1 ON t.subj = ms1.alias
+            LEFT JOIN m ms2 ON replace(rtrim(lower(t.subj), '/'), 'https://', 'http://')
+                             = replace(rtrim(lower(ms2.alias), '/'), 'https://', 'http://')
+            LEFT JOIN m mo1 ON t.obj_kind = 'iri' AND t.obj = mo1.alias
+            LEFT JOIN m mo2 ON t.obj_kind = 'iri'
+                           AND replace(rtrim(lower(t.obj), '/'), 'https://', 'http://')
+                             = replace(rtrim(lower(mo2.alias), '/'), 'https://', 'http://')
+        """,
+        "kg_canon_passthrough": """
+            SELECT graph, subj, pred, obj, obj_datatype, obj_lang, doc_id
+            FROM read_parquet('/tmp/jsonld_ex_ray_triples_4000/*.parquet')
+            WHERE subj NOT LIKE '\\_:%' ESCAPE '\\'
+              AND obj_kind <> 'bnode'
+              AND (graph IS NULL OR graph NOT LIKE '\\_:%' ESCAPE '\\')
         """,
         "emb_dup_pairs": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
