@@ -317,6 +317,44 @@ def _q_events_hll_by_type(sf_dir: str):
     return grouped_approx_distinct_hll(ds, "event_type", "user_id").sort("event_type")
 
 
+def _q_events_hll_check(sf_dir: str):
+    """HLL accuracy contract as an ORACLED query: per-type HLL
+    distinct-user estimates vs the engine's own exact bucketed distinct
+    count — the estimate must land within 5% of exact (>3× the p=12
+    standard error of 1.04/√4096 ≈ 1.6%). The HLL estimate is a
+    DETERMINISTIC function of the distinct-value set (register maxes
+    commute), so the boolean is reproducible across runs/schedules and
+    the SQL oracle (exact COUNT(DISTINCT) + literal TRUE) is a genuine
+    end-to-end check of the sketch machinery: a broken hash, rank, or
+    merge flips within_bound to false and hash-mismatches. Both side
+    tables are one row per event type — the driver-side merge is O(types)."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import (
+        distinct_rows,
+        groupby_agg_bucketed,
+        grouped_approx_distinct_hll,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    est = grouped_approx_distinct_hll(ds, "event_type", "user_id").to_pandas()
+    pairs = distinct_rows(ds, ["event_type", "user_id"])
+    exact = groupby_agg_bucketed(
+        pairs, ["event_type"], [("user_id", "count", "n_exact")]
+    ).to_pandas()
+    m = exact.merge(est, on="event_type")
+    m["within_bound"] = (
+        (m["n_distinct_approx"] - m["n_exact"]).abs() / m["n_exact"]
+    ) <= 0.05
+    return (
+        m[["event_type", "n_exact", "within_bound"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 def _q_events_props_extract(sf_dir: str):
     """JSON payload column parsing (vectorized per batch)."""
     import pyarrow as pa
@@ -905,6 +943,33 @@ def _q_ann_recall(sf_dir: str):
     cents = fit_centroids(np.asarray(sample), n_clusters=16)
     queries = sample[:20]
     return ivf_recall_at_k(_read(sf_dir, "embeddings"), queries, cents, k=10, nprobe=8)
+
+
+def _q_ann_recall_check(sf_dir: str):
+    """IVF quality contract as an ORACLED query: mean recall@10 of the
+    nprobe=8/16 pruned search vs exact brute force over 20 query vectors
+    must clear 0.75 (measured 0.82 / 0.835 / 0.855 at sf0.001/0.01/0.1;
+    half the clusters probed). Deterministic end to end — seeded k-means on a
+    deterministic ds.limit sample, order-independent per-block top-k —
+    so the boolean is reproducible and the SQL side (query count from
+    the embeddings view + literal TRUE) genuinely gates the IVF
+    machinery: a broken assignment, probe list, or survivor merge drops
+    recall below the bar and hash-mismatches."""
+    import numpy as np
+    import pandas as pd
+
+    from jsonld_ex_ray.ops.similarity import fit_centroids, ivf_recall_at_k
+
+    ds = _read(sf_dir, "embeddings")
+    sample = ds.limit(2000).to_pandas()["embedding"].tolist()
+    cents = fit_centroids(np.asarray(sample), n_clusters=16)
+    df = ivf_recall_at_k(_read(sf_dir, "embeddings"), sample[:20], cents, k=10, nprobe=8)
+    return pd.DataFrame(
+        {
+            "n_queries": df["n_queries"].astype("int64"),
+            "recall_ok": df["recall_at_10"] >= 0.75,
+        }
+    )
 
 
 def _q_emb_dups(sf_dir: str):
@@ -1647,6 +1712,95 @@ def _q_dedup_clusters(sf_dir: str):
     return comps.map_batches(unpad, batch_format="pyarrow", zero_copy_batch=True).sort("node")
 
 
+def _chain_edges(sf_dir: str, etype: str, mod: int, *, symmetric: bool):
+    """SQL-derivable synthetic graph over events: one edge (u, u+1) per
+    DISTINCT user with an ``etype`` event, chains broken every ``mod``
+    ids (u % mod == mod-1 emits nothing) — components of bounded size
+    whose exact closure a DuckDB recursive CTE can reproduce, which is
+    what lets the iterative graph machinery (connected_components /
+    pagerank) carry a REAL SQL oracle instead of a rows-only contract.
+    Node ids are zero-padded strings (the graph ops compare labels
+    lexicographically and type nodes as strings); edges are globally
+    deduped (distinct_rows) so out-degrees match SQL's DISTINCT edge
+    set, not the per-block event multiplicity."""
+    import numpy as np
+    import pyarrow as pa
+
+    from jsonld_ex_ray.ops.agg import distinct_rows
+
+    ds = _read(sf_dir, "events").select_columns(["user_id", "event_type"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        u = np.unique(uid[(et == etype) & (uid % mod != mod - 1)])
+        src = np.char.zfill(u.astype("U20"), 20)
+        dst = np.char.zfill((u + 1).astype("U20"), 20)
+        if symmetric:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    e = ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+    return distinct_rows(e, ["src", "dst"])
+
+
+def _q_events_click_cc(sf_dir: str):
+    """Connected components with a REAL SQL oracle: pointer-doubling
+    min-label CC (ops/graph.py) over the SQL-derivable click-user chain
+    graph, checked bit-exact against a DuckDB WITH RECURSIVE
+    reachable-label closure + MIN(label) GROUP BY. Exercises the same
+    propagate + shortcut iteration dedup_clusters runs on LSH pairs,
+    but over an edge set both engines can construct."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsonld_ex_ray.ops.graph import connected_components
+
+    comps = connected_components(_chain_edges(sf_dir, "click", 10, symmetric=False))
+
+    def unpad(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(batch.column("node"), pa.int64()),
+                "component": pc.cast(batch.column("component"), pa.int64()),
+            }
+        )
+
+    return comps.map_batches(unpad, batch_format="pyarrow", zero_copy_batch=True).sort("node")
+
+
+def _q_events_pagerank(sf_dir: str):
+    """Damped PageRank with a REAL SQL oracle: 5 iterations of the exact
+    recurrence rank' = (1-d)/n + d·Σ rank/out_degree over the symmetric
+    view-user chain graph, checked (6 dp — parallel partial sums reorder
+    float additions) against a DuckDB WITH RECURSIVE CTE running the
+    SAME recurrence with aggregation in the recursive term. The
+    symmetric graph has no dangling nodes, so the dangling-mass term is
+    exactly zero on both sides; kg_pagerank (rows-only) runs the same
+    kernel over the JSON-LD entity graph."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsonld_ex_ray.ops.agg import round_half_away
+    from jsonld_ex_ray.ops.graph import pagerank
+
+    ranks = pagerank(
+        _chain_edges(sf_dir, "view", 7, symmetric=True), iterations=5, num_buckets=16
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "node": pc.cast(batch.column("node"), pa.int64()),
+                "rank": pa.array(round_half_away(r, 6), pa.float64()),
+            }
+        )
+
+    return ranks.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort("node")
+
+
 def _q_events_value_stats(sf_dir: str):
     """Second-moment aggregates (stddev/variance) from MERGEABLE sum-of-
     squares partials — same map-side-combiner shape as lineitem_agg, no
@@ -2151,7 +2305,7 @@ def _q_events_value_mad(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-query correctness window re-proves the
     queries that need it most: oracled queries first, rows-only /
-    no_oracle queries last. There are more oracled queries (89) than
+    no_oracle queries last. There are more oracled queries (93) than
     window slots (50); the ``window_priority`` tuple below picks the 50 —
     never-driver-checked queries, queries whose last driver row is stale,
     and queries whose kernels changed this round — and every ceded query
@@ -2173,6 +2327,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct_users,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "events_hll_by_type": _q_events_hll_by_type,
+        "events_hll_check": _q_events_hll_check,
+        "events_click_cc": _q_events_click_cc,
+        "events_pagerank": _q_events_pagerank,
+        "ann_recall_check": _q_ann_recall_check,
         "events_props_extract": _q_events_props_extract,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
@@ -2280,17 +2438,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_clone_recall": _q_simhash_clone_recall,
     }
     oracled = set(oracle_sql())
-    # 89 oracled queries, 50 driver slots — ROUND-5 ROTATION: the 26
+    # 93 oracled queries, 50 driver slots — ROUND-5 ROTATION: the 26
     # queries that ceded their slot in round 4 (all green in
     # CORRECTNESS_r03 / judge driver_sim but without a fresh driver row)
-    # plus the 13 round-5 additions take the window, followed by 11
+    # plus the 17 round-5 additions take the window, followed by 7
     # round-4 greens whose kernels CHANGED this round (segmented_head
     # null fix, group-stats gates, interval-join probe, span-emitter
-    # refactor, the r3-red events_sessions kept under watch). The 39
-    # ceding queries all carry green CORRECTNESS_r04 rows and stay
-    # driver_sim-/pytest-verified (tests/driver_sim.py runs ALL queries
-    # at num_cpus=32); with this rotation every oracled query has a
-    # driver row dated r4-or-r5.
+    # refactor, the r3-red events_sessions kept under watch) — one
+    # representative per changed family; the ceded siblings
+    # (events_quantiles_by_type, user_top_event_type,
+    # doc_weighted_sample, orders_customers_full) carry green
+    # CORRECTNESS_r04 rows, as do all 39 other ceding queries, and every
+    # query stays driver_sim-/pytest-verified (tests/driver_sim.py runs
+    # ALL queries at num_cpus=32); with this rotation every oracled
+    # query has a driver row dated r4-or-r5.
     window_priority = (
         # — the 26 stale-row queries rotated back in —
         "doc_repetition_filter",
@@ -2333,17 +2494,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_clone_recall",
         "kg_link_check",
         "kg_canon_passthrough",
-        # — r4 greens whose kernels changed this round —
+        "events_click_cc",          # recursive-CTE CC oracle (new)
+        "events_pagerank",          # recursive-CTE PageRank oracle (new)
+        "events_hll_check",         # HLL error-bound invariant (new)
+        "ann_recall_check",         # IVF recall invariant (new)
+        # — r4 greens whose kernels changed this round (one per family) —
         "events_share_of_type",     # r5 cardinality gate
         "events_pivot_daily",       # r5 cardinality gate
-        "events_quantiles_by_type", # gate-family sibling
         "events_interval_match",    # r5 vectorized probe
-        "user_top_event_type",      # segmented_head consumer
         "doc_weighted_per_lang",    # segmented selection consumer
-        "doc_weighted_sample",
         "doc_dup_spans",            # span-emitter refactor
         "orders_last_ship",         # bucketed join family
-        "orders_customers_full",
         "events_sessions",          # the r3 red — keep under driver watch
     )
     assert len(window_priority) == 50 and set(window_priority) <= set(base)
@@ -3240,6 +3401,51 @@ def oracle_sql() -> dict[str, str]:
         "simhash_clone_recall": """
             SELECT doc_id + 1000000 AS doc_id FROM documents
             WHERE doc_id < 50 ORDER BY doc_id
+        """,
+        "events_click_cc": """
+            WITH RECURSIVE
+            e AS (SELECT DISTINCT user_id AS src, user_id + 1 AS dst
+                  FROM events WHERE event_type = 'click' AND user_id % 10 <> 9),
+            sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            walk (node, lbl) AS (
+              SELECT DISTINCT src AS node, src AS lbl FROM sym
+              UNION
+              SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.node
+            )
+            SELECT node, MIN(lbl) AS component FROM walk
+            GROUP BY node ORDER BY node
+        """,
+        "events_pagerank": """
+            WITH RECURSIVE
+            e AS (SELECT DISTINCT user_id AS src, user_id + 1 AS dst
+                  FROM events WHERE event_type = 'view' AND user_id % 7 <> 6),
+            sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            outdeg AS (SELECT src, COUNT(*) AS od FROM sym GROUP BY src),
+            nn AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM sym),
+            pr (iter, node, rank) AS (
+              SELECT 0, src, 1.0 / (SELECT n FROM nn)
+              FROM (SELECT DISTINCT src FROM sym)
+              UNION ALL
+              SELECT p.iter + 1, s.dst,
+                     0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.rank / o.od)
+              FROM pr p
+              JOIN sym s ON s.src = p.node
+              JOIN outdeg o ON o.src = p.node
+              WHERE p.iter < 5
+              GROUP BY p.iter, s.dst
+            )
+            SELECT node, ROUND(rank, 6) AS rank FROM pr
+            WHERE iter = 5 ORDER BY node
+        """,
+        "events_hll_check": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ann_recall_check": """
+            SELECT CAST(LEAST(20, (SELECT COUNT(*) FROM embeddings)) AS BIGINT)
+                     AS n_queries,
+                   TRUE AS recall_ok
         """,
         "events_rolling_rows": """
             SELECT user_id, event_id, value,
