@@ -532,3 +532,56 @@ def test_sha256_hex_matches_extract_stage_hashlib():
     got = sha256_hex(pa.array(vals, pa.string())).to_pylist()
     want = [hashlib.sha256(((v or "")).encode("utf-8")).hexdigest() for v in vals]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# graph-kernel oracles: the chain-graph CC / PageRank queries match their
+# recursive-CTE SQL oracles (the driver comparison, pinned in pytest)
+# ---------------------------------------------------------------------------
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _duckdb_oracle(name, sf_dir):
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    return con.execute(entry.oracle_sql()[name]).df()
+
+
+def test_events_click_cc_matches_recursive_cte(ray_session):
+    """Pointer-doubling CC over the SQL-derivable click chain graph is
+    bit-exact against the DuckDB WITH RECURSIVE min-label closure —
+    the same comparison the driver runs, kept under pytest so a kernel
+    regression surfaces before the next driver round."""
+    import __ray_entry__ as entry
+
+    got = entry.queries()["events_click_cc"](SF0001).to_pandas()
+    want = _duckdb_oracle("events_click_cc", SF0001)
+    pd.testing.assert_frame_equal(
+        got.sort_values("node").reset_index(drop=True),
+        want.sort_values("node").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_events_pagerank_matches_recursive_cte(ray_session):
+    """Damped PageRank (5 iterations, symmetric chain graph — zero
+    dangling mass) agrees with the DuckDB recursive-CTE recurrence to
+    6dp on every node."""
+    import __ray_entry__ as entry
+
+    got = entry.queries()["events_pagerank"](SF0001).to_pandas()
+    want = _duckdb_oracle("events_pagerank", SF0001)
+    got = got.sort_values("node").reset_index(drop=True)
+    want = want.sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == want["node"].tolist()
+    assert np.allclose(got["rank"].to_numpy(), want["rank"].to_numpy(), atol=1.5e-6)
+    # ranks are a probability distribution (no dangling leakage)
+    assert abs(got["rank"].sum() - 1.0) < 1e-3
