@@ -2028,6 +2028,46 @@ def _q_user_distinct_types(sf_dir: str):
     )
 
 
+def _q_users_customers_union(sf_dir: str):
+    """SQL UNION (distinct) — the setops machinery's third op: per-block
+    distinct combiner on both sides, one value-hash shuffle, per-bucket
+    arrow hash-distinct over the concatenated sides (no join probe)."""
+    from jsonld_ex_ray.ops.setops import set_op
+
+    return set_op(
+        _read(sf_dir, "events").select_columns(["user_id"]),
+        _read(sf_dir, "customer").select_columns(["c_custkey"]),
+        left_cols=["user_id"],
+        right_cols=["c_custkey"],
+        op="union",
+    )
+
+
+def _q_lineitem_below_avg(sf_dir: str):
+    """Correlated-subquery filter + re-aggregate (the TPC-H Q17 shape):
+    per partkey, the count and revenue of lineitems whose quantity is
+    below HALF the partkey's mean quantity. ``filter_vs_group_mean``
+    evaluates membership in cross-multiplied integer form
+    (``2·v·n < s``) so the row set is EXACT vs the serial SQL window —
+    quantities are integral, no float boundary-flip — then one more
+    bucketed combine aggregates the survivors. Stats are
+    cardinality-gated: broadcast below 100k partkeys, bucketed
+    join-back above."""
+    from jsonld_ex_ray.ops.agg import filter_vs_group_mean, groupby_agg_bucketed
+
+    lineitem = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    below = filter_vs_group_mean(
+        lineitem, "l_partkey", "l_quantity", mult_num=1, mult_den=2, cmp="lt"
+    )
+    return groupby_agg_bucketed(
+        below,
+        ["l_partkey"],
+        [("l_quantity", "count", "n_below"), ("l_extendedprice", "sum", "sum_price", 2)],
+    )
+
+
 def _clone_docs(ds, n: int = 50, shift: int = 1_000_000):
     """Clone the first ``n`` docs under ids shifted by ``shift`` — the
     shared planted-duplicate fixture for the *_clone_recall /
@@ -2436,6 +2476,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_candidate_recall": _q_lsh_candidate_recall,
         "jaccard_clone_recall": _q_jaccard_clone_recall,
         "simhash_clone_recall": _q_simhash_clone_recall,
+        "users_customers_union": _q_users_customers_union,
+        "lineitem_below_avg": _q_lineitem_below_avg,
     }
     oracled = set(oracle_sql())
     # 93 oracled queries, 50 driver slots — ROUND-5 ROTATION: the 26
@@ -3373,6 +3415,26 @@ def oracle_sql() -> dict[str, str]:
         "user_distinct_types": """
             SELECT user_id, count(DISTINCT event_type) AS n_types
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "users_customers_union": """
+            SELECT user_id FROM events
+            UNION
+            SELECT c_custkey FROM customer
+        """,
+        "lineitem_below_avg": """
+            WITH w AS (
+              SELECT l_partkey, l_quantity, l_extendedprice,
+                     sum(l_quantity) OVER (PARTITION BY l_partkey) AS s,
+                     count(*) OVER (PARTITION BY l_partkey) AS n
+              FROM lineitem
+            )
+            SELECT l_partkey,
+                   count(*) AS n_below,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM w
+            WHERE l_quantity * 2 * n < s
+            GROUP BY l_partkey
+            ORDER BY l_partkey
         """,
         "lsh_candidate_recall": """
             WITH aug AS (

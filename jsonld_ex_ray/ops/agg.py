@@ -1885,3 +1885,104 @@ def share_of_group(
         return finish(batch, denom, seen).drop_columns(["__s"])
 
     return joined.map_batches(emit_joined, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_CMP_FNS = {"lt": np.less, "le": np.less_equal, "gt": np.greater, "ge": np.greater_equal}
+
+
+def filter_vs_group_mean(
+    ds,
+    group_col: str,
+    value_col: str,
+    *,
+    mult_num: int = 1,
+    mult_den: int = 1,
+    cmp: str = "lt",
+    max_broadcast_groups: int = 100_000,
+    num_buckets: int = 64,
+):
+    """Correlated-subquery filter: keep rows where ``value <cmp>
+    (mult_num/mult_den) · avg(value) OVER (PARTITION BY group)`` — the
+    TPC-H Q17 shape (``l_quantity < 0.2 * avg(l_quantity) per part``),
+    and the per-group outlier/band filter of corpus curation ("drop docs
+    shorter than half their language's mean length").
+
+    The comparison is evaluated in cross-multiplied form,
+    ``v · mult_den · n  <cmp>  mult_num · s`` (``s``/``n`` the group's
+    sum and COUNT(*)), never as a division: for integral values all four
+    operands are exact integers in float64 (below 2^53), so row
+    membership is EXACT and independent of partial-sum addition order —
+    no boundary-flip risk against a serial SQL oracle. For fractional
+    values the sum's addition order can differ from SQL's by ulps;
+    membership of rows within an ulp of the threshold is then
+    order-dependent (document-level curation tolerates this; exact
+    parity needs integral values). Requires ``mult_den > 0``.
+
+    Ray shape: group (sum, count) partials ride the map-side combiner
+    into the bucketed combine, CARDINALITY-GATED like share_of_group —
+    at or below ``max_broadcast_groups`` the driver broadcasts the stats
+    table and a second streaming pass filters (zero corpus shuffle);
+    above it the stats Dataset joins back via ``hash_join_bucketed`` so
+    driver state stays O(1) at any group cardinality. A NULL group key
+    is ONE real partition (window-function SQL parity) riding as driver
+    scalars on both paths. NULL values never pass (SQL: NULL <cmp> x is
+    not TRUE). Assumes non-null values inside the mean (COUNT(*)
+    denominator — SQL parity via ``sum(v) OVER w / count(*) OVER w``)."""
+    import pandas as pd
+
+    if cmp not in _CMP_FNS:
+        raise ValueError(f"cmp must be one of {sorted(_CMP_FNS)}, got {cmp!r}")
+    if mult_den <= 0:
+        raise ValueError("mult_den must be positive")
+    cmp_fn = _CMP_FNS[cmp]
+
+    stats, null_row, stats_ds = _group_stats_gated(
+        ds,
+        group_col,
+        [(value_col, "sum", "__s"), (value_col, "count", "__n")],
+        max_broadcast_groups,
+        num_buckets,
+    )
+    null_s = float(null_row["__s"]) if null_row is not None else 0.0
+    null_n = float(null_row["__n"]) if null_row is not None else 0.0
+
+    def finish(batch: pa.Table, s: np.ndarray, n: np.ndarray, seen: np.ndarray) -> pa.Table:
+        varr = batch.column(value_col)
+        v = pc.cast(varr, pa.float64()).to_numpy(zero_copy_only=False)
+        if null_row is not None:
+            nm = ~pc.is_valid(batch.column(group_col)).to_numpy(zero_copy_only=False)
+            s = np.where(nm, null_s, s)
+            n = np.where(nm, null_n, n)
+            seen = seen | nm
+        ok = seen & pc.is_valid(varr).to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(v), dtype=bool)
+        np.copyto(
+            keep,
+            cmp_fn(np.where(ok, v, 0.0) * (mult_den * n), mult_num * s),
+            where=ok,
+        )
+        return batch.filter(pa.array(keep))
+
+    if stats is not None:
+        groups = pd.Index(stats[group_col])
+        sums = stats["__s"].to_numpy(dtype=np.float64)
+        counts = stats["__n"].to_numpy(dtype=np.float64)
+
+        def emit(batch: pa.Table) -> pa.Table:
+            gi = groups.get_indexer(batch.column(group_col).to_numpy(zero_copy_only=False))
+            seen = gi >= 0
+            gi_safe = np.where(seen, gi, 0)
+            return finish(batch, sums[gi_safe], counts[gi_safe], seen)
+
+        return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = _stats_join_back(ds, stats_ds, group_col, ["__s", "__n"], num_buckets)
+
+    def emit_joined(batch: pa.Table) -> pa.Table:
+        narr = batch.column("__n")
+        seen = pc.is_valid(narr).to_numpy(zero_copy_only=False)
+        n = pc.fill_null(narr, 0).to_numpy(zero_copy_only=False).astype(np.float64)
+        s = pc.fill_null(batch.column("__s"), 0.0).to_numpy(zero_copy_only=False).astype(np.float64)
+        return finish(batch, s, n, seen).drop_columns(["__s", "__n"])
+
+    return joined.map_batches(emit_joined, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,4 +1,4 @@
-"""Distributed SQL set operations (INTERSECT / EXCEPT, distinct
+"""Distributed SQL set operations (UNION / INTERSECT / EXCEPT, distinct
 semantics) as ONE bounded shuffle.
 
 Reference parity: the reference engine exposes set semantics only through
@@ -32,11 +32,16 @@ def set_op(
     op: str = "intersect",
     num_buckets: int = 64,
 ):
-    """``op``: ``intersect`` | ``except``. Output columns carry the LEFT
-    side's names (SQL convention: the first SELECT names the result).
-    ``right_cols`` defaults to ``left_cols`` (same names on both sides)."""
-    if op not in ("intersect", "except"):
-        raise ValueError(f"op must be intersect|except, got {op!r}")
+    """``op``: ``union`` | ``intersect`` | ``except``. Output columns
+    carry the LEFT side's names (SQL convention: the first SELECT names
+    the result). ``right_cols`` defaults to ``left_cols`` (same names on
+    both sides). ``union`` is SQL UNION (distinct): both sides ride the
+    same per-block-distinct combiner and value-hash shuffle, and each
+    bucket resolves to one arrow hash-distinct over the concatenated
+    sides — no join probe at all, and NULL rows collapse to one because
+    arrow group_by hashes a null key as its own single group."""
+    if op not in ("union", "intersect", "except"):
+        raise ValueError(f"op must be union|intersect|except, got {op!r}")
     right_cols = right_cols or left_cols
     if len(right_cols) != len(left_cols):
         raise ValueError("left_cols and right_cols must have equal length")
@@ -80,6 +85,10 @@ def set_op(
                 ).append_column(f"__v{i}", pc.is_valid(col))
                 keys += [f"__k{i}", f"__v{i}"]
             return t, keys
+
+        if op == "union":
+            both = group.drop_columns(["__side"])
+            return both.group_by(left_cols).aggregate([])
 
         side = group.column("__side")
         left = group.filter(pc.equal(side, 0)).drop_columns(["__side"])

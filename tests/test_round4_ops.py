@@ -221,7 +221,7 @@ def test_set_op_rejects_bad_args():
     from jsonld_ex_ray.ops.setops import set_op
 
     with pytest.raises(ValueError, match="intersect"):
-        set_op(None, None, left_cols=["a"], op="union")
+        set_op(None, None, left_cols=["a"], op="minus")
     with pytest.raises(ValueError, match="equal length"):
         set_op(None, None, left_cols=["a"], right_cols=["x", "y"], op="except")
 

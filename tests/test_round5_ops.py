@@ -542,16 +542,17 @@ def test_sha256_hex_matches_extract_stage_hashlib():
 SF0001 = "/root/testdata/sf0.001"
 
 
-def _duckdb_oracle(name, sf_dir):
+def _duckdb_oracle(name, sf_dir, tables=("events",)):
     import duckdb
 
     import __ray_entry__ as entry
 
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/events.parquet')"
-    )
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
     return con.execute(entry.oracle_sql()[name]).df()
 
 
@@ -585,3 +586,105 @@ def test_events_pagerank_matches_recursive_cte(ray_session):
     assert np.allclose(got["rank"].to_numpy(), want["rank"].to_numpy(), atol=1.5e-6)
     # ranks are a probability distribution (no dangling leakage)
     assert abs(got["rank"].sum() - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# UNION (distinct) set op + correlated-subquery filter (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+
+def test_set_op_union_matches_duckdb_incl_nulls(ray_session):
+    """SQL UNION collapses duplicates within AND across sides, and one
+    all-NULL row survives (IS NOT DISTINCT FROM semantics — arrow
+    group_by hashes null as its own single group)."""
+    import duckdb
+    import ray.data
+
+    from jsonld_ex_ray.ops.setops import set_op
+
+    lt = pa.table({"k": pa.array([1, 1, None, 2, None], pa.int64()),
+                   "s": pa.array(["a", "a", None, "b", "c"], pa.string())})
+    rt = pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                   "s": pa.array(["a", None, "d"], pa.string())})
+    got = (
+        set_op(
+            ray.data.from_arrow(lt).repartition(3),
+            ray.data.from_arrow(rt).repartition(2),
+            left_cols=["k", "s"],
+            op="union",
+            num_buckets=4,
+        )
+        .to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
+    )
+    lt_df, rt_df = lt.to_pandas(), rt.to_pandas()
+    want = duckdb.sql(
+        "SELECT * FROM lt_df UNION SELECT * FROM rt_df ORDER BY k, s"
+    ).fetchdf()
+    assert len(got) == len(want) == 5
+    pd.testing.assert_frame_equal(
+        got.astype({"k": "float64"}), want.astype({"k": "float64"})
+    )
+
+
+def test_filter_vs_group_mean_both_paths(ray_session):
+    """Correlated filter v < (1/2)·avg(v) per group: broadcast and
+    join-back (max_broadcast_groups=1) paths keep the identical row set;
+    a NULL group key is one real partition; NULL values never pass."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import filter_vs_group_mean
+
+    tbl = pa.table(
+        {
+            # group a: values 1..8 (mean 4.5, half 2.25 → keep 1,2)
+            # group b: values 10,30 (half-mean 10 → keep nothing, strict <)
+            # NULL group: 1, 100, None (mean over COUNT(*)=3 is 33.67 →
+            #   half 16.83 → keep the 1; the None value row never passes)
+            "g": pa.array(list("aaaaaaaa") + ["b", "b"] + [None] * 3),
+            "v": pa.array(
+                [1, 2, 3, 4, 5, 6, 7, 8, 10, 30, 1, 100, None], pa.int64()
+            ),
+        }
+    )
+    want_v = {("a", 1), ("a", 2), (None, 1)}
+    for mbg in (100_000, 1):
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        out = filter_vs_group_mean(
+            ds, "g", "v", mult_num=1, mult_den=2, cmp="lt",
+            max_broadcast_groups=mbg, num_buckets=4,
+        ).to_pandas()
+        got = {(None if pd.isna(g) else g, int(v)) for g, v in zip(out["g"], out["v"])}
+        assert got == want_v, (mbg, got)
+
+
+def test_filter_vs_group_mean_rejects_bad_args():
+    from jsonld_ex_ray.ops.agg import filter_vs_group_mean
+
+    with pytest.raises(ValueError, match="cmp"):
+        filter_vs_group_mean(None, "g", "v", cmp="ne")
+    with pytest.raises(ValueError, match="mult_den"):
+        filter_vs_group_mean(None, "g", "v", mult_den=0)
+
+
+def test_lineitem_below_avg_matches_oracle(ray_session):
+    """The Q17-shape query agrees with its window-SQL oracle bit-exactly
+    at sf0.001 — the same comparison the driver runs."""
+    import __ray_entry__ as entry
+
+    got = entry.queries()["lineitem_below_avg"](SF0001).to_pandas()
+    want = _duckdb_oracle("lineitem_below_avg", SF0001, tables=("lineitem",))
+    pd.testing.assert_frame_equal(
+        got.sort_values("l_partkey").reset_index(drop=True)[want.columns.tolist()],
+        want,
+        check_dtype=False,
+    )
+
+
+def test_users_customers_union_matches_oracle(ray_session):
+    import __ray_entry__ as entry
+
+    got = entry.queries()["users_customers_union"](SF0001).to_pandas()
+    want = _duckdb_oracle(
+        "users_customers_union", SF0001, tables=("events", "customer")
+    )
+    assert sorted(got["user_id"].tolist()) == sorted(want["user_id"].tolist())
