@@ -2345,7 +2345,7 @@ def _q_events_value_mad(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-query correctness window re-proves the
     queries that need it most: oracled queries first, rows-only /
-    no_oracle queries last. There are more oracled queries (93) than
+    no_oracle queries last. There are more oracled queries (95) than
     window slots (50); the ``window_priority`` tuple below picks the 50 —
     never-driver-checked queries, queries whose last driver row is stale,
     and queries whose kernels changed this round — and every ceded query
@@ -2480,17 +2480,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_below_avg": _q_lineitem_below_avg,
     }
     oracled = set(oracle_sql())
-    # 93 oracled queries, 50 driver slots — ROUND-5 ROTATION: the 26
+    # 95 oracled queries, 50 driver slots — ROUND-5 ROTATION: the 26
     # queries that ceded their slot in round 4 (all green in
     # CORRECTNESS_r03 / judge driver_sim but without a fresh driver row)
-    # plus the 17 round-5 additions take the window, followed by 7
+    # plus the 19 round-5 additions take the window, followed by 5
     # round-4 greens whose kernels CHANGED this round (segmented_head
     # null fix, group-stats gates, interval-join probe, span-emitter
     # refactor, the r3-red events_sessions kept under watch) — one
     # representative per changed family; the ceded siblings
     # (events_quantiles_by_type, user_top_event_type,
-    # doc_weighted_sample, orders_customers_full) carry green
-    # CORRECTNESS_r04 rows, as do all 39 other ceding queries, and every
+    # doc_weighted_sample, orders_customers_full, events_pivot_daily,
+    # doc_weighted_per_lang) carry green
+    # CORRECTNESS_r04 rows, as do all other ceding queries, and every
     # query stays driver_sim-/pytest-verified (tests/driver_sim.py runs
     # ALL queries at num_cpus=32); with this rotation every oracled
     # query has a driver row dated r4-or-r5.
@@ -2540,11 +2541,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pagerank",          # recursive-CTE PageRank oracle (new)
         "events_hll_check",         # HLL error-bound invariant (new)
         "ann_recall_check",         # IVF recall invariant (new)
+        # — late-round-5 additions (never driver-checked; they displace
+        #   events_pivot_daily / doc_weighted_per_lang, whose changed
+        #   kernels keep in-window family representatives —
+        #   events_share_of_type for the cardinality gate,
+        #   doc_sample_per_lang/knn_join/events_top_per_type for the
+        #   segmented selection — and whose own green CORRECTNESS_r04
+        #   rows stand) —
+        "users_customers_union",    # UNION distinct (new)
+        "lineitem_below_avg",       # correlated-subquery filter (new)
         # — r4 greens whose kernels changed this round (one per family) —
         "events_share_of_type",     # r5 cardinality gate
-        "events_pivot_daily",       # r5 cardinality gate
         "events_interval_match",    # r5 vectorized probe
-        "doc_weighted_per_lang",    # segmented selection consumer
         "doc_dup_spans",            # span-emitter refactor
         "orders_last_ship",         # bucketed join family
         "events_sessions",          # the r3 red — keep under driver watch
