@@ -688,3 +688,63 @@ def test_users_customers_union_matches_oracle(ray_session):
         "users_customers_union", SF0001, tables=("events", "customer")
     )
     assert sorted(got["user_id"].tolist()) == sorted(want["user_id"].tolist())
+
+
+def test_set_op_union_inclusion_exclusion_property(ray_session):
+    """|A ∪ B| = |distinct A| + |distinct B| − |A ∩ B| across randomized
+    multisets with nulls — ties the new union op to the already-proven
+    intersect op (hypothesis-style sweep, seeded draws)."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.setops import set_op
+
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        a_vals = rng.integers(0, 40, rng.integers(1, 120)).astype(object)
+        b_vals = rng.integers(20, 60, rng.integers(1, 120)).astype(object)
+        if trial % 2:  # plant nulls on one or both sides
+            a_vals[:: 7] = None
+        if trial % 3 == 0:
+            b_vals[:: 5] = None
+        at = pa.table({"k": pa.array(list(a_vals), pa.int64())})
+        bt = pa.table({"k": pa.array(list(b_vals), pa.int64())})
+        a_ds, b_ds = ray.data.from_arrow(at).repartition(3), ray.data.from_arrow(bt).repartition(2)
+        n_union = set_op(a_ds, b_ds, left_cols=["k"], op="union", num_buckets=4).count()
+        n_inter = set_op(a_ds, b_ds, left_cols=["k"], op="intersect", num_buckets=4).count()
+        da = len(pd.unique(pd.Series(list(a_vals))))
+        db = len(pd.unique(pd.Series(list(b_vals))))
+        assert n_union == da + db - n_inter, (trial, n_union, da, db, n_inter)
+
+
+def test_filter_vs_group_mean_matches_pandas_transform(ray_session):
+    """Randomized integral data: the cross-multiplied membership equals
+    the naive v < (num/den)·group-mean computed serially by pandas."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import filter_vs_group_mean
+
+    rng = np.random.default_rng(23)
+    for num, den, cmp_name, op in [(1, 2, "lt", np.less), (3, 4, "ge", np.greater_equal)]:
+        n = 4000
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 80, n).astype("int64"),
+                "v": rng.integers(0, 1000, n).astype("int64"),
+                "rid": np.arange(n, dtype=np.int64),
+            }
+        )
+        out = filter_vs_group_mean(
+            ray.data.from_pandas(df).repartition(5),
+            "g",
+            "v",
+            mult_num=num,
+            mult_den=den,
+            cmp=cmp_name,
+            num_buckets=8,
+        ).to_pandas()
+        grp = df.groupby("g")
+        s = grp["v"].transform("sum").to_numpy(np.int64)
+        cnt = grp["v"].transform("size").to_numpy(np.int64)
+        keep = op(df["v"].to_numpy(np.int64) * den * cnt, num * s)
+        want = set(df.loc[keep, "rid"])
+        assert set(out["rid"]) == want, (cmp_name, len(out), int(keep.sum()))
