@@ -1588,10 +1588,11 @@ def zscore_by_group(
         )
 
         def emit(batch: pa.Table) -> pa.Table:
-            gi = groups.get_indexer(batch.column(group_col).to_numpy(zero_copy_only=False))
-            seen = gi >= 0
-            gi_safe = np.where(seen, gi, 0)
-            return finish(batch, mu_a[gi_safe], sd_a[gi_safe], seen)
+            seen, (mu, sd) = _gated_lookup(
+                groups, [mu_a, sd_a],
+                batch.column(group_col).to_numpy(zero_copy_only=False),
+            )
+            return finish(batch, mu, sd, seen)
 
         return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -1798,6 +1799,24 @@ def _group_stats_gated(ds, group_col: str, stat_aggs, max_broadcast_groups: int,
     return None, null_row, stats_ds
 
 
+def _gated_lookup(groups, stat_arrays, key_arr):
+    """Row-wise lookup into the broadcast per-group stats table shared by
+    the gated family (share_of_group / zscore_by_group /
+    filter_vs_group_mean): returns (seen_mask, [stat per row, ...]).
+    EMPTY-TABLE SAFE — when every group key is NULL the non-null stats
+    table has zero rows but batches don't; indexing stats[gi_safe] would
+    raise, so unseen rows read 0.0 placeholders instead (callers resolve
+    the NULL partition from the separately-held null_row scalars)."""
+    n = len(key_arr)
+    gi = groups.get_indexer(key_arr) if len(groups) else np.full(n, -1)
+    seen = gi >= 0
+    gi_safe = np.where(seen, gi, 0)
+    return seen, [
+        arr[gi_safe] if len(arr) else np.zeros(n, dtype=np.float64)
+        for arr in stat_arrays
+    ]
+
+
 def _stats_join_back(ds, stats_ds, group_col: str, stat_cols: list[str], num_buckets: int):
     """High-cardinality path: per-group stats joined back onto the rows
     via the bucketed hash join (ONE bounded shuffle each side), never a
@@ -1869,9 +1888,10 @@ def share_of_group(
         sums = stats["__s"].to_numpy(dtype=np.float64)
 
         def emit(batch: pa.Table) -> pa.Table:
-            gi = groups.get_indexer(batch.column(group_col).to_numpy(zero_copy_only=False))
-            seen = gi >= 0
-            denom = sums[np.where(seen, gi, 0)]
+            seen, (denom,) = _gated_lookup(
+                groups, [sums],
+                batch.column(group_col).to_numpy(zero_copy_only=False),
+            )
             return finish(batch, denom, seen)
 
         return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
@@ -1969,10 +1989,11 @@ def filter_vs_group_mean(
         counts = stats["__n"].to_numpy(dtype=np.float64)
 
         def emit(batch: pa.Table) -> pa.Table:
-            gi = groups.get_indexer(batch.column(group_col).to_numpy(zero_copy_only=False))
-            seen = gi >= 0
-            gi_safe = np.where(seen, gi, 0)
-            return finish(batch, sums[gi_safe], counts[gi_safe], seen)
+            seen, (s, n) = _gated_lookup(
+                groups, [sums, counts],
+                batch.column(group_col).to_numpy(zero_copy_only=False),
+            )
+            return finish(batch, s, n, seen)
 
         return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
 

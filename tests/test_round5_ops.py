@@ -657,6 +657,41 @@ def test_filter_vs_group_mean_both_paths(ray_session):
         assert got == want_v, (mbg, got)
 
 
+def test_gated_family_all_null_group_keys(ray_session):
+    """Regression (review-found IndexError): when EVERY group key is
+    NULL the non-null broadcast stats table is empty but batches aren't —
+    the shared _gated_lookup must fall back to the null_row scalars
+    instead of indexing an empty stats array. All three gated consumers
+    must treat the NULL partition as one real group."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import (
+        filter_vs_group_mean,
+        share_of_group,
+        zscore_by_group,
+    )
+
+    tbl = pa.table(
+        {
+            "g": pa.array([None, None, None, None], pa.string()),
+            "v": pa.array([1, 2, 9, 4], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    kept = filter_vs_group_mean(ds, "g", "v", mult_num=1, mult_den=1, cmp="lt").to_pandas()
+    assert sorted(kept["v"]) == [1, 2]  # mean 4 → strict below keeps 1,2
+
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    shares = share_of_group(ds, "g", "v").to_pandas()
+    assert np.allclose(sorted(shares["share"]), [1 / 16, 2 / 16, 4 / 16, 9 / 16])
+
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    z = zscore_by_group(ds, "g", "v").to_pandas()
+    v = np.array([1.0, 2.0, 9.0, 4.0])
+    want = np.sort((v - v.mean()) / v.std())
+    assert np.allclose(np.sort(z["z"].to_numpy(np.float64)), np.round(want, 6), atol=1e-6)
+
+
 def test_filter_vs_group_mean_rejects_bad_args():
     from jsonld_ex_ray.ops.agg import filter_vs_group_mean
 
