@@ -2105,7 +2105,15 @@ def _q_jaccard_clone_recall(sf_dir: str):
     word-shingle sets, so the exact-verified pair list at threshold 1.0
     equals the SQL md5(text) self-join (jaccard constant 1.0).
     Exercises the banding → candidate → exact-verify chain end-to-end
-    with a checkable answer (sibling of lsh_candidate_recall)."""
+    with a checkable answer (sibling of lsh_candidate_recall).
+
+    SCOPE (same caveats as lsh_exactdup_candidate_pairs): the equality
+    is corpus-conditional — it needs (a) no two docs with IDENTICAL
+    word-shingle sets but different bytes (whitespace-only variants
+    would verify at Jaccard 1.0 yet miss the md5 join) and (b) every
+    dup group ≤ the 32-member all-pairs run cap. Both hold for the
+    synthetic corpus + 2-member planted clones this oracle runs on; the
+    invariant is about the machinery, not a universal identity."""
     from jsonld_ex_ray.ops.dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])

@@ -60,8 +60,23 @@ def _sharded_sf_dir(sf_dir: str, target_files: int = 8) -> str:
 
     sf = _sf_from_dir(sf_dir)
     out = f"/tmp/jsonld_ex_ray_shards_sf{sf}_f{target_files}"
-    if os.path.exists(os.path.join(out, ".done")):
-        return out
+    # fingerprint the SOURCE tables (name, size, mtime) into the marker
+    # so regenerated testdata invalidates the cached sharded copy
+    # instead of silently benching stale contents
+    src = sorted(f for f in os.listdir(sf_dir) if f.endswith(".parquet"))
+    stamp = ";".join(
+        f"{f}:{os.path.getsize(os.path.join(sf_dir, f))}:"
+        f"{int(os.path.getmtime(os.path.join(sf_dir, f)))}"
+        for f in src
+    )
+    done = os.path.join(out, ".done")
+    if os.path.exists(done):
+        with open(done) as fh:
+            if fh.read() == stamp:
+                return out
+        import shutil  # stale: source tables changed since the shard build
+
+        shutil.rmtree(out, ignore_errors=True)
     tmp = f"{out}.tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     for f in sorted(os.listdir(sf_dir)):
@@ -78,7 +93,7 @@ def _sharded_sf_dir(sf_dir: str, target_files: int = 8) -> str:
                 t.slice(i * step, step), os.path.join(d, f"part-{i:02d}.parquet")
             )
     with open(os.path.join(tmp, ".done"), "w") as fh:
-        fh.write("ok")
+        fh.write(stamp)
     try:
         os.rename(tmp, out)
     except OSError:  # lost the race to another bench process: theirs wins

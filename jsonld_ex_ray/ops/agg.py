@@ -588,7 +588,9 @@ def histogram_fixed(ds, col: str, lo: float, hi: float, nbins: int):
     )
 
 
-def segmented_head(t: pa.Table, group_col: str, sort_keys, k: int) -> pa.Table:
+def segmented_head(
+    t: pa.Table, group_col: str, sort_keys, k: int, *, null_placement: str = "at_end"
+) -> pa.Table:
     """Vectorized per-group top-k over ONE table: sort by
     ``(group_col, *sort_keys)``, compute each row's rank within its group
     run via a segmented arange, keep ``rank < k`` — zero per-group Python.
@@ -597,8 +599,18 @@ def segmented_head(t: pa.Table, group_col: str, sort_keys, k: int) -> pa.Table:
     boundaries come from dictionary codes of the sorted group column, so
     NULL group keys (any type — nullable ints included) coalesce into ONE
     run exactly like SQL ``PARTITION BY`` treats them, instead of the
-    NaN-per-row splitting a raw ``to_numpy`` comparison would produce."""
-    idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending"), *sort_keys])
+    NaN-per-row splitting a raw ``to_numpy`` comparison would produce.
+    ``null_placement`` orders NULL sort-key values: the default
+    ``at_end`` matches SQL's default NULLS LAST for both directions
+    (the null group run lands last but stays one run either way);
+    ``at_start`` makes a DESCENDING pass treat NULL as the LARGEST
+    value — what a reversed ASC-NULLS-LAST order (SQL ``last(x ORDER
+    BY …)``) needs."""
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[(group_col, "ascending"), *sort_keys],
+        null_placement=null_placement,
+    )
     t = t.take(idx)
     if t.num_rows == 0:
         return t
@@ -643,7 +655,10 @@ def group_first_last(
     def local_ends(batch: pa.Table) -> pa.Table:
         t = batch.select(keep)
         firsts = segmented_head(t, group_col, asc, 1)
-        lasts = segmented_head(t, group_col, desc, 1)
+        # SQL last(x ORDER BY …) is the FINAL row of an ASC NULLS LAST
+        # order, so a NULL order key is the LAST row, not skipped: the
+        # descending pass must rank NULL as largest (at_start).
+        lasts = segmented_head(t, group_col, desc, 1, null_placement="at_start")
         side = pa.chunked_array(
             [
                 pa.nulls(firsts.num_rows, pa.int8()).fill_null(0),
@@ -661,7 +676,7 @@ def group_first_last(
         f = g.filter(pc.equal(side, pa.scalar(0, pa.int8()))).drop_columns(["__side"])
         l = g.filter(pc.equal(side, pa.scalar(1, pa.int8()))).drop_columns(["__side"])
         f = segmented_head(f, group_col, asc, 1)
-        l = segmented_head(l, group_col, desc, 1)
+        l = segmented_head(l, group_col, desc, 1, null_placement="at_start")
         # one row per group on each side, same group set — align by key
         f = f.take(pc.sort_indices(f, sort_keys=[(group_col, "ascending")]))
         l = l.take(pc.sort_indices(l, sort_keys=[(group_col, "ascending")]))
@@ -1482,7 +1497,6 @@ def pivot_agg(
     the one-row-per-key result STAYS a distributed Dataset — a
     per-domain feature table over tens of millions of domains never
     lands in driver memory."""
-    import pandas as pd
 
     def widen(batch: pa.Table) -> pa.Table:
         p = batch.column(pivot_col)

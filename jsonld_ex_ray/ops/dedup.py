@@ -1578,6 +1578,16 @@ def lsh_exactdup_candidate_pairs(
     signature / pair-emission machinery dropped a guaranteed collision —
     exactly the regression this query exists to catch.
 
+    SCOPE: the pair-set EQUALITY holds while every duplicate group has
+    ≤ ``_ALL_PAIRS_RUN_CAP`` (32) members — ``_candidate_pairs`` emits
+    all pairs of a band run up to the cap and star+chain above it, so a
+    text duplicated 33+ times yields a candidate set that still CONNECTS
+    the group (the dedup guarantee) but omits some non-star pairs of the
+    md5 self-join. The oracle corpus (natural docs plus the planted
+    2-member clone pairs) stays far below the cap; re-scope the oracle
+    to a connectivity check before pointing it at a corpus with mega
+    dup groups.
+
     Ray shape: band rows and candidate mining are the production LSH
     path (``_band_rows`` → ``_candidate_pairs`` → ``_dedup_pairs``,
     bounded shuffles, id-only rows); exact-dup pairs come from a

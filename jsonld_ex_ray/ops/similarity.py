@@ -236,13 +236,14 @@ def brute_force_dup_pairs(
         )
     all_ids = side.column(id_col).to_numpy(zero_copy_only=False)
     all_m = _normalize(_to_matrix(side.column(emb_col)))
+    id_type = side.schema.field(id_col).type  # propagate the caller's id dtype
     ref = ray.put((all_ids, all_m))
 
     def local_pairs(batch: pa.Table) -> pa.Table:
         empty = pa.table(
             {
-                "vec_id_a": pa.array([], pa.int64()),
-                "vec_id_b": pa.array([], pa.int64()),
+                "vec_id_a": pa.array([], id_type),
+                "vec_id_b": pa.array([], id_type),
                 "sim": pa.array([], pa.float64()),
             }
         )
@@ -258,8 +259,8 @@ def brute_force_dup_pairs(
             return empty
         return pa.table(
             {
-                "vec_id_a": pa.array(ids_all[cols].tolist(), pa.int64()),
-                "vec_id_b": pa.array(bids[rows].tolist(), pa.int64()),
+                "vec_id_a": pa.array(ids_all[cols].tolist(), id_type),
+                "vec_id_b": pa.array(bids[rows].tolist(), id_type),
                 "sim": pa.array(
                     round_half_away(g[rows, cols], round_to).tolist(), pa.float64()
                 ),

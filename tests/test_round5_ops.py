@@ -692,6 +692,41 @@ def test_gated_family_all_null_group_keys(ray_session):
     assert np.allclose(np.sort(z["z"].to_numpy(np.float64)), np.round(want, 6), atol=1e-6)
 
 
+def test_group_first_last_null_order_keys_match_sql(ray_session):
+    """Regression (review-found): SQL last(x ORDER BY ts) under the
+    default ASC NULLS LAST order returns the NULL-ts row when one
+    exists; the descending pass must rank NULL as largest
+    (null_placement=at_start), not skip it. first is unaffected."""
+    import duckdb
+    import ray.data
+
+    from jsonld_ex_ray.ops.agg import group_first_last
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b", "c"],
+            "ts": pd.array([1, 2, None, 5, 4, None], dtype="Int64"),
+            "rid": np.arange(6, dtype=np.int64),
+            "v": ["p", "q", "r", "s", "t", "u"],
+        }
+    )
+    got = (
+        group_first_last(
+            ray.data.from_pandas(df).repartition(3), "g", ["ts", "rid"], ["v"],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """SELECT g, first(v ORDER BY ts, rid) AS first_v,
+                  last(v ORDER BY ts, rid) AS last_v
+           FROM df GROUP BY g ORDER BY g"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_filter_vs_group_mean_rejects_bad_args():
     from jsonld_ex_ray.ops.agg import filter_vs_group_mean
 
