@@ -7,6 +7,9 @@
   + triple kernels as the parquet pipeline; one row per file).
 - ``write_nquads``: triple Dataset → partitioned ``.nq`` text shards via a
   Ray datasink (streaming, one file per block — never one giant file).
+- ``read_jsonl_docs`` / ``write_jsonl``: NDJSON corpora ↔ the documents
+  table shape the text/dedup ops consume — the most common raw
+  training-corpus interchange format.
 """
 
 from __future__ import annotations
@@ -186,3 +189,114 @@ def write_nquads(ds, out_dir: str) -> None:
         triples_to_nquads_lines, batch_format="pyarrow", zero_copy_batch=True
     )
     lines.write_datasink(NQuadsSink(out_dir))
+
+
+def read_jsonl_docs(
+    paths,
+    *,
+    text_field: str = "text",
+    id_field: str | None = None,
+    keep_fields: list[str] | None = None,
+    strict: bool = True,
+):
+    """NDJSON (.jsonl) corpus → documents Dataset with the schema the
+    text/dedup ops consume: ``(doc_id:string, text:string,
+    *keep_fields)``.
+
+    ``strict=True`` (the scale path): ``ray.data.read_json`` — pyarrow's
+    C++ NDJSON reader, vectorized, no per-line Python; a malformed line
+    fails its file loudly. ``strict=False`` (the ingest-from-the-wild
+    path): ``read_text`` + per-line stdlib parse inside ``map_batches``,
+    malformed lines become rows with ``error_code='invalid json'`` and
+    the raw line preserved in ``text`` instead of poisoning the file —
+    per-row Python, priced in and documented, for corpora where a read
+    must not die on one bad line.
+
+    ``id_field=None`` derives ``doc_id`` as ``md5(text)`` via the
+    vectorized DuckDB kernel — byte-identical docs share an id, the
+    exact-dedup identity; pass a real field when the corpus carries one."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from jsonld_ex_ray.ops.hashing import md5_hex
+
+    keep = list(keep_fields or [])
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column(text_field), pa.string())
+        if id_field is not None:
+            doc_id = pc.cast(batch.column(id_field), pa.string())
+        else:
+            doc_id = md5_hex(text, null_as="")
+        cols = {"doc_id": doc_id, "text": text}
+        for f in keep:
+            cols[f] = batch.column(f)
+        if "error_code" in batch.schema.names:
+            cols["error_code"] = batch.column("error_code")
+        return pa.table(cols)
+
+    if strict:
+        ds = ray.data.read_json(paths)
+        return ds.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+
+    ds = ray.data.read_text(paths)
+
+    def parse_lines(batch: pa.Table) -> pa.Table:
+        import json
+
+        fields = [text_field] + ([id_field] if id_field else []) + keep
+        out: dict[str, list] = {f: [] for f in fields}
+        errs: list[str | None] = []
+        for line in batch.column("text").to_pylist():
+            try:
+                obj = json.loads(line)
+                if not isinstance(obj, dict):
+                    raise ValueError("not an object")
+            except (ValueError, TypeError):
+                for f in fields:
+                    # preserve the raw line for triage instead of dropping it
+                    out[f].append(line if f == text_field else None)
+                errs.append("invalid json")
+                continue
+            for f in fields:
+                v = obj.get(f)
+                out[f].append(v if not isinstance(v, (dict, list)) else json.dumps(v))
+            errs.append(None)
+        t = pa.table(
+            {f: pa.array(out[f], pa.string()) for f in fields}
+            | {"error_code": pa.array(errs, pa.string())}
+        )
+        return normalize(t)
+
+    return ds.map_batches(parse_lines, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_jsonl(ds, out_dir: str, *, fields: list[str] | None = None) -> None:
+    """Write a Dataset as partitioned ``.jsonl`` shards (one file per
+    block — streaming, resumable layout, never one giant file; the
+    interchange inverse of ``read_jsonl_docs``). ``fields`` selects and
+    orders the emitted keys (default: every column, schema order)."""
+    from ray.data.datasource import BlockBasedFileDatasink
+
+    class JsonlSink(BlockBasedFileDatasink):
+        def __init__(self, path: str):
+            super().__init__(path, file_format="jsonl")
+
+        def write_block_to_file(self, block, file) -> None:
+            import json
+
+            tbl = block.to_arrow() if hasattr(block, "to_arrow") else block
+            if fields:
+                tbl = tbl.select(fields)
+            names = tbl.schema.names
+            cols = [tbl.column(n).to_pylist() for n in names]
+            lines = [
+                json.dumps(dict(zip(names, row)), ensure_ascii=False)
+                for row in zip(*cols)
+            ]
+            text = "\n".join(lines)
+            if text:
+                text += "\n"
+            file.write(text.encode("utf-8"))
+
+    ds.write_datasink(JsonlSink(out_dir))

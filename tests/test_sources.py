@@ -145,3 +145,58 @@ def test_read_nquads_scope_bnodes_per_file(ray_session, tmp_path):
     ).to_pandas()
     assert len(set(scoped.subj)) == 2  # two distinct nodes survive
     assert all(s.startswith("_:") and "-b0" in s for s in scoped.subj)
+
+
+def test_jsonl_roundtrip_strict(ray_session, tmp_path):
+    """documents → write_jsonl → read_jsonl_docs (strict, arrow C++
+    NDJSON reader) round-trips text + kept fields; doc_id rides through
+    as the declared id field."""
+    import pandas as pd
+    import ray.data
+
+    from jsonld_ex_ray.sources.files import read_jsonl_docs, write_jsonl
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(40)],
+            "text": [f"text {i} with unicode é{i}" for i in range(40)],
+            "lang": ["en", "fr"] * 20,
+        }
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(ray.data.from_pandas(df).repartition(4), out)
+    back = (
+        read_jsonl_docs(out, id_field="doc_id", keep_fields=["lang"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[["doc_id", "text", "lang"]], want)
+
+
+def test_jsonl_tolerant_path_and_md5_ids(ray_session, tmp_path):
+    """strict=False survives malformed lines (error_code rows, raw line
+    kept) and id_field=None derives doc_id = md5(text) — the
+    exact-dedup identity."""
+    import hashlib
+
+    from jsonld_ex_ray.sources.files import read_jsonl_docs
+
+    p = tmp_path / "wild.jsonl"
+    p.write_text(
+        '{"text": "good one"}\n'
+        "this is not json\n"
+        '{"text": "another", "extra": {"nested": 1}}\n'
+        '[1, 2, 3]\n',
+        encoding="utf-8",
+    )
+    got = read_jsonl_docs(str(p), strict=False).to_pandas()
+    assert len(got) == 4
+    ok = got[got["error_code"].isna()].sort_values("text").reset_index(drop=True)
+    bad = got[got["error_code"].notna()]
+    assert sorted(bad["text"]) == ["[1, 2, 3]", "this is not json"]
+    assert set(bad["error_code"]) == {"invalid json"}
+    assert ok["text"].tolist() == ["another", "good one"]
+    for _, row in ok.iterrows():
+        assert row["doc_id"] == hashlib.md5(row["text"].encode()).hexdigest()
