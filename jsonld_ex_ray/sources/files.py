@@ -204,8 +204,9 @@ def read_jsonl_docs(
     *keep_fields)``.
 
     ``strict=True`` (the scale path): ``ray.data.read_json`` — pyarrow's
-    C++ NDJSON reader, vectorized, no per-line Python; a malformed line
-    fails its file loudly. ``strict=False`` (the ingest-from-the-wild
+    C++ NDJSON reader, vectorized, no per-line Python; ``.jsonl.gz``
+    decompresses transparently (arrow infers the codec from the
+    extension); a malformed line fails its file loudly. ``strict=False`` (the ingest-from-the-wild
     path): ``read_text`` + per-line stdlib parse inside ``map_batches``,
     malformed lines become rows with ``error_code='invalid json'`` and
     the raw line preserved in ``text`` instead of poisoning the file —

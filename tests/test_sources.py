@@ -200,3 +200,18 @@ def test_jsonl_tolerant_path_and_md5_ids(ray_session, tmp_path):
     assert ok["text"].tolist() == ["another", "good one"]
     for _, row in ok.iterrows():
         assert row["doc_id"] == hashlib.md5(row["text"].encode()).hexdigest()
+
+
+def test_jsonl_gzip_strict(ray_session, tmp_path):
+    """.jsonl.gz reads transparently on the strict path (arrow infers
+    the codec from the extension) — the common corpus interchange."""
+    import gzip
+
+    from jsonld_ex_ray.sources.files import read_jsonl_docs
+
+    p = tmp_path / "docs.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        for i in range(100):
+            f.write('{"doc_id": "d%03d", "text": "hello %d"}\n' % (i, i))
+    df = read_jsonl_docs(str(p), id_field="doc_id").to_pandas()
+    assert len(df) == 100 and set(df.columns) == {"doc_id", "text"}
