@@ -1164,3 +1164,144 @@ def weighted_sample_per_group(
         .groupby("__bucket")
         .map_groups(final_topn, batch_format="pyarrow")
     )
+
+
+def _split_single_space(batch: pa.Table, text_col: str):
+    """Single-space tokenize with SQL ``string_split(coalesce(text,''),
+    ' ')`` parity: empty tokens KEPT (consecutive/trailing spaces), empty
+    or null text → one '' token. Returns (flat tokens, parent row index,
+    per-row token count)."""
+    text = pc.fill_null(batch.column(text_col), "")
+    words = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    lengths = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    return flat, parents, lengths
+
+
+def unigram_logprob(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    round_to: int = 6,
+    max_broadcast_vocab: int = 100_000,
+    num_buckets: int = 64,
+):
+    """Corpus-trained unigram language-model score per document — the
+    exactly-computable core of CCNet/Gopher-style perplexity filtering
+    (docs whose tokens are improbable under the corpus's own unigram
+    distribution score low; no external LM, so the whole thing is
+    SQL-oracle-checkable). For every doc: ``n_tokens`` and
+    ``mean_logprob = avg(ln((c_tok + α) / (N + α·V)))`` over its tokens,
+    where ``c_tok`` is the token's corpus count, ``N`` total tokens, and
+    ``V`` vocabulary size (additive smoothing — every token was seen in
+    pass 1, but the smoothed form keeps the score well-defined for
+    filtered re-use on held-out shards).
+
+    Ray shape: pass 1 builds global token counts — per-block
+    ``value_counts`` partials (duplicate tokens never leave the block)
+    into ONE bounded ``hash(token)`` shuffle; ``N`` and ``V`` close to
+    two driver scalars. Pass 2 is CARDINALITY-GATED on vocabulary like
+    the group-stats family: at or below ``max_broadcast_vocab`` the
+    (token → logprob) table broadcasts and a second streaming pass
+    scores each batch with one ``get_indexer`` + segmented ``bincount``
+    (zero corpus shuffle); above the gate the corpus explodes to
+    (doc, token) rows joined back to the DISTRIBUTED logprob table via
+    ``hash_join_bucketed`` and re-aggregated per doc — driver state
+    stays O(1) at any vocabulary size. Tokenization is single-space
+    split with SQL ``string_split`` parity (empty tokens kept, null
+    text = ''), so the oracle is exact; the mean is rounded on both
+    sides because parallel summation reorders float additions.
+    → Dataset(id_col, n_tokens:int64, mean_logprob:float64)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from .agg import groupby_agg_bucketed, round_half_away
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _split_single_space(batch, text_col)
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"tok": vc.field("values"), "c": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts_ds = groupby_agg_bucketed(
+        ds.map_batches(count_part, batch_format="pyarrow", zero_copy_batch=True),
+        ["tok"],
+        [("c", "sum", "c")],
+        num_buckets=num_buckets,
+    ).materialize()
+    n_total = float(counts_ds.sum("c") or 0.0)
+    vocab = counts_ds.count()
+    denom = n_total + alpha * vocab
+    oov_lp = math.log(alpha / denom) if denom > 0 else 0.0
+
+    if vocab <= max_broadcast_vocab:
+        st = counts_ds.to_pandas()
+        toks = pd.Index(st["tok"])
+        lp = np.log((st["c"].to_numpy(np.float64) + alpha) / denom)
+
+        def score(batch: pa.Table) -> pa.Table:
+            flat, parents, lengths = _split_single_space(batch, text_col)
+            idx = toks.get_indexer(flat.to_numpy(zero_copy_only=False))
+            seen = idx >= 0
+            vals = lp[np.where(seen, idx, 0)] if len(lp) else np.zeros(len(idx))
+            tok_lp = np.where(seen, vals, oov_lp)
+            sums = np.bincount(parents, weights=tok_lp, minlength=batch.num_rows)
+            mean = sums / lengths  # lengths ≥ 1 ('' splits to one token)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "n_tokens": pa.array(lengths.astype(np.int64)),
+                    "mean_logprob": pa.array(round_half_away(mean, round_to)),
+                }
+            )
+
+        return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    from .joins import hash_join_bucketed
+
+    def add_lp(batch: pa.Table) -> pa.Table:
+        c = pc.cast(batch.column("c"), pa.float64()).to_numpy(zero_copy_only=False)
+        return batch.select(["tok"]).append_column(
+            "__lp", pa.array(np.log((c + alpha) / denom))
+        )
+
+    lp_ds = counts_ds.map_batches(add_lp, batch_format="pyarrow", zero_copy_batch=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, parents, _ = _split_single_space(batch, text_col)
+        ids = batch.column(id_col).take(pa.array(parents))
+        return pa.table({id_col: ids, "tok": flat})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join_bucketed(
+        exploded,
+        lp_ds,
+        left_on="tok",
+        right_on="tok",
+        right_cols=["__lp"],
+        join_type="left",
+        num_buckets=num_buckets,
+    )
+
+    def fill_oov(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("__lp"),
+            "__lp",
+            pc.fill_null(batch.column("__lp"), oov_lp),
+        )
+
+    scored = joined.map_batches(fill_oov, batch_format="pyarrow", zero_copy_batch=True)
+    return groupby_agg_bucketed(
+        scored,
+        [id_col],
+        [("tok", "count", "n_tokens"), ("__lp", "mean", "mean_logprob", round_to)],
+        num_buckets=num_buckets,
+    )

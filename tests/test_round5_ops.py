@@ -692,6 +692,31 @@ def test_gated_family_all_null_group_keys(ray_session):
     assert np.allclose(np.sort(z["z"].to_numpy(np.float64)), np.round(want, 6), atol=1e-6)
 
 
+def test_unigram_logprob_both_paths_match_oracle(ray_session):
+    """Corpus-trained unigram LM score: broadcast and vocabulary-gated
+    join-back paths both equal the DuckDB oracle bit-for-bit at sf0.001
+    (single-space string_split tokenization parity, 6dp rounding)."""
+    import ray.data
+
+    import __ray_entry__ as entry
+    from jsonld_ex_ray.ops.text import unigram_logprob
+
+    want = _duckdb_oracle("doc_unigram_lp", SF0001, tables=("documents",))
+    docs = ray.data.read_parquet(
+        f"{SF0001}/documents.parquet", columns=["doc_id", "text"]
+    )
+    for mbv in (100_000, 1):
+        got = (
+            unigram_logprob(docs, max_broadcast_vocab=mbv)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "n_tokens", "mean_logprob"]], want, check_dtype=False
+        )
+
+
 def test_group_first_last_null_order_keys_match_sql(ray_session):
     """Regression (review-found): SQL last(x ORDER BY ts) under the
     default ASC NULLS LAST order returns the NULL-ts row when one
