@@ -2573,10 +2573,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   rows stand) —
         "users_customers_union",    # UNION distinct (new)
         "lineitem_below_avg",       # correlated-subquery filter (new)
+        "doc_unigram_lp",           # unigram-LM quality score (new; cedes
+                                    # doc_dup_spans, green r4 row + pytest)
         # — r4 greens whose kernels changed this round (one per family) —
         "events_share_of_type",     # r5 cardinality gate
         "events_interval_match",    # r5 vectorized probe
-        "doc_dup_spans",            # span-emitter refactor
         "orders_last_ship",         # bucketed join family
         "events_sessions",          # the r3 red — keep under driver watch
     )
