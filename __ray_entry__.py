@@ -2506,14 +2506,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # 96 oracled queries, 50 driver slots — ROUND-5 ROTATION: the 26
     # queries that ceded their slot in round 4 (all green in
     # CORRECTNESS_r03 / judge driver_sim but without a fresh driver row)
-    # plus the 19 round-5 additions take the window, followed by 5
+    # plus the 20 round-5 additions take the window, followed by 4
     # round-4 greens whose kernels CHANGED this round (segmented_head
     # null fix, group-stats gates, interval-join probe, span-emitter
     # refactor, the r3-red events_sessions kept under watch) — one
     # representative per changed family; the ceded siblings
     # (events_quantiles_by_type, user_top_event_type,
     # doc_weighted_sample, orders_customers_full, events_pivot_daily,
-    # doc_weighted_per_lang) carry green
+    # doc_weighted_per_lang, doc_dup_spans) carry green
     # CORRECTNESS_r04 rows, as do all other ceding queries, and every
     # query stays driver_sim-/pytest-verified (tests/driver_sim.py runs
     # ALL queries at num_cpus=32); with this rotation every oracled
