@@ -66,7 +66,7 @@ def _sharded_sf_dir(sf_dir: str, target_files: int = 8) -> str:
     src = sorted(f for f in os.listdir(sf_dir) if f.endswith(".parquet"))
     stamp = ";".join(
         f"{f}:{os.path.getsize(os.path.join(sf_dir, f))}:"
-        f"{int(os.path.getmtime(os.path.join(sf_dir, f)))}"
+        f"{os.stat(os.path.join(sf_dir, f)).st_mtime_ns}"  # ns: same-second regeneration still invalidates
         for f in src
     )
     done = os.path.join(out, ".done")
@@ -96,9 +96,22 @@ def _sharded_sf_dir(sf_dir: str, target_files: int = 8) -> str:
         fh.write(stamp)
     try:
         os.rename(tmp, out)
-    except OSError:  # lost the race to another bench process: theirs wins
+    except OSError:
+        # either a concurrent bench won the race (fine — verify theirs is
+        # CURRENT) or a stale `out` survived the rmtree above; never
+        # silently return a dir whose stamp doesn't match the sources
         import shutil
 
+        cur = ""
+        try:
+            with open(done) as fh:
+                cur = fh.read()
+        except OSError:
+            pass
+        if cur != stamp:
+            shutil.rmtree(out, ignore_errors=True)
+            os.rename(tmp, out)  # second failure here should raise loudly
+            return out
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 

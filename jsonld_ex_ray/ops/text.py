@@ -1209,10 +1209,13 @@ def unigram_logprob(
     the group-stats family: at or below ``max_broadcast_vocab`` the
     (token → logprob) table broadcasts and a second streaming pass
     scores each batch with one ``get_indexer`` + segmented ``bincount``
-    (zero corpus shuffle); above the gate the corpus explodes to
-    (doc, token) rows joined back to the DISTRIBUTED logprob table via
-    ``hash_join_bucketed`` and re-aggregated per doc — driver state
-    stays O(1) at any vocabulary size. Tokenization is single-space
+    into per-row (Σ lp, n) partials — only ONE tiny row per input doc
+    rides the closing ``hash(doc_id)`` combine, never the corpus; above
+    the gate the corpus explodes to (doc, token) rows joined back to
+    the DISTRIBUTED logprob table via ``hash_join_bucketed`` and
+    re-aggregated per doc — driver state stays O(1) at any vocabulary
+    size. BOTH paths GROUP BY ``id_col`` (duplicate ids merge exactly
+    like the SQL oracle). Tokenization is single-space
     split with SQL ``string_split`` parity (empty tokens kept, null
     text = ''), so the oracle is exact; the mean is rounded on both
     sides because parallel summation reorders float additions.
@@ -1242,6 +1245,18 @@ def unigram_logprob(
     denom = n_total + alpha * vocab
     oov_lp = math.log(alpha / denom) if denom > 0 else 0.0
 
+    def finish_mean(batch: pa.Table) -> pa.Table:
+        # both gate paths converge here: per-doc (Σ lp, n) → rounded mean,
+        # so the output is GROUP BY doc_id regardless of path (duplicate
+        # ids — e.g. md5(text) ids over byte-identical docs — merge
+        # identically to the SQL oracle; review-found divergence fix)
+        s = batch.column("__s").to_numpy(zero_copy_only=False)
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        mean = s / np.maximum(n, 1)  # n ≥ 1 always ('' splits to one token)
+        return batch.drop_columns(["__s"]).append_column(
+            "mean_logprob", pa.array(round_half_away(mean, round_to))
+        )
+
     if vocab <= max_broadcast_vocab:
         st = counts_ds.to_pandas()
         toks = pd.Index(st["tok"])
@@ -1254,16 +1269,24 @@ def unigram_logprob(
             vals = lp[np.where(seen, idx, 0)] if len(lp) else np.zeros(len(idx))
             tok_lp = np.where(seen, vals, oov_lp)
             sums = np.bincount(parents, weights=tok_lp, minlength=batch.num_rows)
-            mean = sums / lengths  # lengths ≥ 1 ('' splits to one token)
             return pa.table(
                 {
                     id_col: batch.column(id_col),
-                    "n_tokens": pa.array(lengths.astype(np.int64)),
-                    "mean_logprob": pa.array(round_half_away(mean, round_to)),
+                    "__n": pa.array(lengths.astype(np.int64)),
+                    "__s": pa.array(sums),
                 }
             )
 
-        return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        partials = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        per_doc = groupby_agg_bucketed(
+            partials,
+            [id_col],
+            [("__n", "sum", "n_tokens"), ("__s", "sum", "__s")],
+            num_buckets=num_buckets,
+        )
+        return per_doc.map_batches(
+            finish_mean, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     from .joins import hash_join_bucketed
 

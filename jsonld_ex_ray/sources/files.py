@@ -208,10 +208,15 @@ def read_jsonl_docs(
     decompresses transparently (arrow infers the codec from the
     extension); a malformed line fails its file loudly. ``strict=False`` (the ingest-from-the-wild
     path): ``read_text`` + per-line stdlib parse inside ``map_batches``,
-    malformed lines become rows with ``error_code='invalid json'`` and
-    the raw line preserved in ``text`` instead of poisoning the file —
-    per-row Python, priced in and documented, for corpora where a read
-    must not die on one bad line.
+    malformed lines (bad JSON, non-objects, blank lines) become rows
+    with ``error_code='invalid json'`` and the raw line preserved in
+    ``text`` instead of poisoning the file — per-row Python, priced in
+    and documented, for corpora where a read must not die on one bad
+    line. Schema divergence, deliberate: the strict path keeps
+    ``keep_fields`` in their native arrow types; the tolerant path
+    returns every kept value as a STRING (non-string scalars and nested
+    values keep their JSON text) so one weird line can't flip a
+    column's type mid-read.
 
     ``id_field=None`` derives ``doc_id`` as ``md5(text)`` via the
     vectorized DuckDB kernel — byte-identical docs share an id, the
@@ -240,7 +245,10 @@ def read_jsonl_docs(
         ds = ray.data.read_json(paths)
         return ds.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
 
-    ds = ray.data.read_text(paths)
+    # drop_empty_lines=False: a blank line is a MALFORMED line and must
+    # surface as an error row, not silently vanish (row count parity
+    # with `wc -l` is what makes triage against the source file sane)
+    ds = ray.data.read_text(paths, drop_empty_lines=False)
 
     def parse_lines(batch: pa.Table) -> pa.Table:
         import json
@@ -261,7 +269,14 @@ def read_jsonl_docs(
                 continue
             for f in fields:
                 v = obj.get(f)
-                out[f].append(v if not isinstance(v, (dict, list)) else json.dumps(v))
+                # schema stability under wild data: every kept value is a
+                # STRING here — str scalars pass through, everything else
+                # (numbers, bools, nested objects/arrays) keeps its JSON
+                # text. The strict path keeps native arrow types; this
+                # divergence is deliberate and documented above.
+                out[f].append(
+                    v if v is None or isinstance(v, str) else json.dumps(v)
+                )
             errs.append(None)
         t = pa.table(
             {f: pa.array(out[f], pa.string()) for f in fields}
@@ -285,6 +300,16 @@ def write_jsonl(ds, out_dir: str, *, fields: list[str] | None = None) -> None:
 
         def write_block_to_file(self, block, file) -> None:
             import json
+            import math
+
+            def jsonable(v):
+                # NaN/Inf would emit bare literals the strict reader
+                # (pyarrow C++ NDJSON) rejects → JSON null instead;
+                # non-JSON types (timestamps, bytes, decimals) fall back
+                # to str() so a sink task never dies on a column type
+                if isinstance(v, float) and not math.isfinite(v):
+                    return None
+                return v
 
             tbl = block.to_arrow() if hasattr(block, "to_arrow") else block
             if fields:
@@ -292,7 +317,11 @@ def write_jsonl(ds, out_dir: str, *, fields: list[str] | None = None) -> None:
             names = tbl.schema.names
             cols = [tbl.column(n).to_pylist() for n in names]
             lines = [
-                json.dumps(dict(zip(names, row)), ensure_ascii=False)
+                json.dumps(
+                    {n: jsonable(v) for n, v in zip(names, row)},
+                    ensure_ascii=False,
+                    default=str,
+                )
                 for row in zip(*cols)
             ]
             text = "\n".join(lines)

@@ -843,3 +843,33 @@ def test_filter_vs_group_mean_matches_pandas_transform(ray_session):
         keep = op(df["v"].to_numpy(np.int64) * den * cnt, num * s)
         want = set(df.loc[keep, "rid"])
         assert set(out["rid"]) == want, (cmp_name, len(out), int(keep.sum()))
+
+
+def test_unigram_logprob_duplicate_ids_merge_on_both_paths(ray_session):
+    """Regression (review-found gate divergence): duplicate doc_ids —
+    e.g. md5(text) ids over byte-identical docs — must GROUP BY doc_id
+    identically on the broadcast and join-back paths, matching the SQL
+    oracle's aggregation."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.text import unigram_logprob
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "a", "b"], pa.string()),
+            "text": pa.array(["x y", "x y", "z"], pa.string()),
+        }
+    )
+    outs = []
+    for mbv in (100_000, 1):
+        ds = ray.data.from_arrow(tbl).repartition(2)
+        out = (
+            unigram_logprob(ds, max_broadcast_vocab=mbv)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == ["a", "b"]
+        assert out["n_tokens"].tolist() == [4, 1]
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)

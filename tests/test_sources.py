@@ -215,3 +215,53 @@ def test_jsonl_gzip_strict(ray_session, tmp_path):
             f.write('{"doc_id": "d%03d", "text": "hello %d"}\n' % (i, i))
     df = read_jsonl_docs(str(p), id_field="doc_id").to_pandas()
     assert len(df) == 100 and set(df.columns) == {"doc_id", "text"}
+
+
+def test_jsonl_tolerant_non_string_scalars_and_blank_lines(ray_session, tmp_path):
+    """Regression (review-found): a valid-JSON line with a non-string
+    scalar in a declared field must not kill the read — scalars keep
+    their JSON text; blank lines surface as error rows instead of
+    silently vanishing (row-count parity with wc -l)."""
+    from jsonld_ex_ray.sources.files import read_jsonl_docs
+
+    p = tmp_path / "scalars.jsonl"
+    p.write_text(
+        '{"text": 42, "score": 1.5}\n'
+        "\n"
+        '{"text": "real", "score": true}\n',
+        encoding="utf-8",
+    )
+    got = (
+        read_jsonl_docs(str(p), strict=False, keep_fields=["score"])
+        .to_pandas()
+    )
+    assert len(got) == 3  # wc -l parity
+    bad = got[got["error_code"].notna()]
+    assert len(bad) == 1 and bad["text"].iloc[0] == ""
+    ok = got[got["error_code"].isna()].sort_values("text").reset_index(drop=True)
+    assert ok["text"].tolist() == ["42", "real"]
+    assert ok["score"].tolist() == ["1.5", "true"]  # JSON text, stringly
+
+
+def test_write_jsonl_nan_roundtrips_as_null(ray_session, tmp_path):
+    """Regression (review-found): NaN floats must emit JSON null (bare
+    NaN literals break the strict pyarrow reader on re-ingest)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from jsonld_ex_ray.sources.files import read_jsonl_docs, write_jsonl
+
+    df = pd.DataFrame(
+        {"doc_id": ["a", "b"], "text": ["x", "y"], "score": [1.5, np.nan]}
+    )
+    out = str(tmp_path / "nan_jsonl")
+    write_jsonl(ray.data.from_pandas(df), out)
+    back = (
+        read_jsonl_docs(out, id_field="doc_id", keep_fields=["score"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back["score"].tolist()[0] == 1.5
+    assert pd.isna(back["score"].iloc[1])
