@@ -191,6 +191,53 @@ def write_nquads(ds, out_dir: str) -> None:
     lines.write_datasink(NQuadsSink(out_dir))
 
 
+def _docs_normalizer(text_field: str, id_field: str | None, keep: list[str]):
+    """Shared map_batches kernel normalizing any tabular read to the
+    documents-table shape: ``(doc_id:string, text:string, *keep)``, with
+    ``doc_id = md5(text)`` (the exact-dedup identity, vectorized DuckDB
+    kernel) when the corpus carries no id field; an ``error_code``
+    column passes through when the tolerant parser produced one."""
+    import pyarrow.compute as pc
+
+    from jsonld_ex_ray.ops.hashing import md5_hex
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column(text_field), pa.string())
+        if id_field is not None:
+            doc_id = pc.cast(batch.column(id_field), pa.string())
+        else:
+            doc_id = md5_hex(text, null_as="")
+        cols = {"doc_id": doc_id, "text": text}
+        for f in keep:
+            cols[f] = batch.column(f)
+        if "error_code" in batch.schema.names:
+            cols["error_code"] = batch.column("error_code")
+        return pa.table(cols)
+
+    return normalize
+
+
+def read_csv_docs(
+    paths,
+    *,
+    text_field: str = "text",
+    id_field: str | None = None,
+    keep_fields: list[str] | None = None,
+    **read_csv_kwargs,
+):
+    """CSV/TSV corpus → documents Dataset, same contract as
+    ``read_jsonl_docs`` strict mode: ``ray.data.read_csv`` (pyarrow's
+    C++ CSV reader — vectorized, transparent ``.gz``), normalized to
+    ``(doc_id:string, text:string, *keep_fields)`` with md5(text) ids
+    when the corpus carries none. Extra kwargs pass through to
+    ``read_csv`` (e.g. ``parse_options`` for TSV delimiters)."""
+    import ray.data
+
+    normalize = _docs_normalizer(text_field, id_field, list(keep_fields or []))
+    ds = ray.data.read_csv(paths, **read_csv_kwargs)
+    return ds.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def read_jsonl_docs(
     paths,
     *,
@@ -221,25 +268,10 @@ def read_jsonl_docs(
     ``id_field=None`` derives ``doc_id`` as ``md5(text)`` via the
     vectorized DuckDB kernel — byte-identical docs share an id, the
     exact-dedup identity; pass a real field when the corpus carries one."""
-    import pyarrow.compute as pc
     import ray.data
 
-    from jsonld_ex_ray.ops.hashing import md5_hex
-
     keep = list(keep_fields or [])
-
-    def normalize(batch: pa.Table) -> pa.Table:
-        text = pc.cast(batch.column(text_field), pa.string())
-        if id_field is not None:
-            doc_id = pc.cast(batch.column(id_field), pa.string())
-        else:
-            doc_id = md5_hex(text, null_as="")
-        cols = {"doc_id": doc_id, "text": text}
-        for f in keep:
-            cols[f] = batch.column(f)
-        if "error_code" in batch.schema.names:
-            cols["error_code"] = batch.column("error_code")
-        return pa.table(cols)
+    normalize = _docs_normalizer(text_field, id_field, keep)
 
     if strict:
         ds = ray.data.read_json(paths)

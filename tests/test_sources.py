@@ -265,3 +265,36 @@ def test_write_jsonl_nan_roundtrips_as_null(ray_session, tmp_path):
     )
     assert back["score"].tolist()[0] == 1.5
     assert pd.isna(back["score"].iloc[1])
+
+
+def test_csv_docs_source(ray_session, tmp_path):
+    """CSV corpus normalizes to the documents-table shape (shared
+    normalizer with the JSONL reader): declared id passes through,
+    absent id derives md5(text); TSV via parse_options."""
+    import hashlib
+
+    from pyarrow import csv as pacsv
+
+    from jsonld_ex_ray.sources.files import read_csv_docs
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        'doc_id,text,lang\nd1,"hello world",en\nd2,"bonjour monde",fr\n',
+        encoding="utf-8",
+    )
+    got = (
+        read_csv_docs(str(p), id_field="doc_id", keep_fields=["lang"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == ["d1", "d2"]
+    assert got["text"].tolist() == ["hello world", "bonjour monde"]
+    assert got["lang"].tolist() == ["en", "fr"]
+
+    t = tmp_path / "docs.tsv"
+    t.write_text("text\nalpha beta\n", encoding="utf-8")
+    got2 = read_csv_docs(
+        str(t), parse_options=pacsv.ParseOptions(delimiter="\t")
+    ).to_pandas()
+    assert got2["doc_id"].iloc[0] == hashlib.md5(b"alpha beta").hexdigest()
