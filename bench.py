@@ -63,12 +63,15 @@ def _sharded_sf_dir(sf_dir: str, target_files: int = 8) -> str:
     # fingerprint the SOURCE tables (name, size, mtime) into the marker
     # so regenerated testdata invalidates the cached sharded copy
     # instead of silently benching stale contents
-    src = sorted(f for f in os.listdir(sf_dir) if f.endswith(".parquet"))
-    stamp = ";".join(
-        f"{f}:{os.path.getsize(os.path.join(sf_dir, f))}:"
-        f"{os.stat(os.path.join(sf_dir, f)).st_mtime_ns}"  # ns: same-second regeneration still invalidates
-        for f in src
-    )
+    def source_stamp() -> str:
+        src = sorted(f for f in os.listdir(sf_dir) if f.endswith(".parquet"))
+        return ";".join(
+            f"{f}:{os.path.getsize(os.path.join(sf_dir, f))}:"
+            f"{os.stat(os.path.join(sf_dir, f)).st_mtime_ns}"  # ns: same-second regeneration still invalidates
+            for f in src
+        )
+
+    stamp = source_stamp()
     done = os.path.join(out, ".done")
     if os.path.exists(done):
         with open(done) as fh:
@@ -97,22 +100,38 @@ def _sharded_sf_dir(sf_dir: str, target_files: int = 8) -> str:
     try:
         os.rename(tmp, out)
     except OSError:
-        # either a concurrent bench won the race (fine — verify theirs is
-        # CURRENT) or a stale `out` survived the rmtree above; never
-        # silently return a dir whose stamp doesn't match the sources
+        # rename collision: a concurrent bench installed a dir, or a
+        # stale `out` survived the rmtree above. Arbitrate against a
+        # FRESH source stamp (the sources may have been regenerated
+        # during OUR build — comparing against the pre-build stamp
+        # would let a stale loser clobber a current winner): adopt
+        # whichever dir matches the sources NOW, rebuild if neither.
         import shutil
 
-        cur = ""
-        try:
-            with open(done) as fh:
-                cur = fh.read()
-        except OSError:
-            pass
-        if cur != stamp:
+        def done_of(d: str) -> str | None:
+            try:
+                with open(os.path.join(d, ".done")) as fh:
+                    return fh.read()
+            except OSError:
+                return None
+
+        fresh = source_stamp()
+        if done_of(out) == fresh:  # the winner is current: theirs wins
+            shutil.rmtree(tmp, ignore_errors=True)
+        elif stamp == fresh:  # ours is current, theirs is stale: replace
             shutil.rmtree(out, ignore_errors=True)
-            os.rename(tmp, out)  # second failure here should raise loudly
-            return out
-        shutil.rmtree(tmp, ignore_errors=True)
+            try:
+                os.rename(tmp, out)
+            except OSError:
+                # three-way race: a third process just installed — adopt
+                # theirs iff current, else this host is genuinely broken
+                if done_of(out) == fresh:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    raise
+        else:  # sources changed during OUR build: neither dir is current
+            shutil.rmtree(tmp, ignore_errors=True)
+            return _sharded_sf_dir(sf_dir, target_files)
     return out
 
 

@@ -1190,6 +1190,7 @@ def unigram_logprob(
     round_to: int = 6,
     max_broadcast_vocab: int = 100_000,
     num_buckets: int = 64,
+    unique_ids: bool = False,
 ):
     """Corpus-trained unigram language-model score per document — the
     exactly-computable core of CCNet/Gopher-style perplexity filtering
@@ -1215,7 +1216,10 @@ def unigram_logprob(
     the DISTRIBUTED logprob table via ``hash_join_bucketed`` and
     re-aggregated per doc — driver state stays O(1) at any vocabulary
     size. BOTH paths GROUP BY ``id_col`` (duplicate ids merge exactly
-    like the SQL oracle). Tokenization is single-space
+    like the SQL oracle). ``unique_ids=True`` is the caller's promise
+    that ``id_col`` is unique: the broadcast path then emits per-row
+    results directly — identical output, no closing hash(doc_id)
+    combine, fully streaming (the original zero-shuffle fast path). Tokenization is single-space
     split with SQL ``string_split`` parity (empty tokens kept, null
     text = ''), so the oracle is exact; the mean is rounded on both
     sides because parallel summation reorders float additions.
@@ -1278,6 +1282,14 @@ def unigram_logprob(
             )
 
         partials = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        if unique_ids:
+            # caller-promised unique ids: one input row IS one doc —
+            # finish per row, no closing shuffle, fully streaming
+            return partials.map_batches(
+                lambda b: finish_mean(b.rename_columns([id_col, "n_tokens", "__s"])),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         per_doc = groupby_agg_bucketed(
             partials,
             [id_col],

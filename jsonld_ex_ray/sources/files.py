@@ -336,11 +336,17 @@ def write_jsonl(ds, out_dir: str, *, fields: list[str] | None = None) -> None:
 
             def jsonable(v):
                 # NaN/Inf would emit bare literals the strict reader
-                # (pyarrow C++ NDJSON) rejects → JSON null instead;
-                # non-JSON types (timestamps, bytes, decimals) fall back
-                # to str() so a sink task never dies on a column type
+                # (pyarrow C++ NDJSON) rejects → JSON null instead —
+                # RECURSIVELY (list<float> embedding columns carry NaNs
+                # too); non-JSON types (timestamps, bytes, decimals)
+                # fall back to str() so a sink task never dies on a
+                # column type
                 if isinstance(v, float) and not math.isfinite(v):
                     return None
+                if isinstance(v, list):
+                    return [jsonable(x) for x in v]
+                if isinstance(v, dict):
+                    return {k: jsonable(x) for k, x in v.items()}
                 return v
 
             tbl = block.to_arrow() if hasattr(block, "to_arrow") else block

@@ -873,3 +873,24 @@ def test_unigram_logprob_duplicate_ids_merge_on_both_paths(ray_session):
         assert out["n_tokens"].tolist() == [4, 1]
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
+
+
+def test_unigram_logprob_unique_ids_fast_path_identical(ray_session):
+    """unique_ids=True (streaming, no closing shuffle) returns exactly
+    the grouped default for a unique-id corpus."""
+    import ray.data
+
+    from jsonld_ex_ray.ops.text import unigram_logprob
+
+    docs = ray.data.read_parquet(
+        f"{SF0001}/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = (
+        unigram_logprob(docs)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        unigram_logprob(docs, unique_ids=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[b.columns.tolist()], b, check_dtype=False)

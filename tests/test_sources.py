@@ -298,3 +298,34 @@ def test_csv_docs_source(ray_session, tmp_path):
         str(t), parse_options=pacsv.ParseOptions(delimiter="\t")
     ).to_pandas()
     assert got2["doc_id"].iloc[0] == hashlib.md5(b"alpha beta").hexdigest()
+
+
+def test_write_jsonl_nested_nan_in_list_column(ray_session, tmp_path):
+    """Regression (review-found): NaN nested inside a list<float> column
+    (embedding shape) must also emit JSON null, not a bare NaN literal
+    the strict reader rejects."""
+    import json as jsonlib
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from jsonld_ex_ray.sources.files import write_jsonl
+
+    df = pd.DataFrame(
+        {
+            "doc_id": ["a", "b"],
+            "emb": [[1.0, float("nan")], [np.inf, 2.0]],
+        }
+    )
+    out = str(tmp_path / "nested_nan")
+    write_jsonl(ray.data.from_pandas(df), out)
+    rows = []
+    for f in sorted(os.listdir(out)):
+        with open(os.path.join(out, f)) as fh:
+            for line in fh:
+                rows.append(jsonlib.loads(line))  # parse=strictness proxy
+    rows.sort(key=lambda r: r["doc_id"])
+    assert rows[0]["emb"] == [1.0, None]
+    assert rows[1]["emb"] == [None, 2.0]
